@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+/** Column-level API over the custom expressions + derived helpers, and
+  * SQL registration so every function also works from `spark.sql`.
+  */
+object GraftFunctions {
+
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  // ---- scalar ag-domain functions (SURVEY §2.7) ----
+  def stripAccents(col: Column): Column = c(StripAccents(e(col)))
+  def normalizeWs(col: Column): Column = c(NormalizeWs(e(col)))
+  def titleCasePt(col: Column): Column = c(TitleCasePt(e(col)))
+  def parseBrDecimal(col: Column): Column = c(ParseBrDecimal(e(col)))
+  def safraOf(col: Column): Column = c(SafraOf(e(col)))
+  def normalizeSafra(col: Column): Column = c(NormalizeSafra(e(col)))
+  def convertUnit(value: Column, from: Column, to: Column, produto: Column): Column =
+    c(ConvertUnit(e(value), e(from), e(to), e(produto)))
+
+  /** F2 — multi-format date parse: first format that sticks wins. */
+  def parseDateMulti(col: Column): Column =
+    coalesce(
+      try_to_date(col, "dd/MM/yyyy"),
+      try_to_date(col, "dd-MM-yyyy"),
+      try_to_date(col, "yyyy-MM-dd"),
+      try_to_date(col, "dd/MM/yy"))
+
+  /** F9 — futures ticker month-code (F,G,H,...,Z) + 2-digit year. */
+  def tickerMonth(col: Column): Column = {
+    val codes = "FGHJKMNQUVXZ"
+    val m = map(codes.zipWithIndex.flatMap { case (ch, i) =>
+      Seq(lit(ch.toString), lit(i + 1))
+    }: _*)
+    m(regexp_extract(col, "^[A-Z]{3}([FGHJKMNQUVXZ])\\d{2}$", 1))
+  }
+  def tickerYear(col: Column): Column =
+    (lit(2000) + regexp_extract(col, "([0-9]{2})$", 1).cast("int")).cast("int")
+
+  // ---- sketches (dedup / similarity) ----
+  def hash64(col: Column, seed: Long = 0L): Column = c(Hash64(e(col), seed))
+  def simhash64(col: Column): Column = c(SimHash64(e(col)))
+  def minhashSig(col: Column, shingleSize: Int = 3, numHashes: Int = 64,
+      seed: Long = 42L): Column = c(MinHashSig(e(col), shingleSize, numHashes, seed))
+  def winnowFingerprint(col: Column, k: Int = 8, w: Int = 4): Column =
+    c(Winnow(e(col), k, w))
+  def cosineSim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
+  def hyperplaneLsh(col: Column, nbits: Int = 16, seed: Long = 42L): Column =
+    c(HyperplaneLsh(e(col), nbits, seed))
+  def hammingDist64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- text analysis (composed from builtins => codegen'd) ----
+
+  /** Whitespace token count. */
+  def tokenCount(col: Column): Column =
+    size(split(trim(col), "\\s+")).cast("long")
+
+  /** BPE-ish subword count: word-ish runs + digits + punctuation pieces. */
+  def bpeishTokenCount(col: Column): Column =
+    size(regexp_extract_all(col, lit("[A-Za-z\\u00C0-\\u024F]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Quality scoring components (length / punct ratio / stopword ratio),
+    * mirroring the reference's quality heuristics as pure expressions.
+    */
+  def punctRatio(col: Column): Column = {
+    val total = length(col).cast("double")
+    val punct = (length(col) - length(regexp_replace(col, "[^\\p{L}\\p{N}\\s]", ""))).cast("double")
+    when(total === 0, 0.0).otherwise(punct / total)
+  }
+
+  def stopwordRatio(col: Column, stopwords: Seq[String]): Column = {
+    val toks = split(lower(trim(col)), "\\s+")
+    val n = size(toks)
+    val sw = filter(toks, t => t.isin(stopwords.map(s => lit(s)): _*))
+    when(n === 0, 0.0).otherwise(size(sw).cast("double") / n.cast("double"))
+  }
+
+  /** Composite document quality score in [0,1]:
+    * 0.4*length component (chars/500 capped) + 0.3*(1-punctRatio) +
+    * 0.3*stopword presence (ratio/0.1 capped). Deterministic, SQL-expressible.
+    */
+  def qualityScore(col: Column, stopwords: Seq[String]): Column = {
+    val lenComp = least(length(col).cast("double") / 500.0, lit(1.0))
+    val punctComp = lit(1.0) - punctRatio(col)
+    val swComp = least(stopwordRatio(col, stopwords) / 0.1, lit(1.0))
+    round(lit(0.4) * lenComp + lit(0.3) * punctComp + lit(0.3) * swComp, 6)
+  }
+
+  /** Language-ID by stopword-marker hits: score per language = number of
+    * marker-word occurrences; argmax with deterministic tie-break on
+    * language code. Returns the 2-letter code ('und' when no hits).
+    * N-gram heuristics done as pure relational expressions.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "des"),
+    "pt" -> Seq("o", "a", "os", "as", "e", "de"))
+
+  def langIdScore(col: Column, markers: Seq[String]): Column = {
+    val toks = split(lower(trim(col)), "\\s+")
+    size(filter(toks, t => t.isin(markers.map(lit): _*))).cast("long")
+  }
+
+  def langId(col: Column): Column = {
+    // greatest-by-score with tie-break: build struct(score, negOrd) and take max
+    val structs = langMarkers.zipWithIndex.map { case ((code, markers), i) =>
+      struct(langIdScore(col, markers).as("score"),
+        lit(-i).as("ord"), lit(code).as("code"))
+    }
+    val best = greatest(structs: _*)
+    when(best.getField("score") === 0, "und").otherwise(best.getField("code"))
+  }
+
+  /** Register SQL-callable versions of the custom expressions. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def one(name: String, f: Expression => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, exprs => f(exprs.head), "built-in")
+    one("strip_accents", StripAccents)
+    one("normalize_ws", NormalizeWs)
+    one("title_case_pt", TitleCasePt)
+    one("parse_br_decimal", ParseBrDecimal)
+    one("safra_of", SafraOf)
+    one("normalize_safra", NormalizeSafra)
+    one("simhash64", SimHash64)
+    reg.createOrReplaceTempFunction("convert_unit",
+      exprs => ConvertUnit(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    reg.createOrReplaceTempFunction("hash64",
+      exprs => Hash64(exprs.head, 0L), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+  }
+}

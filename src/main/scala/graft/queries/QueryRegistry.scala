@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One operator-demonstrating query: a Spark implementation plus (when
+  * exactly expressible) the equivalent DuckDB SQL oracle. Column names
+  * and row ordering are deterministic and identical on both sides; all
+  * float aggregates go through exact DECIMAL(18,4) sums and are cast to
+  * DOUBLE at the end so the two engines produce bit-identical values
+  * regardless of accumulation order.
+  */
+case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
+
+object QueryRegistry {
+  def all: Seq[Q] =
+    Relational.qs ++ AgFunctions.qs ++ Validation.qs ++ TextAnalysis.qs ++
+      DedupOps.qs ++ VectorSearch.qs ++ StoreOps.qs
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}
+
+/** Shared helpers for query definitions. */
+object T {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.DecimalType
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal view of a double column (oracle-parity arithmetic). */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** sum as exact decimal, surfaced as double — identical in any engine. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** average via exact decimal sum / count — engine-order independent. */
+  def davg(c: Column): Column = sum(dec(c)).cast("double") / count(c)
+}
