@@ -29,8 +29,19 @@ object T {
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.types.DecimalType
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Reads a driver table. `events.parquet` stores `ts` as parquet
+    * TIMESTAMP(NANOS), which Spark 4 rejects outright
+    * ([PARQUET_TYPE_ILLEGAL]); we read nanos as long via the legacy
+    * conf and restore a microsecond timestamp (what DuckDB also sees —
+    * its TIMESTAMP is µs), so oracle hashes line up.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Exact decimal view of a double column (oracle-parity arithmetic). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))

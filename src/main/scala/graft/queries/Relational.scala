@@ -72,9 +72,11 @@ object Relational {
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""))
 
-  /** J1 — 3-table join (fact ⋈ fact ⋈ dim); the dim (customer) side is
-    * explicitly broadcast: at 100 TB lineitem/orders shuffle on the join
-    * key while customer ships to every executor.
+  /** J1 — 3-table join (fact ⋈ fact ⋈ dim). No broadcast hint on
+    * customer: it is a scaling table (150k × sf in TPC-H), so a forced
+    * broadcast OOMs at cluster scale; AQE picks broadcast-hash while the
+    * table is small and shuffle-hash/SMJ once it isn't. Explicit
+    * `broadcast()` is reserved for genuinely bounded dims (nation/region).
     */
   val q04 = Q("q04_join3_revenue",
     (s, dir) => {
@@ -84,7 +86,7 @@ object Relational {
           col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       val c = load(s, dir, "customer")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(
           sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
@@ -104,17 +106,24 @@ object Relational {
       ORDER BY c_custkey"""),
     bench = true)
 
-  /** J2 — trade-mirror style full outer join of two aggregates with a
-    * zero-guarded ratio (reference `comtrade/parser.py:88-155`).
+  /** J2 — trade-mirror with a zero-guarded ratio (reference
+    * `comtrade/parser.py:88-155`). The naive shape is two fact scans +
+    * full-outer join; this is the fused single-scan plan — one pass over
+    * lineitem, conditional sums per side, identical output semantics
+    * (a key missing on one side yields a null sum, exactly like the
+    * outer join's null row). Halves the I/O and deletes the join — the
+    * 100 TB-preferred shape.
     */
   val q05 = Q("q05_fullouter_mirror",
     (s, dir) => {
       val li = load(s, dir, "lineitem")
-      val lhs = li.filter(col("l_returnflag") === "R").groupBy(col("l_partkey"))
-        .agg(dsum(col("l_quantity")).as("qty_r"))
-      val rhs = li.filter(col("l_returnflag") === "A").groupBy(col("l_partkey"))
-        .agg(dsum(col("l_quantity")).as("qty_a"))
-      lhs.join(rhs, Seq("l_partkey"), "full_outer")
+      li.filter(col("l_returnflag").isin("R", "A"))
+        .groupBy(col("l_partkey"))
+        .agg(
+          sum(when(col("l_returnflag") === "R", dec(col("l_quantity"))))
+            .cast("double").as("qty_r"),
+          sum(when(col("l_returnflag") === "A", dec(col("l_quantity"))))
+            .cast("double").as("qty_a"))
         .select(col("l_partkey"), col("qty_r"), col("qty_a"),
           when(col("qty_a").isNull || col("qty_a") === 0, lit(null).cast("double"))
             .otherwise(col("qty_r") / col("qty_a")).as("ratio"))
@@ -139,8 +148,12 @@ object Relational {
   val q06 = Q("q06_anti_join",
     (s, dir) => {
       val p = load(s, dir, "part")
-      val li = load(s, dir, "lineitem")
-      p.join(li, col("p_partkey") === col("l_partkey"), "left_anti")
+      // Existence test ⇒ reduce the build side to distinct keys first:
+      // map-side partial agg shrinks the shuffle from the full fact to
+      // |distinct l_partkey| — the difference between a full-fact
+      // shuffle and a key-sized one at 100 TB.
+      val soldKeys = load(s, dir, "lineitem").select(col("l_partkey")).distinct()
+      p.join(soldKeys, col("p_partkey") === col("l_partkey"), "left_anti")
         .select(col("p_partkey"), col("p_name"))
         .orderBy(col("p_partkey"))
     },
