@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+import graft.queries.T._
+import graft.validate._
+
+/** Validation operator family (SURVEY §2.8 V1-V8 + A10/A11) — the
+  * reference's signature capability, re-expressed as fused Spark
+  * aggregation passes over the test tables. Every query here costs a
+  * bounded number of scans/shuffles regardless of table size.
+  */
+object Validation {
+
+  /** V1/V2 — contract column validation: ALL declared checks fused into
+    * ONE aggregation scan (reference runs them per-column:
+    * `contracts/__init__.py:106-127`).
+    */
+  val v01 = Q("v01_contract_violations",
+    (s, dir) => {
+      val contract = Contract("lineitem", "1.0.0", Seq(
+        ColumnSpec("l_orderkey", LongType, nullable = false),
+        ColumnSpec("l_quantity", DoubleType, nullable = false,
+          minValue = Some(5.0), maxValue = Some(45.0)),
+        ColumnSpec("l_discount", DoubleType, maxValue = Some(0.08)),
+        ColumnSpec("l_extendedprice", DoubleType, nullable = false,
+          minValue = Some(1000.0)),
+        ColumnSpec("l_shipdate", TimestampType, nullable = false)))
+      contract.violationReport(load(s, dir, "lineitem"))
+        .orderBy(col("check_name"), col("column_name"))
+    },
+    Some("""
+      SELECT check_name, column_name, violations FROM (
+        SELECT 'not_null' AS check_name, 'l_orderkey' AS column_name, CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM lineitem
+        UNION ALL SELECT 'not_null', 'l_quantity', CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'min_value', 'l_quantity', CAST(SUM(CASE WHEN l_quantity < 5.0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'max_value', 'l_quantity', CAST(SUM(CASE WHEN l_quantity > 45.0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'max_value', 'l_discount', CAST(SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'not_null', 'l_extendedprice', CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'min_value', 'l_extendedprice', CAST(SUM(CASE WHEN l_extendedprice < 1000.0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'not_null', 'l_shipdate', CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      ) t ORDER BY check_name, column_name"""))
+
+  /** A11/V2 — PK-uniqueness detail: keys with more than one row
+    * (reference `contracts/__init__.py:119-125`). One hash-agg shuffle.
+    */
+  val v02 = Q("v02_pk_duplicates",
+    (s, dir) => {
+      Contract("orders_by_cust", "1.0.0", Seq.empty, primaryKey = Seq("o_custkey"))
+        .pkDuplicates(load(s, dir, "orders"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      SELECT o_custkey, COUNT(*) AS n_rows FROM orders
+      GROUP BY o_custkey HAVING COUNT(*) > 1 ORDER BY o_custkey"""))
+
+  /** V3/W2 — sanity rules: per-type static ranges + max-change vs the
+    * previous value of the same series (reference
+    * `validators/sanity.py:24-180`); flagged rows carry fired-rule names.
+    */
+  val v03 = Q("v03_sanity_anomalies",
+    (s, dir) => {
+      val rules = Map(
+        "click" -> SanityRule(0.5, 300.0, 400.0),
+        "error" -> SanityRule(0.5, 300.0, 400.0),
+        "purchase" -> SanityRule(1.0, 350.0, 400.0),
+        "signup" -> SanityRule(0.5, 300.0, 400.0),
+        "view" -> SanityRule(0.5, 300.0, 400.0))
+      Sanity.flagAnomalies(load(s, dir, "events"), rules,
+          ruleKey = col("event_type"), valueCol = col("value"),
+          seriesKeys = Seq(col("event_type"), col("user_id")),
+          orderCols = Seq(col("ts"), col("event_id")))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("prev_value"), col("change_pct"), col("anomalies"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, event_type, value, prev_value, change_pct, anomalies FROM (
+        SELECT *, concat_ws(',',
+            CASE WHEN value < mn THEN 'below_min' END,
+            CASE WHEN value > mx THEN 'above_max' END,
+            CASE WHEN change_pct > 400.0 THEN 'daily_change' END) AS anomalies
+        FROM (
+          SELECT event_id, event_type, value, prev_value,
+            CASE event_type WHEN 'purchase' THEN 1.0 ELSE 0.5 END AS mn,
+            CASE event_type WHEN 'purchase' THEN 350.0 ELSE 300.0 END AS mx,
+            CASE WHEN prev_value IS NULL OR prev_value = 0 THEN NULL
+                 ELSE ABS(value - prev_value) / prev_value * 100.0 END AS change_pct
+          FROM (
+            SELECT event_id, event_type, value,
+              LAG(value) OVER (PARTITION BY event_type, user_id ORDER BY ts, event_id) AS prev_value
+            FROM events) a) b) c
+      WHERE anomalies <> ''
+      ORDER BY event_id"""))
+
+  /** V4 — semantic-rule engine summary: aggregate-expressible rules are
+    * fused into one scan; window rules get their own plan (reference
+    * `validators/semantic.py:328-381` runs them all separately).
+    */
+  val v04 = Q("v04_semantic_summary",
+    (s, dir) => Semantic.validate(load(s, dir, "events"), Semantic.eventSeriesRules()),
+    Some("""
+      SELECT rule_name, severity, violations, violations = 0 AS passed FROM (
+        SELECT 'value_positive' AS rule_name, 'error' AS severity,
+               CAST(SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM events
+        UNION ALL
+        SELECT 'value_not_null', 'error',
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        UNION ALL
+        SELECT 'daily_variation_gt_100pct', 'warning',
+               CAST(SUM(CASE WHEN pct > 100.0 THEN 1 ELSE 0 END) AS BIGINT) FROM (
+          SELECT CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+                      ELSE ABS((value - prev) / prev * 100.0) END AS pct FROM (
+            SELECT value, LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events) a) b
+        UNION ALL
+        SELECT 'date_gap_gt_2d', 'warning',
+               CAST(SUM(CASE WHEN gap > 2 THEN 1 ELSE 0 END) AS BIGINT) FROM (
+          SELECT d - LAG(d) OVER (PARTITION BY k ORDER BY d) AS gap FROM (
+            SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS d FROM events) x) y
+      ) t ORDER BY rule_name"""))
+
+  /** V5/A10 — quality certification: completeness / duplicates / schema /
+    * freshness / value-range in ONE aggregation pass, then pure scoring
+    * to GOLD/SILVER/BRONZE (reference `quality.py:257-302`).
+    */
+  val v05 = Q("v05_quality_certificate",
+    (s, dir) => Quality.certify(load(s, dir, "orders"),
+      expectedColumns = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"),
+      dateCol = "o_orderdate", valueCol = "o_totalprice",
+      asOf = "2001-09-01", maxAgeDays = 30,
+      minValue = 0.0, maxValue = 450000.0),
+    Some("""
+      WITH m AS (
+        SELECT COUNT(*) AS n_rows,
+          CAST(COUNT(o_orderkey) + COUNT(o_custkey) + COUNT(o_orderstatus)
+             + COUNT(o_totalprice) + COUNT(o_orderdate) + COUNT(o_orderpriority) AS BIGINT) AS non_null_cells,
+          CAST(COUNT(*) - COUNT(DISTINCT (o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority)) AS BIGINT) AS dup_rows,
+          MAX(CAST(o_orderdate AS DATE)) AS max_date,
+          CAST(SUM(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 450000.0 THEN 1 ELSE 0 END) AS BIGINT) AS range_violations
+        FROM orders),
+      s AS (
+        SELECT n_rows,
+          CAST(non_null_cells AS DOUBLE) / (n_rows * 6) AS completeness,
+          CASE WHEN CAST(non_null_cells AS DOUBLE) / (n_rows * 6) >= 0.95 THEN 'passed'
+               WHEN CAST(non_null_cells AS DOUBLE) / (n_rows * 6) >= 0.855 THEN 'warning'
+               ELSE 'failed' END AS completeness_status,
+          dup_rows,
+          CASE WHEN CAST(dup_rows AS DOUBLE) / n_rows <= 0.01 THEN 'passed' ELSE 'failed' END AS dup_status,
+          'passed' AS schema_status,
+          CAST(DATE '2001-09-01' - max_date AS BIGINT) AS age_days,
+          CASE WHEN DATE '2001-09-01' - max_date <= 30 THEN 'passed'
+               WHEN DATE '2001-09-01' - max_date <= 60 THEN 'warning'
+               ELSE 'failed' END AS fresh_status,
+          range_violations,
+          CASE WHEN range_violations = 0 THEN 'passed' ELSE 'failed' END AS range_status
+        FROM m),
+      sc AS (
+        SELECT *,
+          ((CASE WHEN completeness_status = 'passed' THEN 1 ELSE 0 END
+          + CASE WHEN dup_status = 'passed' THEN 1 ELSE 0 END
+          + CASE WHEN schema_status = 'passed' THEN 1 ELSE 0 END
+          + CASE WHEN fresh_status = 'passed' THEN 1 ELSE 0 END
+          + CASE WHEN range_status = 'passed' THEN 1 ELSE 0 END)
+          + 0.5 * (CASE WHEN completeness_status = 'warning' THEN 1 ELSE 0 END
+          + CASE WHEN dup_status = 'warning' THEN 1 ELSE 0 END
+          + CASE WHEN fresh_status = 'warning' THEN 1 ELSE 0 END)) / 5.0 AS score,
+          (CASE WHEN completeness_status = 'failed' THEN 1 ELSE 0 END
+          + CASE WHEN dup_status = 'failed' THEN 1 ELSE 0 END
+          + CASE WHEN schema_status = 'failed' THEN 1 ELSE 0 END
+          + CASE WHEN fresh_status = 'failed' THEN 1 ELSE 0 END
+          + CASE WHEN range_status = 'failed' THEN 1 ELSE 0 END) AS n_failed
+        FROM s)
+      SELECT n_rows, completeness, completeness_status, dup_rows, dup_status,
+        schema_status, age_days, fresh_status, range_violations, range_status, score,
+        CASE WHEN score >= 0.9 AND n_failed = 0 THEN 'GOLD'
+             WHEN score >= 0.7 AND n_failed <= 1 THEN 'SILVER'
+             WHEN score >= 0.5 THEN 'BRONZE'
+             ELSE 'UNCERTIFIED' END AS level
+      FROM sc"""))
+
+  /** V7 — parser consensus: two independent computations of the same
+    * series, compared on row count and first/last value within 0.01;
+    * newest version wins on agreement, max-rows on count mismatch
+    * (reference `cepea/parsers/consensus.py:41-107,193-207`).
+    */
+  val v07 = Q("v07_parser_consensus",
+    (s, dir) => {
+      val ev = load(s, dir, "events")
+      def summarize(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"),
+          min_by(col("mean_value"), col("d")).as("first_val"),
+          max_by(col("mean_value"), col("d")).as("last_val"))
+      val a = summarize(ev.groupBy(col("ts").cast("date").as("d"))
+        .agg(davg(col("value")).as("mean_value")))
+        .select(col("n").as("n_v1"), col("first_val").as("first_v1"),
+          col("last_val").as("last_v1"))
+      val b = summarize(ev.groupBy(date_trunc("DAY", col("ts")).cast("date").as("d"))
+        .agg(davg(col("value")).as("mean_value")))
+        .select(col("n").as("n_v2"), col("first_val").as("first_v2"),
+          col("last_val").as("last_v2"))
+      a.crossJoin(b)
+        .withColumn("counts_match", col("n_v1") === col("n_v2"))
+        .withColumn("values_match",
+          abs(col("first_v1") - col("first_v2")) <= 0.01 &&
+            abs(col("last_v1") - col("last_v2")) <= 0.01)
+        .withColumn("selected_parser",
+          when(col("counts_match") && col("values_match"), "v2")
+            .when(!col("counts_match"),
+              when(col("n_v2") >= col("n_v1"), "v2").otherwise("v1"))
+            .otherwise("diverged"))
+    },
+    Some("""
+      WITH v1 AS (
+        SELECT CAST(ts AS DATE) AS d,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS mean_value
+        FROM events GROUP BY 1),
+      v2 AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS mean_value
+        FROM events GROUP BY 1),
+      s1 AS (SELECT COUNT(*) AS n_v1, MIN_BY(mean_value, d) AS first_v1, MAX_BY(mean_value, d) AS last_v1 FROM v1),
+      s2 AS (SELECT COUNT(*) AS n_v2, MIN_BY(mean_value, d) AS first_v2, MAX_BY(mean_value, d) AS last_v2 FROM v2)
+      SELECT n_v1, first_v1, last_v1, n_v2, first_v2, last_v2,
+        n_v1 = n_v2 AS counts_match,
+        ABS(first_v1 - first_v2) <= 0.01 AND ABS(last_v1 - last_v2) <= 0.01 AS values_match,
+        CASE WHEN n_v1 = n_v2 AND ABS(first_v1 - first_v2) <= 0.01 AND ABS(last_v1 - last_v2) <= 0.01 THEN 'v2'
+             WHEN n_v1 <> n_v2 THEN (CASE WHEN n_v2 >= n_v1 THEN 'v2' ELSE 'v1' END)
+             ELSE 'diverged' END AS selected_parser
+      FROM s1, s2"""))
+
+  /** V8 — calendar gap finder: per-user expected business days anti-joined
+    * against present dates (reference `cache/duckdb_store.py:463-491`).
+    */
+  val v08 = Q("v08_calendar_gaps",
+    (s, dir) => Gaps.missingBusinessDays(
+      load(s, dir, "events"), col("ts"), keys = Seq("user_id")),
+    Some("""
+      WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      bounds AS (SELECT user_id, MIN(d) AS mn, MAX(d) AS mx FROM days GROUP BY user_id),
+      cal AS (SELECT user_id, CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM bounds),
+      bdays AS (SELECT * FROM cal WHERE dayofweek(d) NOT IN (0, 6))
+      SELECT b.user_id, b.d FROM bdays b
+      LEFT JOIN days p ON b.user_id = p.user_id AND b.d = p.d
+      WHERE p.d IS NULL
+      ORDER BY b.user_id, b.d"""))
+
+  def qs: Seq[Q] = Seq(v01, v02, v03, v04, v05, v07, v08)
+}
