@@ -20,8 +20,12 @@ object GraftFunctions {
   def parseBrDecimal(col: Column): Column = c(ParseBrDecimal(e(col)))
   def safraOf(col: Column): Column = c(SafraOf(e(col)))
   def normalizeSafra(col: Column): Column = c(NormalizeSafra(e(col)))
+  /** `produto` only disambiguates product-specific units (bushel); the
+    * expression is null-intolerant, so a null produto is mapped to ""
+    * here rather than nulling the whole conversion.
+    */
   def convertUnit(value: Column, from: Column, to: Column, produto: Column): Column =
-    c(ConvertUnit(e(value), e(from), e(to), e(produto)))
+    c(ConvertUnit(e(value), e(from), e(to), e(coalesce(produto, lit("")))))
 
   /** F2 — multi-format date parse: first format that sticks wins. */
   def parseDateMulti(col: Column): Column =

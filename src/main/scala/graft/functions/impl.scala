@@ -116,27 +116,25 @@ object SafraOps {
     UTF8String.fromString(f"$y%04d/${(y + 1) % 100}%02d")
   }
 
-  /** Normalize safra spellings: "24/25" -> "2024/25", "2024/2025" ->
-    * "2024/25", "2024" -> "2024/25" (reference: `dates.py:36-56`).
-    * Null on anything unrecognizable.
+  /** Normalize safra spellings (reference: `dates.py:36-56`): collapse
+    * spaces around the slash; "2024/25" kept as-is; "24/25" gets a
+    * century pivot at 50 (>=50 -> 1900s, else 2000s); "2024/2025" keeps
+    * the last two end digits. Null on anything unrecognizable (the
+    * reference raises ValueError there).
     */
   def normalizeSafra(s: UTF8String): UTF8String = {
     if (s == null) return null
-    val str = s.toString.trim
-    val full = "^(\\d{4})/(\\d{2}|\\d{4})$".r
-    val short2 = "^(\\d{2})/(\\d{2})$".r
-    val lone = "^(\\d{4})$".r
+    val str = s.toString.trim.replaceAll("\\s*/\\s*", "/")
+    val completa = "^(\\d{4})/(\\d{2})$".r
+    val curta = "^(\\d{2})/(\\d{2})$".r
+    val barra = "^(\\d{4})/(\\d{4})$".r
     str match {
-      case full(y, e) =>
-        val y1 = y.toInt
-        val e2 = if (e.length == 4) e.toInt % 100 else e.toInt
-        if (e2 == (y1 + 1) % 100) UTF8String.fromString(f"$y1%04d/$e2%02d") else null
-      case short2(y, e) =>
-        val y1 = 2000 + y.toInt
-        if (e.toInt == (y1 + 1) % 100) UTF8String.fromString(f"$y1%04d/${e.toInt}%02d") else null
-      case lone(y) =>
-        val y1 = y.toInt
-        UTF8String.fromString(f"$y1%04d/${(y1 + 1) % 100}%02d")
+      case completa(_, _) => UTF8String.fromString(str)
+      case curta(y, e) =>
+        val y2 = y.toInt
+        val y1 = if (y2 >= 50) 1900 + y2 else 2000 + y2
+        UTF8String.fromString(s"$y1/$e")
+      case barra(y, e) => UTF8String.fromString(s"$y/${e.substring(2)}")
       case _ => null
     }
   }
