@@ -1,7 +1,6 @@
 package graft.queries
 
 /** Filled in by subsequent milestones. */
-object TextAnalysis { def qs: Seq[Q] = Seq.empty }
 object DedupOps { def qs: Seq[Q] = Seq.empty }
 object VectorSearch { def qs: Seq[Q] = Seq.empty }
 object StoreOps { def qs: Seq[Q] = Seq.empty }
