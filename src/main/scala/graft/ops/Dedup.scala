@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions => G}
+
+/** Document deduplication pipelines for the training-data use case.
+  * Every variant is bucket-based — candidates only ever meet inside a
+  * (band, band-hash) group, so the work is O(n) + bucket-local compare,
+  * never an all-pairs product. That invariant is what makes these run
+  * on 100 TB: the shuffles are key-sized (one 64-bit fingerprint or a
+  * band hash), and skewed buckets are bounded by the band width.
+  *
+  * Reference capability: agrobr has only content-hash dedup
+  * (`models.py:177-186`); MinHash/SimHash banding follows the published
+  * algorithms (Broder 1997; Charikar 2002; Leskovec et al., MMDS ch.3).
+  */
+object Dedup {
+
+  /** Exact duplicates under whitespace/case canonicalization: one
+    * hash-groupBy on a 64-bit fingerprint of the normalized text.
+    */
+  def exactDupClusters(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    df.select(idCol.as("doc_id"), G.hash64(G.normalizeWs(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_docs"),
+        array_join(array_sort(collect_list(col("doc_id"))), ",").as("doc_ids"))
+      .filter(col("n_docs") > 1)
+      .drop("fp")
+  }
+
+  /** MinHash-LSH candidate pairs: signature → `bands` band-hashes →
+    * explode → groupBy(band, hash) → within-bucket self-join. The
+    * estimated Jaccard similarity (fraction of agreeing signature
+    * positions) is computed per candidate pair and thresholded.
+    */
+  def minhashLshPairs(
+      df: DataFrame, idCol: Column, textCol: Column,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minSim: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = df.select(idCol.as("doc_id"),
+      G.minhashSig(textCol, shingleSize, numHashes).as("sig"))
+
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
+    }
+    val exploded = sigs.select(col("doc_id"), col("sig"),
+      explode(array(bandCols: _*)).as("e"))
+      .select(col("doc_id"), col("sig"), col("e.band"), col("e.bh"))
+
+    val a = exploded.select(col("band"), col("bh"),
+      col("doc_id").as("id1"), col("sig").as("sig1"))
+    val b = exploded.select(col("band"), col("bh"),
+      col("doc_id").as("id2"), col("sig").as("sig2"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+      .distinct()
+      .withColumn("est_sim",
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1)),
+          c => c.isNotNull)).cast("double") / numHashes)
+      .filter(col("est_sim") >= minSim)
+      .select(col("id1"), col("id2"), col("est_sim"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit sketch cut into `bands` chunks
+    * (pigeonhole: hamming ≤ bands-1 ⇒ some chunk equal), bucket join on
+    * the equal chunk, verify with bit_count(xor) ≤ maxHamming.
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: Column, textCol: Column,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val sk = df.select(idCol.as("doc_id"), G.simhash64(textCol).as("sim"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sim"), b * width).bitwiseAND(lit(mask)).as("chunk"))
+    }
+    val exploded = sk.select(col("doc_id"), col("sim"),
+      explode(array(bandCols: _*)).as("e"))
+      .select(col("doc_id"), col("sim"), col("e.band"), col("e.chunk"))
+    val a = exploded.select(col("band"), col("chunk"),
+      col("doc_id").as("id1"), col("sim").as("sim1"))
+    val b = exploded.select(col("band"), col("chunk"),
+      col("doc_id").as("id2"), col("sim").as("sim2"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sim1").bitwiseXOR(col("sim2"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact word-shingle Jaccard — builtin-only (sequence/transform/
+    * array_intersect): used to re-rank/verify candidate pairs, never on
+    * all pairs.
+    */
+  def shingles(textCol: Column, k: Int): Column = {
+    val toks = split(G.normalizeWs(textCol), " ")
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, 0.0)
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double"))
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.T._
+import graft.ops.Dedup
+
+/** Deduplication family over `documents.parquet`. The corpus has no
+  * natural duplicates, so each query PLANTS them deterministically
+  * (union of mutated copies, same construction in the oracle where one
+  * exists) — the pipelines then have to find exactly those.
+  */
+object DedupOps {
+
+  /** documents ∪ exact-dup copies (case/whitespace mutated; every 7th
+    * doc) — normalization-invariant, so they must land in the same
+    * exact-dup cluster.
+    */
+  private def withExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = load(s, dir, "documents")
+    d.select(col("doc_id"), col("text")).unionByName(
+      d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("  ")).as("text")))
+  }
+
+  /** documents ∪ near-dup copies (every 11th doc, a few tokens
+    * appended) — high-Jaccard but not exact.
+    */
+  private def withNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = load(s, dir, "documents")
+    d.select(col("doc_id"), col("text")).unionByName(
+      d.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" graft appended marker tokens")).as("text")))
+  }
+
+  /** Exact dedup: normalize → 64-bit fingerprint → one hash-groupBy.
+    * Oracle groups by the normalized string itself (same clusters unless
+    * a 64-bit collision occurs, which the oracle check would surface).
+    */
+  val d01 = Q("d01_exact_dedup",
+    (s, dir) => Dedup.exactDupClusters(withExactDups(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("keep_id")),
+    Some("""
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000, concat('  ', upper(text), '  ')
+        FROM documents WHERE doc_id % 7 = 0),
+      norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+        FROM all_docs)
+      SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_docs,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+      FROM norm GROUP BY n HAVING COUNT(*) > 1 ORDER BY keep_id"""))
+
+  /** MinHash-LSH near-dup pairs, bucketed (never all-pairs), with exact
+    * shingle-Jaccard verification of every candidate. Sketch-specific —
+    * rows-only check here; planted-pair recovery is asserted in
+    * ScalaTest.
+    */
+  val d02 = Q("d02_minhash_lsh_pairs",
+    (s, dir) => {
+      val docs = withNearDups(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 64, bands = 16, minSim = 0.5)
+      val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      pairs
+        .join(sh.withColumnRenamed("doc_id", "id1").withColumnRenamed("sh", "sh1"), Seq("id1"))
+        .join(sh.withColumnRenamed("doc_id", "id2").withColumnRenamed("sh", "sh2"), Seq("id2"))
+        .select(col("id1"), col("id2"), round(col("est_sim"), 4).as("est_sim"),
+          round(Dedup.jaccard(col("sh1"), col("sh2")), 4).as("exact_jaccard"))
+        .filter(col("exact_jaccard") >= 0.5)
+        .orderBy(col("id1"), col("id2"))
+    },
+    None)
+
+  /** SimHash near-dup pairs via 4×16-bit banding + hamming verify. */
+  val d03 = Q("d03_simhash_pairs",
+    (s, dir) => Dedup.simhashPairs(withNearDups(s, dir), col("doc_id"), col("text"),
+      bands = 4, maxHamming = 6)
+      .orderBy(col("id1"), col("id2")),
+    None)
+
+  def qs: Seq[Q] = Seq(d01, d02, d03)
+}
