@@ -171,10 +171,14 @@ case class Winnow(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow"
 }
 
-/** Cosine similarity of two float vectors (index-ordered double accum). */
+/** Cosine similarity of two float vectors (index-ordered double accum).
+  * Declares float-array inputs with implicit casting — an
+  * `array<double>` argument is cast, not silently reinterpreted.
+  */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.GraftTypes.AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -189,8 +193,10 @@ case class CosineSim(left: Expression, right: Expression)
 
 /** Random-hyperplane LSH bucket (nbits sign bits) for cosine ANN. */
 case class HyperplaneLsh(child: Expression, nbits: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.GraftTypes.AbstractDataType] =
+    Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     VecOps.hyperplaneLsh(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],

@@ -329,24 +329,43 @@ object VecOps {
 
   def norm(a: ArrayData): Double = math.sqrt(dot(a, a))
 
+  /** Deterministic hyperplane components for (seed, nbits, dim), cached
+    * per JVM so the per-row cost is a pure dot product — the derivation
+    * (splitmix64 -> uniform ~[-1,1)) runs once per executor, not per row.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
+
+  private def planes(seed: Long, nbits: Int, d: Int): Array[Double] =
+    planeCache.computeIfAbsent((seed, nbits, d), { _ =>
+      val arr = new Array[Double](nbits * d)
+      var b = 0
+      while (b < nbits) {
+        var i = 0
+        while (i < d) {
+          val h = SketchOps.mix64(seed ^ (b.toLong << 32) ^ i.toLong)
+          arr(b * d + i) = h.toDouble / Long.MaxValue.toDouble
+          i += 1
+        }
+        b += 1
+      }
+      arr
+    })
+
   /** Sign pattern of `nbits` random-hyperplane projections (seeded) —
-    * LSH bucket id for cosine similarity (Charikar 2002). Hyperplane
-    * components are derived per (bit, dim) from splitmix64 -> uniform
-    * [-1,1); deterministic across executors.
+    * LSH bucket id for cosine similarity (Charikar 2002); deterministic
+    * across executors.
     */
   def hyperplaneLsh(a: ArrayData, nbits: Int, seed: Long): Long = {
     val d = a.numElements()
+    val p = planes(seed, nbits, d)
     var sig = 0L
     var b = 0
     while (b < nbits) {
       var s = 0.0
       var i = 0
-      while (i < d) {
-        val h = SketchOps.mix64(seed ^ (b.toLong << 32) ^ i.toLong)
-        val comp = (h.toDouble / Long.MaxValue.toDouble) // ~[-1,1]
-        s += comp * a.getFloat(i)
-        i += 1
-      }
+      val off = b * d
+      while (i < d) { s += p(off + i) * a.getFloat(i); i += 1 }
       if (s >= 0) sig |= (1L << b)
       b += 1
     }

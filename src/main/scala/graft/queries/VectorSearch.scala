@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.T._
+import graft.ops.{VectorSearch => V}
+
+/** Similarity-search family over `embeddings.parquet` (500 × 64-dim
+  * float at sf0.01). Brute-force cosine top-k is the oracle-checked
+  * exactness baseline; the LSH-bucketed variants are the scale path
+  * (rows-only checks here, planted-neighbor recovery in ScalaTest).
+  */
+object VectorSearch {
+
+  /** Brute-force cosine top-20 around vec_id 0 — oracle-checked against
+    * DuckDB's list_cosine_similarity over DOUBLE[] (same index-ordered
+    * double accumulation; parity < 1e-12, rounded to 6 decimals).
+    */
+  val a01 = Q("a01_ann_bruteforce",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+      V.bruteForceTopK(e.filter(col("vec_id") =!= 0),
+          e.filter(col("vec_id") === 0), "embedding", 20)
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, label,
+        ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[])), 6) AS sim
+      FROM embeddings, q WHERE vec_id <> 0
+      ORDER BY sim DESC, vec_id LIMIT 20"""))
+
+  /** LSH-bucketed ANN around vec_id 0: 3 hash tables × 4 sign bits,
+    * exact cosine re-rank of bucket candidates, top-10.
+    */
+  val a02 = Q("a02_ann_lsh",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+      V.lshCandidates(e.filter(col("vec_id") =!= 0),
+          e.filter(col("vec_id") === 0), "embedding",
+          nbits = 4, tables = 3)
+        .select(col("vec_id"), col("label"), col("sim"))
+        .distinct()
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    None)
+
+  /** Embedding-cosine near-dup pairs: every 13th vector gets a slightly
+    * perturbed planted copy (+0.01 on one coordinate); the LSH pair
+    * pipeline must recover them with cosine ≥ 0.99.
+    */
+  val a03 = Q("a03_embedding_neardups",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.filter(pmod(col("vec_id"), lit(13)) === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+      V.nearDupPairs(e.unionByName(planted), "vec_id", "embedding",
+          nbits = 12, tables = 2, minCos = 0.99)
+        .orderBy(col("id1"), col("id2"))
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(a01, a02, a03)
+}

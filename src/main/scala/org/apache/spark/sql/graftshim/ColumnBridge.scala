@@ -14,3 +14,10 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** `AbstractDataType` is `private[sql]`; expressions outside the sql
+  * package need this alias to declare `inputTypes`.
+  */
+object GraftTypes {
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+}
