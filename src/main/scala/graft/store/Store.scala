@@ -1,0 +1,63 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Fact-store operations (reference: agrobr `cache/duckdb_store.py` +
+  * `export.py`). The reference's cache is a single-node DuckDB file with
+  * a staged `INSERT ... ON CONFLICT DO UPDATE` merge; here the same
+  * semantics are a pure relational anti-join + union (updates win on PK
+  * conflict), which at cluster scale becomes a partition-overwrite (or a
+  * Delta/Iceberg MERGE where a table format is available): only the
+  * partitions containing touched keys are rewritten, and the anti-join
+  * shuffles on the PK — the updates side is typically small and
+  * broadcast by AQE.
+  */
+object Store {
+
+  /** MERGE semantics of `indicadores_upsert`
+    * (`cache/duckdb_store.py:417-461`): rows matching an update PK are
+    * replaced, new PKs are inserted. No chunking — that machinery exists
+    * because DuckDB executes on one node; Spark partitions instead.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, pk: Seq[String]): DataFrame =
+    base.join(updates, pk, "left_anti").unionByName(updates)
+
+  /** Canonical content hash (reference `models.py:177-179`: sha256 over
+    * the canonical CSV). Here: per-row canonical string, sorted, joined,
+    * sha256 — one row out. Collects nothing to the driver, but the final
+    * concat happens on one executor, so use it at presentation edges
+    * (exports), as the reference does; for 100 TB-scale integrity use an
+    * order-independent per-row-hash combine instead.
+    */
+  def contentHash(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val rowStr = concat_ws("|", cols.map(col): _*)
+    df.select(rowStr.as("r"))
+      .agg(count(lit(1)).as("n_rows"),
+        sha2(array_join(array_sort(collect_list(col("r"))), "\n"), 256)
+          .as("content_hash"))
+  }
+
+  /** Export with provenance sidecar (reference `export.py:20-101`):
+    * parquet + `.meta.json` carrying row/column counts and the content
+    * hash of the canonical form.
+    */
+  def exportWithHash(df: DataFrame, path: String, hashCols: Seq[String]): String = {
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    val h = contentHash(df, hashCols).collect()(0)
+    val meta =
+      s"""{"row_count": ${h.getLong(0)}, "column_count": ${df.columns.length},
+         | "columns": [${df.columns.map(c => "\"" + c + "\"").mkString(", ")}],
+         | "content_hash": "sha256:${h.getString(1)}"}""".stripMargin
+    val p = java.nio.file.Paths.get(path + ".meta.json")
+    java.nio.file.Files.writeString(p, meta)
+    h.getString(1)
+  }
+
+  /** Predicate scan over the fact store (reference
+    * `indicadores_query`, `cache/duckdb_store.py:339-400`): equality +
+    * date-range predicates that Catalyst pushes into the parquet scan.
+    */
+  def factQuery(fact: DataFrame, predicates: Seq[Column], orderDesc: Column): DataFrame =
+    predicates.foldLeft(fact)((d, p) => d.filter(p)).orderBy(orderDesc.desc)
+}
