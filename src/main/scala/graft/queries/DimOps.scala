@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.T._
+import graft.dims.Dims
+import graft.functions.{GraftFunctions => G}
+
+/** Dimension-lookup family (J6, F4/F5): UF resolution (sigla or
+  * accented/unaccented name → sigla/region/IBGE code) via broadcast
+  * lookup join, crop-alias canonicalization as a pure map expression,
+  * and a fact-to-dim region rollup. The single source of truth for both
+  * the Spark dim and the SQL oracle is [[graft.dims.Dims]].
+  */
+object DimOps {
+
+  private def siglaArr = Dims.ufs.map(_._1)
+  private def nomeArr = Dims.ufs.map(_._2)
+  private def sqlList(xs: Seq[String]) = s"['${xs.mkString("','")}']"
+  private def ufValues = Dims.ufs
+    .map { case (s, n, r, i) => s"('$s','$n','$r',$i)" }.mkString(", ")
+
+  /** F5 — normalize UF from mixed spellings (lowercase sigla, accented
+    * name, stripped lowercase name) to the canonical dim row.
+    */
+  val g01 = Q("g01_uf_lookup",
+    (s, dir) => {
+      val idx = pmod(col("n_nationkey"), lit(Dims.ufs.size)).cast("int")
+      val raw = when(pmod(col("n_nationkey"), lit(3)) === 0,
+          lower(element_at(array(siglaArr.map(lit): _*), idx + 1)))
+        .when(pmod(col("n_nationkey"), lit(3)) === 1,
+          element_at(array(nomeArr.map(lit): _*), idx + 1))
+        .otherwise(G.stripAccents(lower(element_at(array(nomeArr.map(lit): _*), idx + 1))))
+      val inputs = load(s, dir, "nation").select(col("n_nationkey"), raw.as("raw"))
+      val lk = broadcast(Dims.ufLookup(s))
+      val dim = broadcast(Dims.ufDim(s))
+      inputs
+        .join(lk, G.stripAccents(lower(trim(col("raw")))) === lk("k"))
+        .join(dim, Seq("sigla"))
+        .select(col("n_nationkey"), col("raw"), col("sigla"), col("nome"),
+          col("regiao"), col("ibge"))
+        .orderBy(col("n_nationkey"))
+    },
+    Some(s"""
+      WITH uf(sigla, nome, regiao, ibge) AS (VALUES $ufValues),
+      inputs AS (
+        SELECT n_nationkey,
+          CASE WHEN n_nationkey % 3 = 0 THEN lower((${sqlList(siglaArr)})[idx + 1])
+               WHEN n_nationkey % 3 = 1 THEN (${sqlList(nomeArr)})[idx + 1]
+               ELSE strip_accents(lower((${sqlList(nomeArr)})[idx + 1])) END AS raw
+        FROM (SELECT n_nationkey, CAST(n_nationkey % ${Dims.ufs.size} AS INT) AS idx
+              FROM nation) t),
+      lk AS (SELECT lower(sigla) AS k, sigla FROM uf
+             UNION ALL SELECT strip_accents(lower(nome)), sigla FROM uf)
+      SELECT i.n_nationkey, i.raw, u.sigla, u.nome, u.regiao, u.ibge
+      FROM inputs i
+      JOIN lk ON strip_accents(lower(trim(i.raw))) = lk.k
+      JOIN uf u ON lk.sigla = u.sigla
+      ORDER BY i.n_nationkey"""))
+
+  private val rawCrops = Seq("Soja em Grão", "CORN", "café arábica",
+    "algodão herbáceo", "Boi Gordo", "TRIGO", "feijão 2ª safra",
+    "açúcar cristal", "cana de açúcar", "ethanol",
+    "produto desconhecido xyz", "Milho 2ª Safra")
+  private val expectedCrops = Seq("soja", "milho", "cafe_arabica", "algodao",
+    "boi", "trigo", "feijao_2", "acucar_cristal", "cana", "etanol_hidratado",
+    "produto_desconhecido_xyz", "milho_2")
+
+  /** F4 — crop canonicalization: accent-insensitive alias map with the
+    * underscore fallback; expected values stated literally in the oracle
+    * (NFKD also folds 'ª'→'a', which plain accent-stripping would not).
+    */
+  val g02 = Q("g02_crop_normalize",
+    (s, dir) => {
+      val idx = pmod(col("p_partkey"), lit(rawCrops.size)).cast("int")
+      load(s, dir, "part")
+        .select(col("p_partkey"),
+          element_at(array(rawCrops.map(lit): _*), idx + 1).as("raw"),
+          Dims.normalizeCrop(
+            element_at(array(rawCrops.map(lit): _*), idx + 1)).as("produto"))
+        .orderBy(col("p_partkey"))
+    },
+    Some(s"""
+      SELECT p_partkey,
+        (${sqlList(rawCrops)})[CAST(p_partkey % ${rawCrops.size} AS INT) + 1] AS raw,
+        (${sqlList(expectedCrops)})[CAST(p_partkey % ${rawCrops.size} AS INT) + 1] AS produto
+      FROM part ORDER BY p_partkey"""))
+
+  /** J6/A3 — fact ⋈ broadcast dim, rolled up by region: the dim join
+    * every normalized output column flows through in the reference.
+    */
+  val g03 = Q("g03_region_rollup",
+    (s, dir) => {
+      val c = load(s, dir, "customer")
+        .withColumn("sigla", element_at(array(siglaArr.map(lit): _*),
+          pmod(col("c_custkey"), lit(Dims.ufs.size)).cast("int") + 1))
+      c.join(broadcast(Dims.ufDim(s)), Seq("sigla"))
+        .groupBy(col("regiao"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_acctbal"))
+        .orderBy(col("regiao"))
+    },
+    Some(s"""
+      WITH uf(sigla, nome, regiao, ibge) AS (VALUES $ufValues)
+      SELECT regiao, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+      FROM (SELECT (${sqlList(siglaArr)})[CAST(c_custkey % ${Dims.ufs.size} AS INT) + 1] AS sigla, c_acctbal
+            FROM customer) c
+      JOIN uf USING (sigla)
+      GROUP BY regiao ORDER BY regiao"""))
+
+  def qs: Seq[Q] = Seq(g01, g02, g03)
+}
