@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions => G}
+import graft.ops.{Dedup, VectorSearch}
+import graft.validate._
+import graft.store.Store
+import graft.dims.Dims
+
+/** End-to-end pipeline tests on small planted datasets: dedup cluster
+  * recovery, ANN neighbor recovery, validation outcomes, upsert
+  * semantics, dim lookups, SQL registration.
+  */
+class PipelinesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("exact dedup finds case/whitespace-mutated copies only") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "  ALPHA   beta GAMMA delta "),
+      (3L, "some other document"),
+      (4L, "a third unrelated doc")).toDF("doc_id", "text")
+    val clusters = Dedup.exactDupClusters(docs, col("doc_id"), col("text")).collect()
+    assert(clusters.length == 1)
+    assert(clusters(0).getAs[String]("doc_ids") == "1,2")
+    assert(clusters(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH recovers planted near-dup, skips unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " with a tiny appended tail"),
+      (3L, "entirely different text about distributed query engines and shuffle planning at scale today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 64, bands = 16, minSim = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash banding recovers planted near-dup") {
+    // a doubled document keeps identical term frequencies -> identical
+    // simhash (hamming 0); the unrelated doc must stay out
+    val base = "spark catalyst tungsten codegen shuffle partition broadcast join aggregate window"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " " + base),
+      (3L, "unrelated words entirely distinct corpus segment with other topics"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+      bands = 4, maxHamming = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ANN: brute force and LSH both rank the planted neighbor first") {
+    val dim = 16
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextFloat() * 2 - 1)
+    }
+    val q = vec(7)
+    val near = q.clone(); near(0) += 0.01f
+    // filler seeds disjoint from the query's seed
+    val rows = (near +: (101 to 150).map(i => vec(i)).toSeq).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val vectors = rows.toDF("vec_id", "embedding")
+    val query = Seq((99L, q)).toDF("vec_id", "embedding")
+
+    val bf = VectorSearch.bruteForceTopK(vectors, query, "embedding", 5)
+      .orderBy(col("sim").desc).select("vec_id").as[Long].head()
+    assert(bf == 0L)
+
+    val lsh = VectorSearch.lshCandidates(vectors, query, "embedding",
+      nbits = 4, tables = 3)
+      .orderBy(col("sim").desc).select("vec_id").as[Long].collect()
+    assert(lsh.nonEmpty && lsh.head == 0L)
+  }
+
+  test("contract violation report counts nulls and bounds in one pass") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 10.0), (2L, -5.0), (null, 3.0), (4L, 200.0))
+      .toDF("id", "v")
+    val contract = Contract("t", "1", Seq(
+      ColumnSpec("id", LongType, nullable = false),
+      ColumnSpec("v", DoubleType, minValue = Some(0.0), maxValue = Some(100.0))))
+    val rep = contract.violationReport(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rep(("not_null", "id")) == 1L)
+    assert(rep(("min_value", "v")) == 1L)
+    assert(rep(("max_value", "v")) == 1L)
+  }
+
+  test("quality certify: gold on clean data, level drops with failures") {
+    val clean = Seq((1L, "2024-01-10", 10.0), (2L, "2024-01-11", 20.0))
+      .toDF("id", "data", "valor")
+      .withColumn("data", col("data").cast("date"))
+    val cert = Quality.certify(clean, Seq("id", "data", "valor"),
+      "data", "valor", asOf = "2024-01-12", maxAgeDays = 7,
+      minValue = 0.0, maxValue = 100.0).collect()(0)
+    assert(cert.getAs[String]("level") == "GOLD")
+    assert(cert.getAs[Double]("score") == 1.0)
+
+    val dirty = Seq((1L, "2024-01-10", 1000.0), (2L, "2023-06-01", 20.0))
+      .toDF("id", "data", "valor")
+      .withColumn("data", col("data").cast("date"))
+    val cert2 = Quality.certify(dirty, Seq("id", "data", "valor"),
+      "data", "valor", asOf = "2024-06-01", maxAgeDays = 7,
+      minValue = 0.0, maxValue = 100.0).collect()(0)
+    assert(cert2.getAs[String]("level") != "GOLD")
+  }
+
+  test("gap finder reports only missing business days") {
+    // Mon 2024-01-01 .. Fri 2024-01-05; Wed missing; weekend ignored
+    val df = Seq("2024-01-01", "2024-01-02", "2024-01-04", "2024-01-05", "2024-01-08")
+      .toDF("d").withColumn("d", col("d").cast("date"))
+    val missing = Gaps.missingBusinessDays(df, col("d"))
+      .as[java.sql.Date].collect().map(_.toString)
+    assert(missing.toSeq == Seq("2024-01-03"))
+  }
+
+  test("upsert: updates replace, inserts append") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")
+    val updates = Seq((2L, "b", 99.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+    val merged = Store.upsert(base, updates, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(merged == Seq((1L, "a", 10.0), (2L, "b", 99.0), (3L, "c", 30.0)))
+  }
+
+  test("export writes parquet + sidecar with stable hash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val h1 = Store.exportWithHash(df, s"$dir/t.parquet", Seq("id", "s"))
+    val h2 = Store.contentHash(
+      spark.read.parquet(s"$dir/t.parquet"), Seq("id", "s"))
+      .collect()(0).getString(1)
+    assert(h1 == h2, "hash must survive a write/read round-trip")
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/t.parquet.meta.json"))
+    assert(meta.contains(s"sha256:$h1"))
+  }
+
+  test("crop normalization + UF lookup") {
+    val out = Seq("Soja em Grão", "CORN", "feijão 2ª safra", "novo produto")
+      .toDF("raw").select(Dims.normalizeCrop(col("raw")).as("p"))
+      .as[String].collect().toSeq
+    assert(out == Seq("soja", "milho", "feijao_2", "novo_produto"))
+
+    val lk = Dims.ufLookup(spark)
+    val res = Seq("sao paulo", "SP", "Paraná").toDF("raw")
+      .join(lk, G.stripAccents(lower(trim(col("raw")))) === lk("k"))
+      .select("sigla").as[String].collect().toSet
+    assert(res == Set("SP", "PR"))
+  }
+
+  test("custom expressions callable from SQL") {
+    val r = spark.sql(
+      """SELECT parse_br_decimal('1.234,56') AS d,
+                strip_accents('maçã') AS s,
+                safra_of(DATE '2024-08-01') AS sf,
+                convert_unit(CAST(2 AS DECIMAL(18,4)), 'sc60', 'kg', 'soja') AS kg
+      """).collect()(0)
+    assert(r.getDecimal(0).toString == "1234.5600")
+    assert(r.getString(1) == "maca")
+    assert(r.getString(2) == "2024/25")
+    assert(r.getDecimal(3).toString == "120.0000")
+  }
+
+  test("sanity rules flag range and change anomalies") {
+    val df = Seq(
+      (1L, "soja", "2024-01-01", 100.0),
+      (2L, "soja", "2024-01-02", 500.0),  // above max + big change
+      (3L, "soja", "2024-01-03", 10.0))   // below min + big change
+      .toDF("id", "produto", "data", "valor")
+      .withColumn("data", col("data").cast("date"))
+    val rules = Map("soja" -> SanityRule(30.0, 300.0, 50.0))
+    val flagged = Sanity.flagAnomalies(df, rules, col("produto"), col("valor"),
+      Seq(col("produto")), Seq(col("data")))
+      .select("id", "anomalies").as[(Long, String)].collect().toMap
+    assert(flagged(2L) == "above_max,daily_change")
+    assert(flagged(3L) == "below_min,daily_change")
+    assert(!flagged.contains(1L))
+  }
+}
