@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with a
+  * typed metadata struct, processed partition-wise in batches (the
+  * Scala analogue of a `mapInPandas` decode stage). The actual media
+  * decode is STUBBED — this container has no image/audio codecs — with
+  * a deterministic byte-level feature extractor; everything around it
+  * (schema, batch iteration, partitioning, output shape) is the real
+  * 100 TB pipeline: no driver collects, features computed
+  * streaming-per-partition.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, format: String, payload: Array[Byte])
+  case class FeatureRow(doc_id: Long, format: String, n_bytes: Int,
+      ok: Boolean, features: Array[Float])
+
+  /** Attach payload + metadata columns to a text table (test stand-in
+    * for reading real media files: payload = utf-8 bytes).
+    */
+  def asMedia(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    df.select(col(idCol).as("doc_id"),
+        element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+          pmod(col(idCol), lit(3)).cast("int") + 1).as("format"),
+        encode(col(textCol), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode: a real implementation would decode the payload with a
+    * codec here (per batch, per partition). The stub derives `dim`
+    * deterministic float features from payload bytes (chunked byte
+    * sums), preserving the exact execution shape of the real thing.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[FeatureRow] = {
+    implicit val enc = Encoders.product[FeatureRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.payload
+        val ok = bytes != null && bytes.nonEmpty
+        val f = new Array[Float](dim)
+        if (ok) {
+          var i = 0
+          while (i < bytes.length) {
+            f(i % dim) += (bytes(i) & 0xff).toFloat / 255.0f
+            i += 1
+          }
+        }
+        FeatureRow(r.doc_id, r.format, if (ok) bytes.length else 0, ok, f)
+      }
+    }
+  }
+}

@@ -18,7 +18,8 @@ case class Q(
 object QueryRegistry {
   def all: Seq[Q] =
     Relational.qs ++ AgFunctions.qs ++ Validation.qs ++ TextAnalysis.qs ++
-      DedupOps.qs ++ VectorSearch.qs ++ StoreOps.qs ++ DimOps.qs
+      DedupOps.qs ++ VectorSearch.qs ++ StoreOps.qs ++ DimOps.qs ++
+      MultimodalOps.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming shapes for the `events` stream: the streaming
+  * twins of the batch queries q35 (tumbling window) and q36
+  * (sessionization). Transforms take any DataFrame with
+  * (event_id, ts, user_id, event_type, value) — batch or streaming —
+  * so the same logic is testable via MemoryStream and runnable as a
+  * readStream pipeline.
+  *
+  * Reference note: agrobr has no true streams (SURVEY §1.1); its
+  * incremental cache refresh is an append batch. These operators are
+  * the scale path for continuous ingestion.
+  */
+object Streaming {
+
+  /** Tumbling 6h window counts with a 1h watermark — on a stream this
+    * emits finalized windows (append mode) once the watermark passes.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col("w.start").as("bucket_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      n_events: Long, session_value: Double)
+
+  /** Stateful sessionization (30-min inactivity gap) via
+    * flatMapGroupsWithState + event-time timeout: the streaming
+    * equivalent of q36's lag/running-sum sessionizer. State per user is
+    * O(1); sessions close when the watermark passes lastTs + gap.
+    */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, new Timestamp(s.start), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { ev =>
+              val t = ev.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + ev.value))
+                case Some(s) =>
+                  closed ::= SessionOut(user, new Timestamp(s.start), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, ev.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, ev.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+import graft.ops.Multimodal
+
+/** Streaming pipelines driven through MemoryStream, and the multimodal
+  * stub-decode pipeline.
+  */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed counts finalize when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streaming.windowedCounts(df)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 01:20:00"), 1L, "click", 2.0),
+        (3L, ts("2024-01-01 07:00:00"), 2L, "view", 5.0))
+      q.processAllAvailable()
+      // watermark flush: far-future event closes all earlier windows
+      in.addData((99L, ts("2024-01-02 12:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("win_out")
+        .select("bucket_start", "event_type", "n", "total_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(out.contains((ts("2024-01-01 00:00:00"), "click", 2L, 3.0)))
+      assert(out.contains((ts("2024-01-01 06:00:00"), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on the 30-min gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.Ev]
+    val q = Streaming.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Streaming.Ev(1L, ts("2024-01-01 00:00:00"), 1.0),
+        Streaming.Ev(1L, ts("2024-01-01 00:10:00"), 2.0),
+        // > 30 min gap: new session in the same batch
+        Streaming.Ev(1L, ts("2024-01-01 01:00:00"), 7.0))
+      q.processAllAvailable()
+      val closedInline = spark.table("sess_out")
+        .as[Streaming.SessionOut].collect()
+      assert(closedInline.exists(s =>
+        s.user_id == 1L && s.session_start == ts("2024-01-01 00:00:00") &&
+          s.n_events == 2L && s.session_value == 3.0),
+        s"first session should close on the in-batch gap, got ${closedInline.toSeq}")
+
+      // advance watermark far enough to time out the open session
+      in.addData(Streaming.Ev(2L, ts("2024-01-01 05:00:00"), 0.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_out").as[Streaming.SessionOut].collect()
+      assert(all.exists(s =>
+        s.user_id == 1L && s.session_start == ts("2024-01-01 01:00:00") &&
+          s.n_events == 1L && s.session_value == 7.0),
+        s"open session should close via event-time timeout, got ${all.toSeq}")
+    } finally q.stop()
+  }
+
+  test("multimodal stub decode: deterministic features, exact byte math") {
+    val docs = Seq((0L, "ab"), (1L, ""), (2L, "xyz")).toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(
+      Multimodal.asMedia(docs, "doc_id", "text"), dim = 2)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(0L).format == "png" && out(1L).format == "jpeg" && out(2L).format == "wav")
+    assert(out(0L).n_bytes == 2 && out(0L).ok)
+    assert(!out(1L).ok && out(1L).n_bytes == 0)
+    // 'a'=97,'b'=98 -> features = [97/255, 98/255]
+    assert(math.abs(out(0L).features(0) - 97f / 255f) < 1e-6)
+    assert(math.abs(out(0L).features(1) - 98f / 255f) < 1e-6)
+    // 'x','y','z' with dim 2: f0 = (120+122)/255, f1 = 121/255
+    assert(math.abs(out(2L).features(0) - (120f + 122f) / 255f) < 1e-6)
+  }
+}
