@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Executable tour of the driver-side surface that the oracle queries
+  * can't reach: ingestion scans, the semantic-layer fallback chain and
+  * structural drift. `sbt "runMain graft.Demo"` prints each stage.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // S3 — latin-1 ; CSV with BR decimals
+    val dir = java.nio.file.Files.createTempDirectory("graft_demo").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/precos.csv"),
+      "produto;valor\ncafé;2.500,75\nsoja;130,55\n"
+        .getBytes(java.nio.charset.Charset.forName("ISO-8859-1")))
+    val csv = ingest.Ingest.csvScanBr(spark, s"$dir/precos.csv",
+      brDecimalCols = Seq("valor"))
+    println("[demo] S3 csv scan:")
+    csv.show(false)
+
+    // S1 — HTML table scan → BR parse
+    val html = """<table id="indicador"><tr><th>Data</th><th>Valor</th></tr>
+                 |<tr><td>10/01/2024</td><td>R$ 130,55</td></tr></table>""".stripMargin
+    val best = ingest.Ingest.bestTable(ingest.Ingest.htmlTables(html),
+      "indicador", Seq("data", "valor")).get
+    println(s"[demo] S1 html table rows: ${best.rows}")
+
+    // D1-D3 — fallback chain + contract + snapshot + MetaInfo
+    import graft.datasets._
+    import graft.validate._
+    val ds = DatasetDef("preco_diario_demo",
+      Contract("preco_diario", "1.0", Seq(
+        ColumnSpec("produto", StringType, nullable = false),
+        ColumnSpec("valor", DoubleType, nullable = false, minValue = Some(0.0)))),
+      Seq(
+        DatasetSource(1, "primary_down", () => throw new RuntimeException("http 503")),
+        DatasetSource(99, "cache", () =>
+          Seq(("soja", "2024-01-05", 130.55), ("soja", "2024-01-12", 131.20))
+            .toDF("produto", "data", "valor")
+            .withColumn("data", col("data").cast("date")))))
+    val (df, meta) = ds.fetch(snapshot = Some("2024-01-10"))
+    println(s"[demo] D1-D3 fetch: rows=${df.count()} meta=$meta")
+
+    // V6 — structural drift
+    val fp = Fingerprint("h1", Seq("grid"), Seq("tbl"), Seq(Seq("Data", "Valor")),
+      Map("table" -> 1))
+    println("[demo] V6 drift on layout change: " +
+      Structural.validate(fp.copy(structureHash = "h2",
+        tableHeaders = Seq(Seq("X"))), fp))
+
+    spark.stop()
+  }
+}
