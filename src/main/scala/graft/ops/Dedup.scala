@@ -47,18 +47,28 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
     }
-    val exploded = sigs.select(col("doc_id"), col("sig"),
-      explode(array(bandCols: _*)).as("e"))
-      .select(col("doc_id"), col("sig"), col("e.band"), col("e.bh"))
+    // materialize signatures: they are the expensive stage and are read
+    // by the band explode AND twice by the verify join — without the
+    // cache every minhash would be computed three times (at scale:
+    // persist the signature table explicitly)
+    val cached = sigs.cache()
 
-    val a = exploded.select(col("band"), col("bh"),
-      col("doc_id").as("id1"), col("sig").as("sig1"))
-    val b = exploded.select(col("band"), col("bh"),
-      col("doc_id").as("id2"), col("sig").as("sig2"))
-    a.join(b, Seq("band", "bh"))
+    val exploded = cached.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bh"))
+
+    // candidate ids only through the dedup shuffle — signatures rejoin
+    // AFTER distinct so the wide arrays never ride the pair shuffle
+    val candidates = exploded.select(col("band"), col("bh"), col("doc_id").as("id1"))
+      .join(exploded.select(col("band"), col("bh"), col("doc_id").as("id2")),
+        Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+      .select(col("id1"), col("id2"))
       .distinct()
+
+    candidates
+      .join(cached.select(col("doc_id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(cached.select(col("doc_id").as("id2"), col("sig").as("sig2")), Seq("id2"))
       .withColumn("est_sim",
         size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1)),
           c => c.isNotNull)).cast("double") / numHashes)
@@ -83,6 +93,7 @@ object Dedup {
     val exploded = sk.select(col("doc_id"), col("sim"),
       explode(array(bandCols: _*)).as("e"))
       .select(col("doc_id"), col("sim"), col("e.band"), col("e.chunk"))
+      .cache() // sketch computed once, read by both self-join sides
     val a = exploded.select(col("band"), col("chunk"),
       col("doc_id").as("id1"), col("sim").as("sim1"))
     val b = exploded.select(col("band"), col("chunk"),

@@ -57,17 +57,22 @@ object VectorSearch {
       nbits: Int, tables: Int, minCos: Double, baseSeed: Long = 42L): DataFrame = {
     val tableCols = (0 until tables).map { t =>
       struct(lit(t).as("tbl"),
-        G.hyperplaneLsh(col(vecCol), nbits, baseSeed + t).as("bucket"))
+        G.hyperplaneLsh(col("v"), nbits, baseSeed + t).as("bucket"))
     }
-    val b = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
-      explode(array(tableCols: _*)).as("e"))
-      .select(col("id"), col("v"), col("e.tbl"), col("e.bucket"))
-    val l = b.select(col("tbl"), col("bucket"), col("id").as("id1"), col("v").as("v1"))
-    val r = b.select(col("tbl"), col("bucket"), col("id").as("id2"), col("v").as("v2"))
-    l.join(r, Seq("tbl", "bucket"))
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    val b = base.select(col("id"), explode(array(tableCols: _*)).as("e"))
+      .select(col("id"), col("e.tbl"), col("e.bucket"))
+    // pair dedup on ids only; vectors rejoin after the distinct so the
+    // embedding arrays never ride the pair shuffle
+    val candidates = b.select(col("tbl"), col("bucket"), col("id").as("id1"))
+      .join(b.select(col("tbl"), col("bucket"), col("id").as("id2")),
+        Seq("tbl", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("v1"), col("v2"))
+      .select(col("id1"), col("id2"))
       .distinct()
+    candidates
+      .join(base.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(base.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
       .withColumn("cos", round(G.cosineSim(col("v1"), col("v2")), 6))
       .filter(col("cos") >= minCos)
       .select(col("id1"), col("id2"), col("cos"))
