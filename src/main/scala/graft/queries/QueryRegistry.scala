@@ -37,12 +37,24 @@ object T {
     * its TIMESTAMP is µs), so oracle hashes line up.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") loadEventsRaw(spark, dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Events with `ts` still as raw nanosecond longs: predicates that
+    * should reach the parquet scan (min/max pruning) must be applied on
+    * this column BEFORE the timestamp conversion — a filter on the
+    * derived `timestamp_micros(...)` expression cannot be pushed down.
+    */
+  def loadEventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** Epoch nanoseconds of a UTC date literal, for raw-ts pushdown. */
+  def dateNanos(date: String): Long =
+    java.time.LocalDate.parse(date).toEpochDay * 86400L * 1000000000L
 
   /** Exact decimal view of a double column (oracle-parity arithmetic). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))

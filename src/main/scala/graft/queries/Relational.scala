@@ -44,12 +44,17 @@ object Relational {
       ORDER BY l_returnflag, l_linestatus"""),
     bench = true)
 
-  /** P2 — date-range filter pushed to the parquet scan. */
+  /** P2 — date-range filter pushed to the parquet scan: the range
+    * predicate is applied on the raw nanosecond longs (pushable,
+    * enables row-group min/max pruning) before the timestamp
+    * conversion, which a filter on the converted column would forfeit.
+    */
   val q02 = Q("q02_filter_daterange",
     (s, dir) => {
-      load(s, dir, "events")
-        .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
-          col("ts") < lit("2024-01-13").cast("timestamp"))
+      loadEventsRaw(s, dir)
+        .filter(col("ts") >= dateNanos("2024-01-10") &&
+          col("ts") < dateNanos("2024-01-13"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
           col("ts").cast("date").as("d"))
         .orderBy(col("event_id"))
