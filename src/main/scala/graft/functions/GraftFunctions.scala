@@ -140,5 +140,11 @@ object GraftFunctions {
       exprs => Hash64(exprs.head, 0L), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim",
       exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinHashSig(exprs.head, 3, 64, 42L), "built-in")
+    reg.createOrReplaceTempFunction("winnow",
+      exprs => Winnow(exprs.head, 8, 4), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_lsh",
+      exprs => HyperplaneLsh(exprs.head, 16, 42L), "built-in")
   }
 }

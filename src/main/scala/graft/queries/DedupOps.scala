@@ -65,7 +65,9 @@ object DedupOps {
       val docs = withNearDups(s, dir)
       val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
         shingleSize = 3, numHashes = 64, bands = 16, minSim = 0.5)
+      // shingle arrays are read by both verify-join sides — compute once
       val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .cache()
       pairs
         .join(sh.withColumnRenamed("doc_id", "id1").withColumnRenamed("sh", "sh1"), Seq("id1"))
         .join(sh.withColumnRenamed("doc_id", "id2").withColumnRenamed("sh", "sh2"), Seq("id2"))
@@ -83,5 +85,32 @@ object DedupOps {
       .orderBy(col("id1"), col("id2")),
     None)
 
-  def qs: Seq[Q] = Seq(d01, d02, d03)
+  /** Winnowing-fingerprint overlap (Schleimer et al. 2003): pairs
+    * sharing selected k-gram fingerprints, bucketed by fingerprint
+    * value (the containment/plagiarism-detection shape — finds overlap
+    * even where shingle sets diverge).
+    */
+  val d04 = Q("d04_winnow_overlap",
+    (s, dir) => {
+      import graft.functions.{GraftFunctions => G}
+      val fpsAll = withNearDups(s, dir)
+        .select(col("doc_id"),
+          explode(G.winnowFingerprint(col("text"), k = 8, w = 4)).as("fp"))
+      // skew guard: fingerprints shared by many documents are both
+      // uninformative and quadratic in the bucket join — cap bucket size
+      // (the LSH-style frequent-token guard)
+      val rare = fpsAll.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("fp")
+      val fps = fpsAll.join(rare, Seq("fp")).cache()
+      fps.select(col("fp"), col("doc_id").as("id1"))
+        .join(fps.select(col("fp"), col("doc_id").as("id2")), Seq("fp"))
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 20)
+        .orderBy(col("id1"), col("id2"))
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(d01, d02, d03, d04)
 }
