@@ -28,6 +28,19 @@ final case class SourceUnavailable(dataset: String,
   extends RuntimeException(
     s"all sources failed for $dataset: ${errors.map(e => s"${e._1}: ${e._2}").mkString("; ")}")
 
+/** D1 — error taxonomy (reference `datasets/base.py:96-165` classifies
+  * network/parse/contract/unexpected per attempted source).
+  */
+object ErrorTaxonomy {
+  def classify(e: Throwable): String = e match {
+    case _: ContractViolation => "contract"
+    case _: java.io.IOException | _: java.net.SocketException => "network"
+    case _: NumberFormatException | _: IllegalArgumentException |
+         _: java.time.format.DateTimeParseException => "parse"
+    case _ => "unexpected"
+  }
+}
+
 final case class ContractViolation(dataset: String, violations: Seq[String])
   extends RuntimeException(s"contract violations for $dataset: ${violations.mkString("; ")}")
 
@@ -52,7 +65,8 @@ final case class DatasetDef(
             attempts ::= (src.name, "ok")
             Some(src.name -> df)
           case Failure(e) =>
-            attempts ::= (src.name, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            attempts ::= (src.name,
+              s"${ErrorTaxonomy.classify(e)}: ${e.getClass.getSimpleName}: ${e.getMessage}")
             None
         }
       }.collectFirst { case Some(x) => x }

@@ -107,5 +107,56 @@ object DimOps {
       JOIN uf USING (sigla)
       GROUP BY regiao ORDER BY regiao"""))
 
-  def qs: Seq[Q] = Seq(g01, g02, g03)
+  /** F6 — "Município - UF" split + broadcast lookup to the IBGE code
+    * (reference `regions.py:152-161` + `municipalities.py:54-89`): the
+    * input is built as "nome - uf" with noisy case/spacing, split
+    * relationally, normalized, and joined to the município dim.
+    */
+  val g04 = Q("g04_municipio_lookup",
+    (s, dir) => {
+      val n = Dims.municipios.size
+      val idx = pmod(col("c_custkey"), lit(n)).cast("int")
+      val nomes = Dims.municipios.map(_._2)
+      val ufsOf = Dims.municipios.map(_._3)
+      val raw = concat(
+        element_at(array(nomes.map(lit): _*), idx + 1), lit(" - "),
+        when(pmod(col("c_custkey"), lit(2)) === 0,
+          lower(element_at(array(ufsOf.map(lit): _*), idx + 1)))
+          .otherwise(element_at(array(ufsOf.map(lit): _*), idx + 1)))
+      val inputs = load(s, dir, "customer").select(col("c_custkey"), raw.as("raw"))
+      val (muniRaw, ufRaw) = Dims.splitMunicipioUf(col("raw"))
+      val lk = broadcast(Dims.municipioLookup(s))
+      inputs
+        .withColumn("k", G.stripAccents(lower(trim(muniRaw))))
+        .withColumn("uf", ufRaw)
+        .join(lk, Seq("k", "uf"))
+        .select(col("c_custkey"), col("raw"), col("nome"), col("uf"),
+          col("codigo_ibge"))
+        .orderBy(col("c_custkey"))
+    },
+    Some {
+      val vals = Dims.municipios
+        .map { case (c, nm, u) => s"($c,'$nm','$u')" }.mkString(", ")
+      val nomes = Dims.municipios.map(_._2)
+      val ufsOf = Dims.municipios.map(_._3)
+      s"""
+      WITH muni(codigo_ibge, nome, uf) AS (VALUES $vals),
+      inputs AS (
+        SELECT c_custkey,
+          concat((['${nomes.mkString("','")}'])[idx + 1], ' - ',
+            CASE WHEN c_custkey % 2 = 0
+              THEN lower((['${ufsOf.mkString("','")}'])[idx + 1])
+              ELSE (['${ufsOf.mkString("','")}'])[idx + 1] END) AS raw
+        FROM (SELECT c_custkey, CAST(c_custkey % ${Dims.municipios.size} AS INT) AS idx
+              FROM customer) t)
+      SELECT i.c_custkey, i.raw, m.nome, m.uf, m.codigo_ibge
+      FROM inputs i
+      JOIN muni m
+        ON strip_accents(lower(trim(regexp_extract(trim(i.raw), '^(.+?)\\s*[-/]\\s*([A-Za-z]{2})$$', 1)))) =
+           strip_accents(lower(m.nome))
+       AND upper(regexp_extract(trim(i.raw), '^(.+?)\\s*[-/]\\s*([A-Za-z]{2})$$', 2)) = m.uf
+      ORDER BY i.c_custkey"""
+    })
+
+  def qs: Seq[Q] = Seq(g01, g02, g03, g04)
 }
