@@ -49,6 +49,20 @@ object Demo {
     val (df, meta) = ds.fetch(snapshot = Some("2024-01-10"))
     println(s"[demo] D1-D3 fetch: rows=${df.count()} meta=$meta")
 
+    // S10/scale — partitioned fact layout: filter prunes directories
+    val factDir = s"$dir/fact"
+    store.Store.writePartitioned(
+      Seq(("soja", 130.5), ("milho", 62.0)).toDF("produto", "valor"),
+      factDir, Seq("produto"))
+    val pruned = spark.read.parquet(factDir).filter(col("produto") === "soja")
+    println(s"[demo] partition pruning: rows=${pruned.count()} " +
+      s"pruned=${pruned.queryExecution.executedPlan.toString.contains("PartitionFilters")}")
+
+    // skew — salted two-phase sum equals direct sum
+    val skewed = ((1 to 1000).map(_ => ("hot", 1.0)) :+ ("cold", 5.0)).toDF("k", "v")
+    println("[demo] salted sum: " + ops.Skew.saltedSum(skewed, Seq("k"), "v", 8)
+      .orderBy("k").collect().mkString(", "))
+
     // V6 — structural drift
     val fp = Fingerprint("h1", Seq("grid"), Seq("tbl"), Seq(Seq("Data", "Valor")),
       Map("table" -> 1))

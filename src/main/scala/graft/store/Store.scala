@@ -60,4 +60,16 @@ object Store {
     */
   def factQuery(fact: DataFrame, predicates: Seq[Column], orderDesc: Column): DataFrame =
     predicates.foldLeft(fact)((d, p) => d.filter(p)).orderBy(orderDesc.desc)
+
+  /** Partitioned fact layout (the Spark mirror of the reference's
+    * DuckDB indexes on produto/data, `cache/duckdb_store.py:74-76`):
+    * directory partitioning on the query keys means an equality filter
+    * prunes whole partitions before any I/O. This is the layout the
+    * 100 TB `indicadores` table ships with.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }
