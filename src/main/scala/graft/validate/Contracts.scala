@@ -65,4 +65,23 @@ final case class Contract(
     df.groupBy(primaryKey.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") > 1)
+
+  /** Contract-ordered schema as a StructType. */
+  def structType: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+
+  /** Cast a permissively-inferred frame to the contract schema
+    * (SURVEY §1.2: read inferred, then validate/cast): declared columns
+    * cast to their declared type in contract order; missing nullable
+    * columns materialize as typed nulls; undeclared columns drop.
+    * try_cast semantics — uncoercible values become null and are then
+    * caught by the violation scan, mirroring the reference's
+    * "type-coercibility = null-increase" check.
+    */
+  def castTo(df: DataFrame): DataFrame =
+    df.select(columns.map { c =>
+      if (df.columns.contains(c.name)) col(c.name).try_cast(c.dataType).as(c.name)
+      else lit(null).cast(c.dataType).as(c.name)
+    }: _*)
 }
