@@ -63,6 +63,18 @@ object Demo {
     println("[demo] salted sum: " + ops.Skew.saltedSum(skewed, Seq("k"), "v", 8)
       .orderBy("k").collect().mkString(", "))
 
+    // D3 — cache-first read-through: gap probe -> bounded fetch -> merge
+    val cached = Seq(("soja", "2024-01-08", 130.0), ("soja", "2024-01-09", 130.2),
+      ("soja", "2024-01-10", 130.4)).toDF("produto", "data", "valor")
+      .withColumn("data", col("data").cast("date"))
+    val (served, fetchedDays) = store.CacheFirst.readThrough(
+      cached, Seq("produto", "data"), "data",
+      java.time.LocalDate.parse("2024-01-12"), windowDays = 5,
+      fetch = m => Some(m.map(d => ("soja", d.toString, 131.0))
+        .toDF("produto", "data", "valor")
+        .withColumn("data", col("data").cast("date"))))
+    println(s"[demo] D3 read-through: fetched=$fetchedDays rows=${served.count()}")
+
     // V6 — structural drift
     val fp = Fingerprint("h1", Seq("grid"), Seq("tbl"), Seq(Seq("Data", "Valor")),
       Map("table" -> 1))
