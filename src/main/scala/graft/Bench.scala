@@ -24,12 +24,18 @@ object Bench {
       try graft.queries.T.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // two timed runs per query, min reported — damps one-off GC/IO noise
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      def once(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (t1, ok1) = once()
+      if (!ok1) (name, t1, false)
+      else { val (t2, ok2) = once(); (name, math.min(t1, t2), ok2) }
     }
     val good = results.filter(_._3)
     val qs = good.map { case (k, v, _) => "\"" + k + "\":" + v }

@@ -25,5 +25,59 @@ object Relational3 {
     },
     None)
 
-  def qs: Seq[Q] = Seq(q25)
+  /** Set operations (SURVEY §2.6 note): customers active in BOTH years
+    * (intersect) and in 1995 only (except) — both hash-dedup shuffles
+    * on the full row.
+    */
+  val q26 = Q("q26_setops",
+    (s, dir) => {
+      val o = load(s, dir, "orders")
+      def custs(y: Int) = o.filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey"))
+      val both = custs(1995).intersect(custs(1996))
+        .withColumn("membership", lit("both"))
+      val only95 = custs(1995).except(custs(1996))
+        .withColumn("membership", lit("only_1995"))
+      both.unionByName(only95).orderBy(col("membership"), col("o_custkey"))
+    },
+    Some("""
+      SELECT o_custkey, membership FROM (
+        SELECT o_custkey, 'both' AS membership FROM (
+          SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996) a
+        UNION ALL
+        SELECT o_custkey, 'only_1995' FROM (
+          SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996) b
+      ) t ORDER BY membership, o_custkey"""))
+
+  /** S7 — the fact-store predicate scan, via the Store.factQuery helper
+    * (reference `indicadores_query`: equality + range + ORDER BY DESC,
+    * `cache/duckdb_store.py:339-400`); predicates reach the parquet
+    * scan.
+    */
+  val q27 = Q("q27_fact_query",
+    (s, dir) => {
+      graft.store.Store.factQuery(
+          load(s, dir, "orders"),
+          predicates = Seq(
+            col("o_orderpriority") === "1-URGENT",
+            col("o_orderdate").between(
+              lit("1997-01-01").cast("timestamp"),
+              lit("1997-12-31").cast("timestamp"))),
+          orderDesc = col("o_orderdate"))
+        .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+      ORDER BY o_orderdate DESC, o_orderkey"""))
+
+  def qs: Seq[Q] = Seq(q25, q26, q27)
 }
