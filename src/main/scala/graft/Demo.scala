@@ -75,6 +75,13 @@ object Demo {
         .withColumn("data", col("data").cast("date"))))
     println(s"[demo] D3 read-through: fetched=$fetchedDays rows=${served.count()}")
 
+    // facade — contract gate + certificate through graft.api.Graft
+    val fact = Seq(("2024-01-10", "soja", 130.5)).toDF("data", "produto", "valor")
+      .withColumn("data", col("data").cast("date"))
+    println("[demo] facade certify level: " +
+      api.Graft.certify(fact, Seq("data", "produto", "valor"), "data", "valor",
+        "2024-01-12", 7, 0, 1000).collect()(0).getAs[String]("level"))
+
     // V6 — structural drift
     val fp = Fingerprint("h1", Seq("grid"), Seq("tbl"), Seq(Seq("Data", "Valor")),
       Map("table" -> 1))

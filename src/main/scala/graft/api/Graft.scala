@@ -1,0 +1,54 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.datasets.{DatasetDef, DatasetRegistry, MetaInfo}
+import graft.validate.{Contract, ContractRegistry, Quality, SemanticRule, Semantic, Gaps}
+
+/** User-facing facade — the discoverable surface a reference user
+  * switches to. One object, five verbs:
+  *
+  * {{{
+  * Graft.functions(spark)                  // register SQL functions
+  * Graft.dataset("preco_diario").fetch()   // semantic-layer read
+  * Graft.validate(df, "cepea.indicador")   // contract gate
+  * Graft.certify(df, ...)                  // quality certificate
+  * Graft.missingBusinessDays(df, $"data")  // gap probe
+  * }}}
+  */
+object Graft {
+
+  /** Register the custom function library on a session (SQL callers).
+    * Sessions built with `GraftExtensions` get this automatically.
+    */
+  def functions(spark: SparkSession): Unit =
+    graft.functions.GraftFunctions.register(spark)
+
+  def dataset(name: String): DatasetDef =
+    DatasetRegistry.get(name).getOrElse(
+      throw new NoSuchElementException(
+        s"dataset '$name' not registered; known: ${DatasetRegistry.list().mkString(", ")}"))
+
+  def registerDataset(d: DatasetDef): Unit = DatasetRegistry.register(d)
+
+  def contract(name: String): Contract =
+    ContractRegistry.get(name).getOrElse(
+      throw new NoSuchElementException(s"contract '$name' not registered"))
+
+  /** One-pass contract violation report (empty = valid). */
+  def validate(df: DataFrame, contractName: String): DataFrame =
+    contract(contractName).violationReport(df)
+      .filter(org.apache.spark.sql.functions.col("violations") > 0)
+
+  def certify(df: DataFrame, expectedColumns: Seq[String], dateCol: String,
+      valueCol: String, asOf: String, maxAgeDays: Int,
+      minValue: Double, maxValue: Double): DataFrame =
+    Quality.certify(df, expectedColumns, dateCol, valueCol, asOf,
+      maxAgeDays, minValue, maxValue)
+
+  def semantic(df: DataFrame, rules: Seq[SemanticRule]): DataFrame =
+    Semantic.validate(df, rules)
+
+  def missingBusinessDays(df: DataFrame, dateCol: Column,
+      keys: Seq[String] = Seq.empty): DataFrame =
+    Gaps.missingBusinessDays(df, dateCol, keys)
+}

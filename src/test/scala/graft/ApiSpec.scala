@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.Graft
+import graft.datasets.{DatasetDef, DatasetSource}
+import graft.validate.ContractRegistry
+
+/** The facade surface + contract registry + a plan-regression guard for
+  * the events pushdown.
+  */
+class ApiSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("contract registry covers the fixture families with sane PKs") {
+    assert(ContractRegistry.all.size == 6)
+    assert(ContractRegistry.get("cepea.indicador").get.primaryKey ==
+      Seq("data", "produto"))
+    assert(ContractRegistry.get("queimadas.focos").get
+      .columns.find(_.name == "lat").get.minValue.contains(-35.0))
+  }
+
+  test("facade: dataset fetch, validate, certify, gaps") {
+    def rows() = Seq(("2024-01-10", "soja", "BRL/sc60kg", 130.5))
+      .toDF("data", "produto", "unidade", "valor")
+      .withColumn("data", col("data").cast("date"))
+      .withColumn("valor", col("valor").cast("decimal(18,4)"))
+      .withColumn("praca", lit(null).cast("string"))
+      .withColumn("variacao_percentual", lit(null).cast("decimal(18,4)"))
+    Graft.registerDataset(DatasetDef("cepea_fixture",
+      ContractRegistry.cepeaIndicador,
+      Seq(DatasetSource(1, "fixture", () => rows()))))
+    val (df, meta) = Graft.dataset("cepea_fixture").fetch()
+    assert(meta.records == 1 && meta.source == "fixture")
+
+    assert(Graft.validate(rows(), "cepea.indicador").count() == 0)
+    val bad = rows().withColumn("valor", lit(-1.0).cast("decimal(18,4)"))
+    assert(Graft.validate(bad, "cepea.indicador").count() == 1)
+
+    val cert = Graft.certify(rows().select("data", "produto", "valor"),
+      Seq("data", "produto", "valor"), "data", "valor",
+      asOf = "2024-01-12", maxAgeDays = 7, minValue = 0, maxValue = 1000)
+    assert(cert.collect()(0).getAs[String]("level") == "GOLD")
+
+    intercept[NoSuchElementException] { Graft.dataset("nope") }
+  }
+
+  test("plan regression: events range predicates stay pushed down") {
+    val q = graft.queries.QueryRegistry.byName("q02_filter_daterange")
+      .fn(spark, "/root/testdata/sf0.001")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("GreaterThanOrEqual(ts,") &&
+      scan.contains("LessThan(ts,"),
+      s"pushed ts range filters missing from plan:\n$scan")
+  }
+}
