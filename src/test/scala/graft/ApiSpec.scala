@@ -44,6 +44,37 @@ class ApiSpec extends SparkSuite {
     intercept[NoSuchElementException] { Graft.dataset("nope") }
   }
 
+  test("standard dataset catalog: landing-zone read, fallback, normalize") {
+    val base = java.nio.file.Files.createTempDirectory("graft_landing").toString
+    val snap = java.nio.file.Files.createTempDirectory("graft_snapdir").toString
+    val names = graft.datasets.StandardDatasets.register(spark, base, Some(snap))
+    assert(names.size == 6 && names.contains("preco_diario"))
+
+    // land normalized-ready data for preco_diario
+    Seq(("2024-01-10", "Sojá ", 130.5)).toDF("data", "produto", "valor")
+      .withColumn("data", col("data").cast("date"))
+      .withColumn("valor", col("valor").cast("decimal(18,4)"))
+      .withColumn("unidade", lit("BRL/sc60kg"))
+      .withColumn("praca", lit(null).cast("string"))
+      .withColumn("variacao_percentual", lit(null).cast("decimal(18,4)"))
+      .write.parquet(s"$base/preco_diario")
+    val (df, meta) = Graft.dataset("preco_diario").fetch()
+    assert(meta.source == "landing:preco_diario")
+    assert(df.select("produto").as[String].head() == "soja") // normalized
+
+    // missing landing zone -> snapshot fallback
+    Seq(("2024-01-09", "soja", 129.0)).toDF("data", "produto", "valor")
+      .withColumn("data", col("data").cast("date"))
+      .withColumn("valor", col("valor").cast("decimal(18,4)"))
+      .withColumn("unidade", lit("BRL/sc60kg"))
+      .withColumn("praca", lit(null).cast("string"))
+      .withColumn("variacao_percentual", lit(null).cast("decimal(18,4)"))
+      .write.parquet(s"$snap/clima_diario_unused") // wrong name: keep clima missing
+    intercept[graft.datasets.SourceUnavailable] {
+      Graft.dataset("clima_diario").fetch()
+    }
+  }
+
   test("plan regression: events range predicates stay pushed down") {
     val q = graft.queries.QueryRegistry.byName("q02_filter_daterange")
       .fn(spark, "/root/testdata/sf0.001")
