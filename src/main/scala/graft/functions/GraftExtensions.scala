@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => CollapseIdempotentNormalization)
     def one(name: String, f: Expression => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name), info(name),
         (exprs: Seq[Expression]) => f(exprs.head)))

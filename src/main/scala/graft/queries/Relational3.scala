@@ -79,5 +79,22 @@ object Relational3 {
         AND o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
       ORDER BY o_orderdate DESC, o_orderkey"""))
 
-  def qs: Seq[Q] = Seq(q25, q26, q27)
+  /** A5 — weekly resample (the pd.Grouper(freq='W') shape): ISO-Monday
+    * week truncation, identical in both engines.
+    */
+  val q28 = Q("q28_weekly_agg",
+    (s, dir) => {
+      load(s, dir, "events")
+        .groupBy(date_trunc("week", col("ts")).cast("date").as("semana"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy(col("semana"), col("event_type"))
+    },
+    Some("""
+      SELECT CAST(DATE_TRUNC('week', ts) AS DATE) AS semana, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  def qs: Seq[Q] = Seq(q25, q26, q27, q28)
 }

@@ -36,6 +36,18 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getDecimal(0).toString == "9.7500")
       assert(r.getString(1) == "Parana")
       assert(r.getString(2) == "2023/24")
+
+      // literals fold away entirely (expressions are foldable) …
+      val folded = s.sql("SELECT strip_accents(strip_accents('São')) AS x")
+      assert(folded.collect()(0).getString(0) == "Sao")
+      // … and over a file-backed column (LocalRelations also fold) the
+      // idempotence rule collapses the chain to a single call
+      val nation = s.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      val doubled = nation.selectExpr("strip_accents(strip_accents(n_name)) AS x")
+      val optimized = doubled.queryExecution.optimizedPlan.toString
+      assert("strip_accents".r.findAllIn(optimized).size == 1,
+        s"expected one strip_accents after optimization:\n$optimized")
+      assert(doubled.count() == nation.count())
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
