@@ -1,0 +1,216 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions => G}
+import graft.ingest.Ingest
+
+/** Fidelity against the REFERENCE'S OWN golden corpus
+  * (`/root/reference/tests/golden_data/`, read-only): run this engine's
+  * pipelines over the reference's captured inputs and assert the
+  * reference's `expected.json` values — count, first/last rows. This is
+  * the "matches the reference's results on its own test queries" check,
+  * executed directly.
+  */
+class GoldenReferenceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val goldenDir = "/root/reference/tests/golden_data"
+
+  private def available(path: String): Boolean =
+    Files.exists(Paths.get(path))
+
+  test("cepea/soja_sample: HTML -> indicador series matches expected.json") {
+    val dir = s"$goldenDir/cepea/soja_sample"
+    assume(available(s"$dir/response.html"))
+    val html = Files.readString(Paths.get(s"$dir/response.html"))
+    val table = Ingest.bestTable(Ingest.htmlTables(html), "indicador",
+      Seq("data", "valor")).get
+    val df = table.rows.tail.map(r => (r(0), r(1), r(2)))
+      .toDF("data_s", "valor_s", "var_s")
+      .select(
+        G.parseDateMulti(col("data_s")).as("data"),
+        G.parseBrDecimal(col("valor_s")).as("valor"),
+        lit("BRL/sc60kg").as("unidade"),
+        G.parseBrDecimal(col("var_s")).as("variacao_percentual"))
+    val rows = df.collect()
+    // expected.json: count=22, first=(2024-01-31, 124.58), last=(2024-01-02, 123.48)
+    assert(rows.length == 22)
+    assert(rows.head.getAs[java.sql.Date]("data").toString == "2024-01-31")
+    assert(rows.head.getAs[java.math.BigDecimal]("valor")
+      .compareTo(new java.math.BigDecimal("124.58")) == 0)
+    assert(rows.head.getAs[String]("unidade") == "BRL/sc60kg")
+    assert(rows.last.getAs[java.sql.Date]("data").toString == "2024-01-02")
+    assert(rows.last.getAs[java.math.BigDecimal]("valor")
+      .compareTo(new java.math.BigDecimal("123.48")) == 0)
+    assert(rows.forall(!_.isNullAt(0)) && rows.forall(!_.isNullAt(1)))
+  }
+
+  test("comexstat/exportacao_soja_sample: CSV scan matches expected.json") {
+    val dir = s"$goldenDir/comexstat/exportacao_soja_sample"
+    assume(available(s"$dir/response.csv"))
+    val renames = Seq(
+      "CO_ANO" -> "ano", "CO_MES" -> "mes", "CO_NCM" -> "ncm",
+      "CO_UNID" -> "cod_unidade", "CO_PAIS" -> "cod_pais",
+      "SG_UF_NCM" -> "uf", "CO_VIA" -> "cod_via", "CO_URF" -> "cod_porto",
+      "QT_ESTAT" -> "qtd_estatistica", "KG_LIQUIDO" -> "kg_liquido",
+      "VL_FOB" -> "valor_fob_usd")
+    val raw = Ingest.csvScanBr(spark, s"$dir/response.csv", encoding = "UTF-8")
+    val df = renames.foldLeft(raw) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to) }
+      .withColumn("ncm", lpad(col("ncm"), 8, "0"))
+      .withColumn("ano", col("ano").cast("int"))
+      .withColumn("mes", col("mes").cast("int"))
+      .withColumn("kg_liquido", col("kg_liquido").cast("double"))
+      .withColumn("valor_fob_usd", col("valor_fob_usd").cast("double"))
+      .withColumn("uf", upper(trim(col("uf"))))
+      .orderBy("ano", "mes", "ncm", "uf")
+    val rows = df.collect()
+    // expected.json: count=20, first uf=BA, last uf=TO, ncm 12019000
+    assert(rows.length == 20)
+    assert(rows.head.getAs[String]("uf") == "BA")
+    assert(rows.head.getAs[Int]("ano") == 2024 && rows.head.getAs[Int]("mes") == 1)
+    assert(rows.head.getAs[String]("ncm") == "12019000")
+    assert(rows.last.getAs[String]("uf") == "TO")
+  }
+
+  test("b3/ajustes_sample: positional carry-forward over the real page") {
+    val dir = s"$goldenDir/b3/ajustes_sample"
+    assume(available(s"$dir/response.html"))
+    val html = Files.readString(Paths.get(s"$dir/response.html"))
+    // expected.json: date 13/02/2025, 639 data rows, agro tickers
+    // {BGI,CCM,CNL,ETH,ICF,SJC,SOY} with >= 55 rows; BGI/G25 sample
+    val dataRef = "ATUALIZADO EM:\\s*(\\d{2}/\\d{2}/\\d{4})".r
+      .findFirstMatchIn(html).map(_.group(1))
+    assert(dataRef.contains("13/02/2025"))
+
+    val table = Ingest.htmlTables(html)
+      .find(_.id == "tblDadosAjustes").get
+    val dataRows = table.rows.filter(_.size >= 6)
+      .filterNot(_.exists(_.toLowerCase.contains("mercadoria"))) // header
+    assert(dataRows.size == 639)
+
+    val agro = Set("BGI", "CCM", "CNL", "ETH", "ICF", "SJC", "SOY")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("row_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val df = dataRows.zipWithIndex
+      .map { case (r, i) => (i.toLong, r(0), r(1), r(2), r(3), r(4), r(5)) }
+      .toDF("row_idx", "c0", "venc", "aj_ant", "aj_atual", "varia", "aj_contrato")
+      // S2/W6: the ticker cell is only present on the first row of each
+      // block — carry it forward relationally
+      .withColumn("ticker_cell",
+        when(trim(col("c0")) =!= "", trim(split(col("c0"), "-").getItem(0))))
+      .withColumn("ticker", last(col("ticker_cell"), ignoreNulls = true).over(w))
+      .filter(col("ticker").isin(agro.toSeq.map(x => x: Any): _*))
+      .withColumn("ajuste_anterior", G.parseBrDecimal(col("aj_ant")).cast("double"))
+      .withColumn("ajuste_atual", G.parseBrDecimal(col("aj_atual")).cast("double"))
+      .withColumn("variacao", G.parseBrDecimal(col("varia")).cast("double"))
+      .withColumn("vencimento_codigo", trim(col("venc")))
+    val rows = df.collect()
+    assert(rows.length >= 55)
+    assert(rows.map(_.getAs[String]("ticker")).toSet == agro)
+    val bgi = rows.find(r => r.getAs[String]("ticker") == "BGI" &&
+      r.getAs[String]("vencimento_codigo") == "G25").get
+    assert(bgi.getAs[Double]("ajuste_anterior") == 313.85)
+    assert(bgi.getAs[Double]("ajuste_atual") == 311.45)
+    assert(bgi.getAs[Double]("variacao") == -2.40)
+    val sjc = rows.find(r => r.getAs[String]("ticker") == "SJC" &&
+      r.getAs[String]("vencimento_codigo") == "H25").get
+    assert(sjc.getAs[Double]("ajuste_anterior") == 22.6576)
+    assert(sjc.getAs[Double]("ajuste_atual") == 22.7072)
+  }
+
+  test("inmet/observacoes_sample: sentinel scrub matches expected.json") {
+    val dir = s"$goldenDir/inmet/observacoes_sample"
+    assume(available(s"$dir/response.json"))
+    val renames = Seq("DT_MEDICAO" -> "data", "HR_MEDICAO" -> "hora_utc",
+      "CD_ESTACAO" -> "estacao", "UF" -> "uf", "TEM_INS" -> "temperatura",
+      "TEM_MAX" -> "temperatura_max", "TEM_MIN" -> "temperatura_min",
+      "CHUVA" -> "precipitacao_mm", "RAD_GLO" -> "radiacao_kj_m2")
+    val numeric = Seq("temperatura", "temperatura_max", "temperatura_min",
+      "precipitacao_mm", "radiacao_kj_m2")
+    val raw = spark.read.option("multiLine", "true").json(s"$dir/response.json")
+    val renamed = renames.foldLeft(raw) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to) }
+    val df = numeric.foldLeft(renamed) { (d, c) =>
+        d.withColumn(c, when(col(c) === -9999.0, lit(null)).otherwise(col(c)))
+      }
+      .withColumn("data", col("data").cast("date"))
+      .filter(col("data").isNotNull)
+      .orderBy("estacao", "data", "hora_utc")
+    val rows = df.collect()
+    // expected.json: count=3, first/last temp 22.5/21.2, sentinels null
+    assert(rows.length == 3)
+    assert(rows.head.getAs[Double]("temperatura") == 22.5)
+    assert(rows.last.getAs[Double]("temperatura") == 21.2)
+    val mid = rows(1)
+    assert(mid.isNullAt(df.columns.indexOf("temperatura_max")))
+    assert(mid.isNullAt(df.columns.indexOf("radiacao_kj_m2")))
+    assert(rows.forall(r => !r.isNullAt(df.columns.indexOf("temperatura"))))
+  }
+
+  test("comtrade/mirror_sample: trade mirror matches expected.json") {
+    val dir = s"$goldenDir/comtrade/mirror_sample"
+    assume(available(s"$dir/response_reporter.json"))
+
+    def side(file: String) = {
+      val parsed = spark.read.option("multiLine", "true")
+        .json(s"$dir/$file")
+        .select(explode(col("data")).as("r"))
+        .select(
+          col("r.period").cast("string").as("periodo"),
+          col("r.cmdCode").cast("string").as("hs_code"),
+          col("r.cmdDesc").as("produto_desc"),
+          col("r.netWgt").cast("double").as("peso_liquido_kg"),
+          col("r.fobvalue").cast("double").as("valor_fob_usd"),
+          col("r.cifvalue").cast("double").as("valor_cif_usd"))
+        .withColumn("volume_ton", col("peso_liquido_kg") / 1000.0)
+      parsed
+    }
+    val rep = side("response_reporter.json")
+      .select(col("periodo"), col("hs_code"), col("produto_desc"),
+        col("peso_liquido_kg").as("peso_liquido_kg_reporter"),
+        col("valor_fob_usd").as("valor_fob_usd_reporter"),
+        col("volume_ton").as("volume_ton_reporter"))
+    val par = side("response_partner.json")
+      .select(col("periodo"), col("hs_code"),
+        col("peso_liquido_kg").as("peso_liquido_kg_partner"),
+        col("valor_fob_usd").as("valor_fob_usd_partner"),
+        col("valor_cif_usd").as("valor_cif_usd_partner"),
+        col("volume_ton").as("volume_ton_partner"))
+    val mirror = rep.join(par, Seq("periodo", "hs_code"), "full_outer")
+      .withColumn("reporter_iso", lit("BRA"))
+      .withColumn("partner_iso", lit("CHN"))
+      .withColumn("ano", substring(col("periodo"), 1, 4).cast("int"))
+      .withColumn("mes", when(length(col("periodo")) >= 6,
+        substring(col("periodo"), 5, 2).cast("int")))
+      .withColumn("diff_peso_kg",
+        col("peso_liquido_kg_reporter") - col("peso_liquido_kg_partner"))
+      .withColumn("diff_valor_fob_usd",
+        col("valor_fob_usd_reporter") - col("valor_fob_usd_partner"))
+      .withColumn("ratio_valor", col("valor_fob_usd_reporter") /
+        when(col("valor_cif_usd_partner") === 0, lit(null))
+          .otherwise(col("valor_cif_usd_partner")))
+      .withColumn("ratio_peso", col("peso_liquido_kg_reporter") /
+        when(col("peso_liquido_kg_partner") === 0, lit(null))
+          .otherwise(col("peso_liquido_kg_partner")))
+      .orderBy("periodo", "hs_code")
+    val rows = mirror.collect()
+    // expected.json: record_count=4; first row 2024/1201 with the
+    // published weights/ratios; fob_partner and diff_valor are null
+    assert(rows.length == 4)
+    val f = rows.head
+    assert(f.getAs[String]("periodo") == "2024")
+    assert(f.getAs[String]("hs_code") == "1201")
+    assert(f.getAs[Int]("ano") == 2024 && f.isNullAt(mirror.columns.indexOf("mes")))
+    assert(f.getAs[Double]("peso_liquido_kg_reporter") == 7.2557710367e10)
+    assert(f.getAs[Double]("valor_fob_usd_reporter") == 3.1499887711e10)
+    assert(math.abs(f.getAs[Double]("volume_ton_reporter") - 7.2557710367e7) < 1e-6)
+    assert(f.isNullAt(mirror.columns.indexOf("valor_fob_usd_partner")))
+    assert(f.isNullAt(mirror.columns.indexOf("diff_valor_fob_usd")))
+    assert(f.getAs[Double]("diff_peso_kg") == -2.089669638e9)
+    assert(math.abs(f.getAs[Double]("ratio_valor") - 0.8640573168224439) < 1e-12)
+    assert(math.abs(f.getAs[Double]("ratio_peso") - 0.9720061221457467) < 1e-12)
+  }
+}
