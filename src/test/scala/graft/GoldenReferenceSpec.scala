@@ -150,6 +150,70 @@ class GoldenReferenceSpec extends SparkSuite {
     assert(rows.forall(r => !r.isNullAt(df.columns.indexOf("temperatura"))))
   }
 
+  test("antaq/movimentacao_sample: 3-table join matches expected.json") {
+    val dir = s"$goldenDir/antaq/movimentacao_sample"
+    assume(available(s"$dir/carga.txt"))
+    def txt(f: String) = Ingest.csvScanBr(spark, s"$dir/$f", encoding = "UTF-8")
+    val atracacao = txt("atracacao.txt").select(
+      col("IDAtracacao"), col("Porto Atracação").as("porto"),
+      col("Terminal").as("terminal"), col("Município").as("municipio"),
+      col("SGUF").as("uf"), col("Região Geográfica").as("regiao"),
+      col("Ano").cast("int").as("ano"), expr("try_cast(Mes AS INT)").as("mes"))
+    val carga = txt("carga.txt").select(
+      col("IDAtracacao"), col("CDMercadoria").as("cd_mercadoria"),
+      col("Natureza da Carga").as("natureza_carga"), col("Sentido").as("sentido"),
+      expr("try_cast(TEU AS INT)").as("teu"),
+      G.parseBrDecimal(col("QTCarga")).cast("double").as("qt_carga"),
+      G.parseBrDecimal(col("VLPesoCargaBruta")).cast("double").as("peso_bruto_ton"))
+    val mercadoria = txt("mercadoria.txt")
+      .select(col("CDMercadoria").as("cd_mercadoria"),
+        col("Grupo de Mercadoria").as("grupo_mercadoria"),
+        col("Nomenclatura Simplificada Mercadoria").as("mercadoria"))
+      .dropDuplicates("cd_mercadoria")
+    val joined = carga
+      .join(atracacao, Seq("IDAtracacao"), "left")
+      .join(broadcast(mercadoria), Seq("cd_mercadoria"), "left")
+      .orderBy(col("ano"), col("mes"), col("uf"), col("porto"))
+    val rows = joined.collect()
+    // expected.json: 10 rows, ufs {AM, PA}, first porto Terminal Navecunha
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[String]("uf")).toSet == Set("AM", "PA"))
+    assert(rows.head.getAs[String]("porto") == "Terminal Navecunha")
+    assert(rows.forall(r => !r.isNullAt(joined.columns.indexOf("ano"))))
+  }
+
+  test("usda/psd_soja_sample: rename + canonical sort + pivot-first") {
+    val base = s"$goldenDir/usda"
+    val caseDir = new java.io.File(base).listFiles()
+      .find(f => f.isDirectory && available(s"${f.getPath}/response.json"))
+    assume(caseDir.isDefined)
+    val raw = spark.read.option("multiLine", "true")
+      .json(caseDir.get.getPath + "/response.json")
+    val df = raw.select(
+        col("CommodityCode").cast("string").as("commodity_code"),
+        col("CountryCode").as("country_code"), col("CountryName").as("country"),
+        col("MarketYear").cast("int").as("market_year"),
+        col("AttributeDescription").as("attribute"),
+        col("UnitDescription").as("unit"),
+        col("Value").cast("double").as("value"))
+      .withColumn("commodity",
+        when(col("commodity_code") === "2222000", "soja")
+          .otherwise(col("commodity_code")))
+      .orderBy("market_year", "country_code", "attribute")
+    val rows = df.collect()
+    // expected.json: count=5, commodity soja, market_year 2024
+    assert(rows.length == 5)
+    assert(rows.head.getAs[String]("commodity") == "soja")
+    assert(rows.head.getAs[Int]("market_year") == 2024)
+    assert(rows.last.getAs[String]("country_code") == "BR")
+    // A12 on real data: attribute pivot with first
+    val wide = df.groupBy("commodity", "country_code", "market_year")
+      .pivot("attribute").agg(first(col("value")))
+    val w = wide.collect()(0)
+    assert(wide.count() == 1)
+    assert(w.getAs[Double]("Production") == 153000.0)
+  }
+
   test("comtrade/mirror_sample: trade mirror matches expected.json") {
     val dir = s"$goldenDir/comtrade/mirror_sample"
     assume(available(s"$dir/response_reporter.json"))
