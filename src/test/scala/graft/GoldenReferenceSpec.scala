@@ -214,6 +214,52 @@ class GoldenReferenceSpec extends SparkSuite {
     assert(w.getAs[Double]("Production") == 153000.0)
   }
 
+  test("nasa_power/daily_sample: nested param->date dicts unpivoted relationally") {
+    val base = s"$goldenDir/nasa_power"
+    val caseDir = new java.io.File(base).listFiles()
+      .find(f => f.isDirectory && available(s"${f.getPath}/response.json"))
+    assume(caseDir.isDefined)
+    val raw = spark.read.option("multiLine", "true")
+      .json(caseDir.get.getPath + "/response.json")
+    // date-keyed structs -> maps (schema-independent) -> explode the
+    // spine parameter, look the others up by date
+    def pmap(name: String) =
+      from_json(to_json(col(s"properties.parameter.$name")),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.DoubleType))
+    val df = raw.select(
+        col("geometry.coordinates").getItem(0).as("lon"),
+        col("geometry.coordinates").getItem(1).as("lat"),
+        pmap("T2M").as("t2m"), pmap("T2M_MAX").as("t2m_max"),
+        pmap("T2M_MIN").as("t2m_min"), pmap("PRECTOTCORR").as("prec"))
+      .select(col("lon"), col("lat"),
+        explode(col("t2m")).as(Seq("data_s", "temp_media")),
+        col("t2m_max"), col("t2m_min"), col("prec"))
+      .withColumn("temp_max", element_at(col("t2m_max"), col("data_s")))
+      .withColumn("temp_min", element_at(col("t2m_min"), col("data_s")))
+      .withColumn("precip_mm", element_at(col("prec"), col("data_s")))
+      .withColumn("data", to_date(col("data_s"), "yyyyMMdd"))
+      .withColumn("uf", lit("MT"))
+      .orderBy("data")
+    val rows = df.collect()
+    // expected.json: 5 rows; first (25.15, 4.18), last (25.53, 0.82); MT point
+    assert(rows.length == 5)
+    assert(rows.head.getAs[Double]("temp_media") == 25.15)
+    assert(rows.head.getAs[Double]("precip_mm") == 4.18)
+    assert(rows.last.getAs[Double]("temp_media") == 25.53)
+    assert(rows.last.getAs[Double]("precip_mm") == 0.82)
+    assert(rows.head.getAs[Double]("lat") == -12.6 &&
+      rows.head.getAs[Double]("lon") == -56.1)
+    // A7/J4 on real data: monthly mean + first(coords) in ONE aggregation
+    val monthly = df.groupBy(date_trunc("month", col("data")).as("mes"), col("uf"))
+      .agg(avg("temp_media").as("t"), sum("precip_mm").as("p"),
+        first("lat").as("lat"), first("lon").as("lon"))
+    val m = monthly.collect()(0)
+    assert(math.abs(m.getAs[Double]("t") - (25.15 + 24.74 + 26.4 + 26.04 + 25.53) / 5) < 1e-9)
+    assert(m.getAs[Double]("lat") == -12.6)
+  }
+
   test("comtrade/mirror_sample: trade mirror matches expected.json") {
     val dir = s"$goldenDir/comtrade/mirror_sample"
     assume(available(s"$dir/response_reporter.json"))
