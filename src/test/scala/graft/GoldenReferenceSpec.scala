@@ -260,6 +260,184 @@ class GoldenReferenceSpec extends SparkSuite {
     assert(m.getAs[Double]("lat") == -12.6)
   }
 
+  private val sidraRename = Seq(
+    "NC" -> "nivel_territorial_cod", "NN" -> "nivel_territorial",
+    "MC" -> "localidade_cod", "MN" -> "localidade", "V" -> "valor",
+    "D1C" -> "ano_cod", "D1N" -> "ano", "D2C" -> "variavel_cod",
+    "D2N" -> "variavel", "D3C" -> "produto_cod", "D3N" -> "produto",
+    "D4C" -> "classificacao_cod", "D4N" -> "classificacao")
+
+  test("ibge/pam_soja_sample: SIDRA rename matches expected.json") {
+    val dir = s"$goldenDir/ibge/pam_soja_sample"
+    assume(available(s"$dir/response.csv"))
+    val raw = spark.read.option("header", "true").csv(s"$dir/response.csv")
+    val df = sidraRename.foldLeft(raw) { case (d, (from, to)) =>
+        d.withColumnRenamed(from, to) }
+      .withColumn("valor", expr("try_cast(valor AS DOUBLE)"))
+    val rows = df.collect()
+    // expected.json: 26 rows; rename semantics put the unit label in
+    // `localidade` and the variable label in `produto` for this layout
+    assert(rows.length == 26)
+    assert(rows.head.getAs[String]("localidade") == "Toneladas")
+    assert(rows.head.getAs[String]("produto") == "Quantidade produzida")
+    // SIDRA placeholder values ('-', '...') coerce to null, as in the
+    // reference (expected.json's non_null_columns excludes valor)
+    assert(rows.count(!_.isNullAt(df.columns.indexOf("valor"))) == 23)
+    assert(rows.forall(!_.isNullAt(df.columns.indexOf("localidade"))))
+  }
+
+  test("ibge/abate_bovino_sample: variable-split pivot (J3) matches samples") {
+    val dir = s"$goldenDir/ibge/abate_bovino_sample"
+    assume(available(s"$dir/response.csv"))
+    val raw = spark.read.option("header", "true").csv(s"$dir/response.csv")
+    // this table's D-levels: D1=localidade, D2=variavel (284/285), D3=trimestre
+    val long = raw.select(
+      expr("try_cast(D1C AS INT)").as("localidade_cod"), col("D1N").as("localidade"),
+      col("D2C").as("variavel_cod"), col("D3C").as("trimestre"),
+      expr("try_cast(V AS DOUBLE)").as("valor"))
+    // J3 as a pivot instead of a self-join: one shuffle
+    val wide = long.groupBy("trimestre", "localidade", "localidade_cod")
+      .pivot("variavel_cod", Seq("284", "285"))
+      .agg(first(col("valor")))
+      .withColumnRenamed("284", "animais_abatidos")
+      .withColumnRenamed("285", "peso_carcacas")
+      .withColumn("especie", lit("bovino"))
+      .withColumn("fonte", lit("ibge_abate"))
+    val rows = wide.collect()
+    // expected.json: 5 rows; published samples for RO / MT / SP
+    assert(rows.length == 5)
+    def of(loc: String) = rows.find(_.getAs[String]("localidade") == loc).get
+    assert(of("Rondônia").getAs[Double]("animais_abatidos") == 764178.0)
+    assert(of("Rondônia").getAs[Double]("peso_carcacas") == 194840942.0)
+    assert(of("Mato Grosso").getAs[Double]("animais_abatidos") == 1602321.0)
+    assert(of("São Paulo").getAs[Double]("peso_carcacas") == 255667937.0)
+  }
+
+  test("queimadas/focos_sample: latin-1 CSV scan with derived columns") {
+    val dir = s"$goldenDir/queimadas/focos_sample"
+    assume(available(s"$dir/response.csv"))
+    val raw = spark.read.option("header", "true").csv(s"$dir/response.csv")
+    val df = raw.select(
+        col("id"), trim(col("lat")).cast("double").as("lat"),
+        trim(col("lon")).cast("double").as("lon"),
+        col("data_hora_gmt").cast("timestamp").as("data_hora_gmt"),
+        col("satelite"), col("municipio"),
+        expr("try_cast(municipio_id AS BIGINT)").as("municipio_id"),
+        col("estado"), col("bioma"), expr("try_cast(frp AS DOUBLE)").as("frp"))
+      .withColumn("data", col("data_hora_gmt").cast("date"))
+      .withColumn("hora_gmt", date_format(col("data_hora_gmt"), "HH:mm"))
+      .join(broadcast(graft.dims.Dims.ufDim(spark)),
+        G.stripAccents(lower(col("estado"))) ===
+          G.stripAccents(lower(col("nome"))), "left")
+      .withColumnRenamed("sigla", "uf")
+    val rows = df.orderBy("id").collect()
+    // expected.json: 10 rows; coordinates inside Brazil's bounds
+    assert(rows.length == 10)
+    assert(rows.forall(r => !r.isNullAt(df.columns.indexOf("uf"))))
+    assert(rows.forall(_.getAs[java.sql.Date]("data").toString == "2025-01-01"))
+    assert(df.filter(col("lat") < -35 || col("lat") > 7 ||
+      col("lon") < -75 || col("lon") > -30).count() == 0)
+    assert(rows.exists(r => r.getAs[String]("uf") == "MT" &&
+      r.getAs[Double]("frp") == 89.1))
+  }
+
+  test("na/soja_sample: many one-row tables unioned (R3) match expected.json") {
+    val dir = s"$goldenDir/na/soja_sample"
+    assume(available(s"$dir/response.html"))
+    val html = Files.readString(Paths.get(s"$dir/response.html"))
+    // every cot-fisicas table with a Data/Valor header contributes rows
+    val tables = Ingest.htmlTables(html).filter { t =>
+      t.rows.headOption.exists { h =>
+        h.exists(_.toLowerCase.contains("data")) &&
+          h.exists(c => c.toLowerCase.contains("valor") || c.toLowerCase.contains("r$"))
+      }
+    }
+    val cells = tables.flatMap(_.rows.tail).filter(_.size >= 2)
+      .map(r => (r(0), r(1), if (r.size > 2) r(2) else null))
+    val df = cells.toDF("data_s", "valor_s", "var_s")
+      // weekly rows ("09 - 13/02/2026") parse to their end date,
+      // mirroring the reference's weekly regex
+      .withColumn("data_s", regexp_extract(col("data_s"),
+        "(\\d{2}/\\d{2}/\\d{4})\\s*$", 1))
+      .select(G.parseDateMulti(col("data_s")).as("data"),
+        G.parseBrDecimal(col("valor_s")).as("valor"),
+        G.parseBrDecimal(col("var_s")).as("variacao"),
+        lit("BRL/sc60kg").as("unidade"), lit("Paranaguá/PR").as("praca"))
+      .filter(col("data").isNotNull && col("valor").isNotNull)
+      .orderBy(col("data").desc)
+    val rows = df.collect()
+    // expected.json: 10 rows; first (2026-02-20, 128.49); last (2026-02-05, 125.61)
+    assert(rows.length == 10)
+    assert(rows.head.getAs[java.sql.Date]("data").toString == "2026-02-20")
+    assert(rows.head.getAs[java.math.BigDecimal]("valor")
+      .compareTo(new java.math.BigDecimal("128.49")) == 0)
+    assert(rows.last.getAs[java.sql.Date]("data").toString == "2026-02-05")
+    assert(rows.last.getAs[java.math.BigDecimal]("valor")
+      .compareTo(new java.math.BigDecimal("125.61")) == 0)
+    assert(rows.head.getAs[String]("praca") == "Paranaguá/PR")
+  }
+
+  test("bcb/custeio_sample: SICOR rename + code enrichment + canonical sort") {
+    val dir = s"$goldenDir/bcb/custeio_sample"
+    assume(available(s"$dir/response.json"))
+    def m(pairs: (String, String)*)(c: org.apache.spark.sql.Column) =
+      pairs.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+        when(c === k, v).otherwise(acc) }
+    val programas = m("0001" -> "Pronaf", "0050" -> "Pronamp",
+      "0999" -> "Sem programa especifico") _
+    val fontes = m("0201" -> "Recursos obrigatorios (MCR 6.2)",
+      "0300" -> "Poupanca rural livre", "0303" -> "Poupanca rural controlados",
+      "0402" -> "BNDES/Finame equalizavel", "0430" -> "LCA",
+      "0502" -> "FNE", "0505" -> "Funcafe") _
+    val seguros = m("1" -> "Proagro", "2" -> "Sem seguro",
+      "3" -> "Seguro privado", "9" -> "Nao se aplica") _
+    val modalidades = m("01" -> "Individual", "03" -> "Coletiva") _
+    val atividades = m("1" -> "Agricola", "2" -> "Pecuaria") _
+
+    val raw = spark.read.option("multiLine", "true").json(s"$dir/response.json")
+    val df = raw.select(
+        lower(trim(regexp_replace(col("nomeProduto"), "\"", ""))).as("produto"),
+        col("nomeRegiao").as("regiao"), upper(trim(col("nomeUF"))).as("uf"),
+        expr("try_cast(MesEmissao AS INT)").as("mes_emissao"),
+        expr("try_cast(AnoEmissao AS INT)").as("ano_emissao"),
+        col("cdPrograma").as("cd_programa"),
+        col("cdFonteRecurso").as("cd_fonte_recurso"),
+        col("cdTipoSeguro").cast("string").as("cd_tipo_seguro"),
+        col("cdModalidade").as("cd_modalidade"),
+        col("Atividade").cast("string").as("cd_atividade"),
+        expr("try_cast(QtdCusteio AS BIGINT)").as("qtd_contratos"),
+        expr("try_cast(VlCusteio AS DOUBLE)").as("valor"),
+        expr("try_cast(AreaCusteio AS DOUBLE)").as("area_financiada"))
+      .withColumn("finalidade", lit("custeio"))
+      .withColumn("programa", programas(col("cd_programa")))
+      .withColumn("fonte_recurso", fontes(col("cd_fonte_recurso")))
+      .withColumn("tipo_seguro", seguros(col("cd_tipo_seguro")))
+      .withColumn("modalidade", modalidades(col("cd_modalidade")))
+      .withColumn("atividade", atividades(col("cd_atividade")))
+      .orderBy("uf", "produto")
+    val rows = df.collect()
+    // expected.json: 20 rows; first BA/FNE/'Sem programa especifico'
+    // with Seguro privado; last RS/Pronamp/'Poupanca rural livre'
+    assert(rows.length == 20)
+    val f = rows.head
+    assert(f.getAs[String]("uf") == "BA" && f.getAs[String]("produto") == "soja")
+    assert(f.getAs[String]("programa") == "Sem programa especifico")
+    assert(f.getAs[String]("fonte_recurso") == "FNE")
+    assert(f.getAs[String]("tipo_seguro") == "Seguro privado")
+    assert(f.getAs[String]("modalidade") == "Individual")
+    assert(f.getAs[String]("atividade") == "Agricola")
+    val l = rows.last
+    assert(l.getAs[String]("uf") == "RS")
+    assert(l.getAs[String]("programa") == "Pronamp")
+    assert(l.getAs[String]("fonte_recurso") == "Poupanca rural livre")
+    // A4 rollup on real data: by (uf, produto) sums
+    val rollup = df.groupBy("uf", "produto")
+      .agg(sum("valor").as("valor_total"), sum("qtd_contratos").as("contratos"))
+    assert(rollup.count() > 0 &&
+      rollup.agg(sum("contratos")).collect()(0).getLong(0) ==
+        df.agg(sum("qtd_contratos")).collect()(0).getLong(0))
+  }
+
   test("comtrade/mirror_sample: trade mirror matches expected.json") {
     val dir = s"$goldenDir/comtrade/mirror_sample"
     assume(available(s"$dir/response_reporter.json"))
