@@ -438,6 +438,87 @@ class GoldenReferenceSpec extends SparkSuite {
         df.agg(sum("qtd_contratos")).collect()(0).getLong(0))
   }
 
+  test("sicar/imoveis_mt_municipio: rural-property CSV matches expected.json") {
+    val dir = s"$goldenDir/sicar/imoveis_mt_municipio"
+    assume(available(s"$dir/response.csv"))
+    val df = spark.read.option("header", "true").csv(s"$dir/response.csv")
+      .select(col("cod_imovel"), col("status_imovel").as("status"),
+        col("dat_criacao").cast("timestamp").as("data_criacao"),
+        expr("try_cast(area AS DOUBLE)").as("area_ha"),
+        col("uf"), col("municipio"),
+        expr("try_cast(cod_municipio_ibge AS BIGINT)").as("cod_municipio_ibge"),
+        col("tipo_imovel").as("tipo"))
+    val rows = df.collect()
+    // expected.json: 10 rows; first property code/status/area/uf/tipo
+    assert(rows.length == 10)
+    val f = rows.head
+    assert(f.getAs[String]("cod_imovel") ==
+      "MT-5107925-D6C8D851BCE54F42A51A5DC123B0108B")
+    assert(f.getAs[String]("status") == "AT")
+    assert(f.getAs[Double]("area_ha") == 91.1192)
+    assert(f.getAs[String]("uf") == "MT" && f.getAs[String]("tipo") == "IRU")
+    assert(f.getAs[Long]("cod_municipio_ibge") == 5107925L)
+  }
+
+  test("imea/cotacoes_soja_sample: quote JSON matches expected.json") {
+    val dir = s"$goldenDir/imea/cotacoes_soja_sample"
+    assume(available(s"$dir/response.json"))
+    val df = spark.read.option("multiLine", "true").json(s"$dir/response.json")
+      .select(lit("soja").as("cadeia"), // CadeiaId 4 = soja in the request
+        col("Localidade").as("localidade"),
+        expr("try_cast(Valor AS DOUBLE)").as("valor"),
+        expr("try_cast(Variacao AS DOUBLE)").as("variacao"),
+        col("Safra").as("safra"),
+        col("UnidadeSigla").as("unidade"),
+        col("UnidadeDescricao").as("unidade_descricao"),
+        col("DataPublicacao").cast("timestamp").as("data_publicacao"))
+    val rows = df.collect()
+    // expected.json: 5 rows; first localidade Convencional; cadeia/valor/
+    // unidade never null
+    assert(rows.length == 5)
+    assert(rows.head.getAs[String]("localidade") == "Convencional")
+    assert(rows.head.getAs[Double]("valor") == 182.5)
+    Seq("cadeia", "localidade", "valor", "unidade").foreach { c =>
+      assert(rows.forall(!_.isNullAt(df.columns.indexOf(c))), s"null in $c")
+    }
+  }
+
+  test("comtrade/comercio_sample: full trade parse matches expected.json") {
+    val dir = s"$goldenDir/comtrade/comercio_sample"
+    assume(available(s"$dir/response.json"))
+    val df = spark.read.option("multiLine", "true").json(s"$dir/response.json")
+      .select(explode(col("data")).as("r"))
+      .select(
+        col("r.period").cast("string").as("periodo"),
+        col("r.reporterCode").cast("int").as("reporter_code"),
+        col("r.reporterISO").as("reporter_iso"),
+        col("r.partnerISO").as("partner_iso"),
+        col("r.flowCode").as("fluxo_code"),
+        col("r.cmdCode").cast("string").as("hs_code"),
+        col("r.netWgt").cast("double").as("peso_liquido_kg"),
+        col("r.fobvalue").cast("double").as("valor_fob_usd"),
+        col("r.primaryValue").cast("double").as("valor_primario_usd"),
+        col("r.qty").cast("double").as("quantidade"))
+      .withColumn("volume_ton", col("peso_liquido_kg") / 1000.0)
+      .withColumn("ano", substring(col("periodo"), 1, 4).cast("int"))
+      .withColumn("mes", when(length(col("periodo")) >= 6,
+        substring(col("periodo"), 5, 2).cast("int")))
+      .orderBy("periodo", "hs_code", "reporter_iso", "partner_iso")
+    val rows = df.collect()
+    // expected.json: 8 rows; first = BRA->CHN 2024 export of 1201
+    assert(rows.length == 8)
+    val f = rows.head
+    assert(f.getAs[String]("periodo") == "2024" && f.getAs[Int]("ano") == 2024)
+    assert(f.isNullAt(df.columns.indexOf("mes")))
+    assert(f.getAs[Int]("reporter_code") == 76 &&
+      f.getAs[String]("reporter_iso") == "BRA")
+    assert(f.getAs[String]("partner_iso") == "CHN" &&
+      f.getAs[String]("fluxo_code") == "X")
+    assert(f.getAs[Double]("peso_liquido_kg") == 7.2557710367e10)
+    assert(math.abs(f.getAs[Double]("volume_ton") - 7.2557710367e7) < 1e-6)
+    assert(f.getAs[Double]("quantidade") == 7.2867736673e10)
+  }
+
   test("comtrade/mirror_sample: trade mirror matches expected.json") {
     val dir = s"$goldenDir/comtrade/mirror_sample"
     assume(available(s"$dir/response_reporter.json"))
