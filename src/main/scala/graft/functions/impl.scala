@@ -95,6 +95,8 @@ object BrOps {
     val canonical =
       if (hasComma && hasDot) str.replace(".", "").replace(',', '.') // 1.234,56
       else if (hasComma) str.replace(',', '.')                      // 1234,56
+      // dot-only thousand grouping ("3.699.769") — BR integers
+      else if (hasDot && str.matches("\\d{1,3}(\\.\\d{3})+")) str.replace(".", "")
       else str                                                      // 1234.56 or 1234
     try {
       var bd = new JBigDecimal(canonical, mc)

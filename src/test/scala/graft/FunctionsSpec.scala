@@ -23,6 +23,11 @@ class FunctionsSpec extends AnyFunSuite {
     assert(br("+0,5%").contains(BigDecimal("0.5000")))
     assert(br("-1.000,25").contains(BigDecimal("-1000.2500")))
     assert(br("12").contains(BigDecimal("12.0000")))
+    // dot-only thousand grouping (BR integers, e.g. ANDA volumes)
+    assert(br("3.699.769").contains(BigDecimal("3699769.0000")))
+    assert(br("1.234").contains(BigDecimal("1234.0000")))
+    // a 4-digit head is not a thousands group — stays a decimal point
+    assert(br("1234.56").contains(BigDecimal("1234.5600")))
   }
 
   test("parse_br_decimal: junk is null") {

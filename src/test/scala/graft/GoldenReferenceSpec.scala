@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import graft.functions.{GraftFunctions => G}
 import graft.ingest.Ingest
+import graft.dims.Dims
 
 /** Fidelity against the REFERENCE'S OWN golden corpus
   * (`/root/reference/tests/golden_data/`, read-only): run this engine's
@@ -517,6 +518,109 @@ class GoldenReferenceSpec extends SparkSuite {
     assert(f.getAs[Double]("peso_liquido_kg") == 7.2557710367e10)
     assert(math.abs(f.getAs[Double]("volume_ton") - 7.2557710367e7) < 1e-6)
     assert(f.getAs[Double]("quantidade") == 7.2867736673e10)
+  }
+
+  test("b3/posicoes_sample: ticker classification (F9) matches expected.json") {
+    val dir = s"$goldenDir/b3/posicoes_sample"
+    assume(available(s"$dir/response.csv"))
+    val agro = Seq("BGI", "CCM", "ETH", "ICF", "SJC", "SOY", "CNL")
+    val raw = spark.read.option("header", "true").option("sep", ";")
+      .csv(s"$dir/response.csv")
+    val df = raw.filter(col("Asst").isin(agro.map(x => x: Any): _*))
+      .select(col("RptDt").cast("date").as("data"),
+        col("TckrSymb").as("ticker_completo"), col("Asst").as("ticker"),
+        col("XprtnCd").as("vencimento_codigo"),
+        expr("try_cast(OpnIntrst AS BIGINT)").as("posicoes_abertas"),
+        expr("try_cast(VartnOpnIntrst AS BIGINT)").as("variacao_posicoes"))
+      .withColumn("tipo",
+        when(col("ticker_completo").rlike("^[A-Z]{2,4}[FGHJKMNQUVXZ]\\d{2}$"), "futuro")
+          .when(col("ticker_completo").rlike("^[A-Z]{2,4}[FGHJKMNQUVXZ]\\d{2}[CP]\\d+$"), "opcao")
+          .otherwise("outro"))
+      .withColumn("vencimento_mes",
+        G.tickerMonth(regexp_extract(col("ticker_completo"),
+          "^([A-Z]{2,4}[FGHJKMNQUVXZ]\\d{2})", 1)).cast("int"))
+    val rows = df.collect()
+    // expected.json: 518 agro rows, 47 futures / 471 options; samples
+    assert(rows.length == 518)
+    assert(rows.map(_.getAs[String]("ticker")).toSet ==
+      Set("BGI", "CCM", "ETH", "ICF", "SJC"))
+    assert(rows.count(_.getAs[String]("tipo") == "futuro") == 47)
+    assert(rows.count(_.getAs[String]("tipo") == "opcao") == 471)
+    assert(rows.forall(_.getAs[java.sql.Date]("data").toString == "2025-12-19"))
+    val bgi = rows.find(_.getAs[String]("ticker_completo") == "BGIF26").get
+    assert(bgi.getAs[Long]("posicoes_abertas") == 12875L &&
+      bgi.getAs[Long]("variacao_posicoes") == -512L)
+    assert(bgi.getAs[Int]("vencimento_mes") == 1) // F = January
+    val ccm = rows.find(_.getAs[String]("ticker_completo") == "CCMH26").get
+    assert(ccm.getAs[Long]("posicoes_abertas") == 26178L &&
+      ccm.getAs[Long]("variacao_posicoes") == 232L)
+  }
+
+  test("desmatamento/prodes_sample: state-name normalization + typed output") {
+    val dir = s"$goldenDir/desmatamento/prodes_sample"
+    assume(available(s"$dir/response.csv"))
+    val raw = spark.read.option("header", "true").csv(s"$dir/response.csv")
+    val lk = broadcast(Dims.ufLookup(spark))
+    val df = raw
+      .join(lk, G.stripAccents(lower(trim(col("state")))) === lk("k"), "left")
+      .select(expr("try_cast(year AS INT)").as("ano"),
+        col("sigla").as("uf"),
+        coalesce(col("main_class"), lit("desmatamento")).as("classe"),
+        expr("try_cast(area_km AS DOUBLE)").as("area_km2"),
+        coalesce(col("satellite"), lit("")).as("satelite"),
+        coalesce(col("sensor"), lit("")).as("sensor"),
+        lit("Cerrado").as("bioma")) // bioma is the request parameter
+    val rows = df.collect()
+    // expected.json: >=15 rows, single UF PA, non-null core, area >= 0
+    assert(rows.length >= 15)
+    assert(rows.map(_.getAs[String]("uf")).toSet == Set("PA"))
+    assert(rows.forall(r => !r.isNullAt(df.columns.indexOf("ano")) &&
+      !r.isNullAt(df.columns.indexOf("area_km2"))))
+    assert(rows.forall(_.getAs[Double]("area_km2") >= 0))
+  }
+
+  test("anda/entregas_sample: wide month-grid melted to long (R5/R6)") {
+    val dir = s"$goldenDir/anda/entregas_sample"
+    assume(available(s"$dir/response.json"))
+    // the input is an extracted PDF grid (rows = months, columns = years)
+    def noAccents(s: String): String =
+      java.text.Normalizer.normalize(s.trim.toLowerCase,
+        java.text.Normalizer.Form.NFKD).replaceAll("\\p{M}", "")
+    val rowsRaw = spark.read.option("multiLine", "true")
+      .schema("value array<array<string>>")
+      .json(Seq("{\"value\": " +
+        Files.readString(Paths.get(s"$dir/response.json")) + "}").toDS())
+      .selectExpr("explode(value) AS r").collect()
+      .map(_.getSeq[String](0))
+    // month names keyed accent-free: "março" and "marco" both resolve
+    val months = Seq("janeiro", "fevereiro", "marco", "abril", "maio",
+      "junho", "julho", "agosto", "setembro", "outubro", "novembro",
+      "dezembro").zipWithIndex.map { case (m, i) => m -> (i + 1) }.toMap
+    // header row carries the year columns; find 2024's index
+    val header = rowsRaw.find(_.exists(c => c != null && c.trim == "2024")).get
+    val yearIdx = header.indexWhere(c => c != null && c.trim == "2024")
+    // the PDF extractor packs all 12 months (and their values) into one
+    // newline-separated cell — expand (SURVEY S5's newline-packed quirk)
+    val monthRow = rowsRaw.find(_.exists(c =>
+      c != null && noAccents(c).startsWith("janeiro"))).get
+    val nameIdx = monthRow.indexWhere(c =>
+      c != null && noAccents(c).startsWith("janeiro"))
+    val monthRows = monthRow(nameIdx).split("\n")
+      .zip(monthRow(yearIdx).split("\n"))
+      .map { case (n, v) => (months(noAccents(n)), v) }
+    val df = monthRows.toSeq.toDF("mes", "vol_raw")
+      .withColumn("volume_ton", G.parseBrDecimal(col("vol_raw")).cast("double"))
+      .withColumn("ano", lit(2024))
+      .withColumn("uf", lit("BR"))
+      .withColumn("produto_fertilizante", lit("total"))
+      .filter(col("volume_ton").isNotNull)
+      .orderBy("mes")
+    val out = df.collect()
+    // expected.json: 12 rows, months 1..12, first (1, BR, total, 3699769.0)
+    assert(out.length == 12)
+    assert(out.map(_.getAs[Int]("mes")).toSeq == (1 to 12))
+    assert(out.head.getAs[Double]("volume_ton") == 3699769.0)
+    assert(out.forall(_.getAs[String]("uf") == "BR"))
   }
 
   test("comtrade/mirror_sample: trade mirror matches expected.json") {
