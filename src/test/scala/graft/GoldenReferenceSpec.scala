@@ -623,6 +623,91 @@ class GoldenReferenceSpec extends SparkSuite {
     assert(out.forall(_.getAs[String]("uf") == "BR"))
   }
 
+  test("ibge/ppm_bovino_sample: SIDRA rename matches expected.json") {
+    val dir = s"$goldenDir/ibge/ppm_bovino_sample"
+    assume(available(s"$dir/response.csv"))
+    val raw = spark.read.option("header", "true").csv(s"$dir/response.csv")
+    val df = sidraRename.foldLeft(raw) { case (d, (from, to)) =>
+        d.withColumnRenamed(from, to) }
+      .withColumn("valor", expr("try_cast(valor AS DOUBLE)"))
+    val rows = df.collect()
+    // expected.json: 27 rows; first Rondônia 14,850,000 head; last DF
+    assert(rows.length == 27)
+    assert(rows.head.getAs[String]("localidade") == "Rondônia")
+    assert(rows.head.getAs[Double]("valor") == 14850000.0)
+    assert(rows.last.getAs[String]("localidade") == "Distrito Federal")
+    assert(rows.last.getAs[Double]("valor") == 95000.0)
+  }
+
+  test("desmatamento/deter_sample: alert classes + municipality ids") {
+    val dir = s"$goldenDir/desmatamento/deter_sample"
+    assume(available(s"$dir/response.csv"))
+    val raw = spark.read.option("header", "true").csv(s"$dir/response.csv")
+    val cols = raw.columns.toSet
+    // DETER layout differs from PRODES: locate the date/class columns
+    val dateCol = Seq("view_date", "date", "data").find(cols.contains).get
+    val classCol = Seq("classname", "class_name", "main_class").find(cols.contains).get
+    val ufCol = Seq("uf", "state").find(cols.contains).get
+    val areaCol = Seq("areamunkm", "area_km", "areatotalkm").find(cols.contains).get
+    val df = raw.select(
+        col(dateCol).cast("date").as("data"),
+        col(classCol).as("classe"),
+        col(ufCol).as("uf_raw"),
+        expr(s"try_cast($areaCol AS DOUBLE)").as("area_km2"))
+      .withColumn("uf", when(length(trim(col("uf_raw"))) === 2,
+          upper(trim(col("uf_raw"))))
+        .otherwise(col("uf_raw")))
+      .withColumn("bioma", lit("Amazônia"))
+    val rows = df.collect()
+    // expected.json: >=15 rows, single UF PA, >=5 distinct alert classes
+    assert(rows.length >= 15)
+    assert(rows.map(_.getAs[String]("uf")).toSet == Set("PA"))
+    val classes = rows.map(_.getAs[String]("classe")).toSet
+    assert(Set("CICATRIZ_DE_QUEIMADA", "DEGRADACAO", "DESMATAMENTO_CR")
+      .subsetOf(classes))
+    assert(rows.forall(r => !r.isNullAt(df.columns.indexOf("data")) &&
+      r.getAs[Double]("area_km2") >= 0))
+  }
+
+  test("antt_pedagio/fluxo_v1_sample: category mapping + tipo_cobranca rollup") {
+    val dir = s"$goldenDir/antt_pedagio/fluxo_v1_sample"
+    assume(available(s"$dir/response.csv"))
+    val catEixos = Map("Categoria 1" -> 2, "Categoria 2" -> 2, "Categoria 3" -> 3,
+      "Categoria 4" -> 3, "Categoria 5" -> 4, "Categoria 6" -> 4,
+      "Categoria 7" -> 5, "Categoria 8" -> 6, "Categoria 9" -> 2)
+    val catTipo = Map("Categoria 1" -> "Passeio", "Categoria 2" -> "Comercial",
+      "Categoria 3" -> "Passeio", "Categoria 4" -> "Comercial",
+      "Categoria 5" -> "Passeio", "Categoria 6" -> "Comercial",
+      "Categoria 7" -> "Comercial", "Categoria 8" -> "Comercial",
+      "Categoria 9" -> "Moto")
+    def m(mp: Map[String, Any])(c: org.apache.spark.sql.Column) =
+      mp.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+        when(c === k, v.toString).otherwise(acc) }
+    val raw = spark.read.option("header", "true").option("sep", ";")
+      .csv(s"$dir/response.csv")
+    val df = raw
+      .withColumn("data", to_date(col("mes_ano"), "dd/MM/yyyy"))
+      .withColumn("n_eixos", m(catEixos)(trim(col("categoria"))).cast("int"))
+      .withColumn("tipo_veiculo", m(catTipo)(trim(col("categoria"))))
+      .withColumn("volume", expr("try_cast(quantidade AS INT)"))
+      // tipo_cobranca (Automatica/Manual) aggregates away
+      .groupBy("data", "concessionaria", "praca", "sentido", "n_eixos", "tipo_veiculo")
+      .agg(sum("volume").cast("int").as("volume"))
+      .orderBy("data", "sentido", "n_eixos")
+    val rows = df.collect()
+    // expected checks: >=4 rows, volumes positive, tipo_cobranca rolled
+    // up (Campinas 2023-03 Categoria1 Crescente = 48500+4200), month
+    // starts, sorted by data
+    assert(rows.length >= 4)
+    assert(rows.forall(_.getAs[Int]("volume") > 0))
+    val c1 = rows.find(r => r.getAs[java.sql.Date]("data").toString == "2023-03-01" &&
+      r.getAs[Int]("n_eixos") == 2 && r.getAs[String]("sentido") == "Crescente").get
+    assert(c1.getAs[Int]("volume") == 52700) // 48500 + 4200 merged
+    assert(rows.forall(_.getAs[java.sql.Date]("data").toString.endsWith("-01")))
+    assert(rows.map(_.getAs[java.sql.Date]("data").toString).toSeq ==
+      rows.map(_.getAs[java.sql.Date]("data").toString).toSeq.sorted)
+  }
+
   test("comtrade/mirror_sample: trade mirror matches expected.json") {
     val dir = s"$goldenDir/comtrade/mirror_sample"
     assume(available(s"$dir/response_reporter.json"))
