@@ -708,6 +708,113 @@ class GoldenReferenceSpec extends SparkSuite {
       rows.map(_.getAs[java.sql.Date]("data").toString).toSeq.sorted)
   }
 
+  test("ibge/censo_agro_efetivo_sample: two-variable pivot matches samples") {
+    val dir = s"$goldenDir/ibge/censo_agro_efetivo_sample"
+    assume(available(s"$dir/response.csv"))
+    val raw = spark.read.option("header", "true").csv(s"$dir/response.csv")
+    val long = raw.select(
+      col("D1N").as("localidade"), expr("try_cast(D1C AS INT)").as("localidade_cod"),
+      col("D2C").as("variavel_cod"), col("D5N").as("categoria"),
+      expr("try_cast(V AS DOUBLE)").as("valor"))
+    val rows = long.collect()
+    assert(rows.length == 10)
+    // 2209 = head count, 10010 = establishments: pivot per locality
+    val wide = long.groupBy("localidade", "categoria")
+      .pivot("variavel_cod", Seq("2209", "10010"))
+      .agg(first(col("valor")))
+      .withColumnRenamed("2209", "cabecas")
+      .withColumnRenamed("10010", "estabelecimentos")
+    def of(loc: String) = wide.filter(col("localidade") === loc &&
+      col("categoria") === "Bovinos").collect()(0)
+    assert(of("São Paulo").getAs[Double]("cabecas") == 10391878.0)
+    assert(of("São Paulo").getAs[Double]("estabelecimentos") == 131234.0)
+    assert(of("Mato Grosso").getAs[Double]("cabecas") == 30199340.0)
+    assert(of("Mato Grosso").getAs[Double]("estabelecimentos") == 87560.0)
+    assert(wide.select("categoria").distinct().collect()
+      .map(_.getString(0)).toSet == Set("Bovinos", "Ovinos"))
+  }
+
+  test("mapa_psr/apolices_sample: 700+ row insurance CSV with sentinel scrub") {
+    val dir = s"$goldenDir/mapa_psr/apolices_sample"
+    assume(available(s"$dir/response.csv"))
+    val raw = Ingest.csvScanBr(spark, s"$dir/response.csv") // ;-sep latin-1
+    def cleaned(c: String) = when(trim(col(c)) === "-", lit(null))
+      .otherwise(trim(col(c)))
+    val df = raw.select(
+        col("NR_APOLICE").as("nr_apolice"),
+        expr("try_cast(ANO_APOLICE AS INT)").as("ano_apolice"),
+        col("SG_UF_PROPRIEDADE").as("uf"),
+        col("NM_MUNICIPIO_PROPRIEDADE").as("municipio"),
+        expr("try_cast(CD_GEOCMU AS BIGINT)").as("cd_ibge"),
+        col("NM_CULTURA_GLOBAL").as("cultura"),
+        cleaned("NR_AREA_TOTAL").cast("double").as("area_total"),
+        G.parseBrDecimal(cleaned("VL_PREMIO_LIQUIDO")).cast("double").as("valor_premio"),
+        G.parseBrDecimal(cleaned("PE_TAXA")).cast("double").as("taxa"),
+        col("NM_RAZAO_SOCIAL").as("seguradora"))
+      .orderBy("ano_apolice", "nr_apolice")
+    val rows = df.collect()
+    // expected checks: >=700 rows, int years sorted, float areas
+    assert(rows.length >= 700)
+    val anos = rows.map(_.getAs[Int]("ano_apolice"))
+    assert(anos.toSeq == anos.toSeq.sorted && anos.forall(_ >= 2006))
+    assert(rows.exists(r => !r.isNullAt(df.columns.indexOf("area_total"))))
+    val first = rows.head
+    assert(first.getAs[String]("uf").length == 2)
+    assert(rows.forall(r => !r.isNullAt(df.columns.indexOf("seguradora"))))
+  }
+
+  test("conab_ceasa/precos_sample: column-packed price matrix melted to long") {
+    val dir = s"$goldenDir/conab_ceasa/precos_sample"
+    assume(available(s"$dir/precos_response.json"))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("metadata", ArrayType(StructType(Seq(
+        StructField("colName", StringType))))),
+      StructField("resultset", ArrayType(ArrayType(StringType)))))
+    def read(f: String) = spark.read.option("multiLine", "true")
+      .schema(schema).json(s"$dir/$f")
+    // ceasa list order defines the matrix column order
+    val ceasas = read("ceasas_response.json")
+      .select(posexplode(col("resultset")).as(Seq("idx", "r")))
+      .select(col("idx"), col("r").getItem(1).as("ceasa"))
+    // per-column capture dates ride in the metadata colNames
+    val datas = read("precos_response.json")
+      .select(posexplode(col("metadata")).as(Seq("midx", "m")))
+      .filter(col("midx") > 0)
+      .select((col("midx") - 1).as("idx"),
+        to_date(regexp_extract(col("m.colName"),
+          "\\((\\d{2}/\\d{2}/\\d{4})\\)", 1), "dd/MM/yyyy").as("data"))
+    val prices = read("precos_response.json")
+      .select(explode(col("resultset")).as("row"))
+      .select(col("row").getItem(0).as("produto_unid"),
+        posexplode(expr("slice(row, 2, size(row) - 1)")).as(Seq("idx", "preco_s")))
+      .filter(col("preco_s").isNotNull)
+      .withColumn("preco", col("preco_s").cast("double"))
+      .withColumn("produto",
+        trim(regexp_extract(col("produto_unid"), "^(.*?)\\s*\\(([^)]+)\\)\\s*$", 1)))
+      .withColumn("unidade",
+        regexp_extract(col("produto_unid"), "^(.*?)\\s*\\(([^)]+)\\)\\s*$", 2))
+      .join(broadcast(ceasas), Seq("idx"))
+      .join(broadcast(datas), Seq("idx"), "left")
+      .withColumn("ceasa_uf",
+        when(col("ceasa").startsWith("CEAGESP"), "SP")
+          .otherwise(regexp_extract(col("ceasa"), "/([A-Z]{2})", 1)))
+    // expected.json: 48 produtos, 43 ceasas, >=1900 non-null prices,
+    // published samples for tomate@CEAGESP-SP and abacaxi@Fortaleza
+    assert(prices.select("produto").distinct().count() == 48)
+    assert(ceasas.count() == 43)
+    assert(prices.count() >= 1900)
+    val tomate = prices.filter(col("produto") === "TOMATE" &&
+      col("ceasa") === "CEAGESP - SAO PAULO").collect()(0)
+    assert(tomate.getAs[Double]("preco") == 2.24)
+    assert(tomate.getAs[String]("ceasa_uf") == "SP")
+    assert(tomate.getAs[String]("unidade") == "KG")
+    val abacaxi = prices.filter(col("produto") === "ABACAXI" &&
+      col("ceasa") === "CEASA/CE - FORTALEZA").collect()(0)
+    assert(abacaxi.getAs[String]("ceasa_uf") == "CE")
+    assert(abacaxi.getAs[String]("unidade") == "UN")
+  }
+
   test("comtrade/mirror_sample: trade mirror matches expected.json") {
     val dir = s"$goldenDir/comtrade/mirror_sample"
     assume(available(s"$dir/response_reporter.json"))
