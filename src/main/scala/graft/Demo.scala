@@ -33,6 +33,14 @@ object Demo {
       "indicador", Seq("data", "valor")).get
     println(s"[demo] S1 html table rows: ${best.rows}")
 
+    // S4 — dependency-free XLSX read (ZIP+XML), when the corpus is present
+    val conabXlsx = "/root/reference/tests/golden_data/conab/safra_sample/response.xlsx"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(conabXlsx))) {
+      val sheets = ingest.Xlsx.sheetNames(conabXlsx)
+      val grid = ingest.Xlsx.readSheet(conabXlsx, "Soja")
+      println(s"[demo] S4 xlsx: ${sheets.size} sheets; Soja grid ${grid.size} rows x ${grid.headOption.map(_.size).getOrElse(0)} cols")
+    }
+
     // D1-D3 — fallback chain + contract + snapshot + MetaInfo
     import graft.datasets._
     import graft.validate._

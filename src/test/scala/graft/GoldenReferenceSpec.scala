@@ -815,6 +815,92 @@ class GoldenReferenceSpec extends SparkSuite {
     assert(abacaxi.getAs[String]("unidade") == "UN")
   }
 
+  test("conab/safra_sample: XLSX wide-block soja sheet matches expected.json") {
+    val xlsx = s"$goldenDir/conab/safra_sample/response.xlsx"
+    assume(available(xlsx))
+    import graft.ingest.Xlsx
+    assert(Xlsx.sheetNames(xlsx).contains("Soja"))
+    val grid = Xlsx.readSheet(xlsx, "Soja")
+    // header discovery (S4) finds the REGIÃO/UF + metric-group row
+    val h = Ingest.findHeaderRow(grid, Seq("região", "área"), minHits = 2).get
+    // safra labels live a few rows below; current safra = last label (F8)
+    val safraRow = grid.indexWhere(_.exists(_.startsWith("Safra ")))
+    val safraLabels = grid(safraRow).filter(_.startsWith("Safra "))
+      .map(_.stripPrefix("Safra "))
+    val currentSafra = graft.functions.SafraOps.normalizeSafra(
+      org.apache.spark.unsafe.types.UTF8String.fromString(safraLabels.last)).toString
+    assert(currentSafra == "2025/26")
+
+    // data rows: column 0 label; groups of 3 (prev, current, var) per
+    // metric — area(1,2,3), produtividade(4,5,6), producao(7,8,9)
+    val ufs = Dims.ufs.map(_._1).toSet
+    val dataRows = grid.drop(safraRow + 1)
+      .filter(r => r.nonEmpty && r.head.trim.nonEmpty)
+    // P6 row classifier: UF rows vs region/total rows
+    val ufRows = dataRows.filter(r => ufs.contains(r.head.trim))
+    assert(ufRows.map(_.head.trim).toSet == ufs, "all 27 UFs classified")
+    val rr = ufRows.find(_.head.trim == "RR").get
+    assert(math.abs(rr(2).toDouble - 145.5) < 1e-9)  // area 25/26
+    assert(math.abs(rr(8).toDouble - 479.4) < 1e-9)  // producao 25/26
+    // relational wide-block melt over the extracted grid (R6)
+    import spark.implicits._
+    val long = Ingest.wideBlocksToLong(
+      ufRows.map(r => Seq(r.head.trim) ++ r.slice(1, 10)), idCols = 1,
+      groupKeys = Seq("area", "produtividade", "producao"),
+      groupLabels = Seq(safraLabels.head, safraLabels.last, "var_pct"))
+    val df = long.map { case Seq(uf, metric, safra, v) => (uf, metric, safra, v) }
+      .toDF("uf", "metric", "safra_label", "v")
+    assert(df.count() == 27 * 9)
+  }
+
+  test("mapbiomas/biome_state_sample: XLSX year-column melt (B6) on real data") {
+    val xlsx = s"$goldenDir/mapbiomas/biome_state_sample.xlsx"
+    assume(available(xlsx))
+    import graft.ingest.Xlsx
+    val names = Xlsx.sheetNames(xlsx)
+    val grid = Xlsx.readSheet(xlsx, names.head)
+    val header = grid.head
+    assert(header.take(4) == Seq("ID", "country", "biome", "state"))
+    val yearIdx = header.zipWithIndex.filter(_._1.matches("\\d{4}(\\.0)?"))
+    assert(yearIdx.nonEmpty)
+    val years = yearIdx.map { case (y, i) => (y.takeWhile(_.isDigit).toInt, i) }
+    assert(Seq(1985, 2000, 2020, 2024).forall(y => years.exists(_._1 == y)))
+
+    import spark.implicits._
+    val classIdx = header.indexOf("class")
+    val rows = grid.tail.flatMap { r =>
+      years.map { case (y, i) =>
+        (r(header.indexOf("biome")), r(header.indexOf("state")),
+          r(classIdx), r(header.indexOf("class_level_0")), y,
+          if (i < r.size && r(i).nonEmpty) r(i) else null)
+      }
+    }
+    val long = rows.toDF("bioma", "estado_nome", "classe_id", "nivel_0", "ano", "area_raw")
+      .filter(col("area_raw").isNotNull)
+      .withColumn("area_ha", col("area_raw").cast("double"))
+      .join(broadcast(Dims.ufLookup(spark)),
+        G.stripAccents(lower(trim(col("estado_nome")))) === col("k"), "left")
+      .withColumnRenamed("sigla", "estado")
+    // expected.json cobertura: biomas {Amazônia, Cerrado}, estados
+    // {AC, GO}, >=20 records
+    assert(long.count() >= 20)
+    assert(long.select("bioma").distinct().collect().map(_.getString(0)).toSet ==
+      Set("Amazônia", "Cerrado"))
+    assert(long.select("estado").distinct().collect().map(_.getString(0)).toSet ==
+      Set("AC", "GO"))
+    assert(long.filter(col("area_ha").isNull ||
+      col("area_ha") < 0).count() == 0)
+
+    // transicao sheet: period columns ("p1985_1986" -> "1985-1986")
+    val grid2 = Xlsx.readSheet(xlsx, names(1))
+    val header2 = grid2.head
+    val periodIdx = header2.zipWithIndex
+      .filter(_._1.matches("p?\\d{4}[-_]\\d{4}"))
+      .map { case (p, i) => (p.stripPrefix("p").replace('_', '-'), i) }
+    assert(Seq("1985-1986", "2023-2024").forall(p => periodIdx.exists(_._1 == p)))
+    assert(grid2.tail.nonEmpty)
+  }
+
   test("comtrade/mirror_sample: trade mirror matches expected.json") {
     val dir = s"$goldenDir/comtrade/mirror_sample"
     assume(available(s"$dir/response_reporter.json"))
