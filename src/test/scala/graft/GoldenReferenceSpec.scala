@@ -901,6 +901,66 @@ class GoldenReferenceSpec extends SparkSuite {
     assert(grid2.tail.nonEmpty)
   }
 
+  test("abiove/exportacao_sample: XLSX section blocks melted to monthly long") {
+    val xlsx = s"$goldenDir/abiove/exportacao_sample/response.xlsx"
+    assume(available(xlsx))
+    import graft.ingest.Xlsx
+    val grid = Xlsx.readSheet(xlsx, Xlsx.sheetNames(xlsx).head)
+    val meses = Seq("Jan", "Fev", "Mar", "Abr", "Mai", "Jun", "Jul", "Ago",
+      "Set", "Out", "Nov", "Dez").zipWithIndex.map { case (m, i) => m -> (i + 1) }.toMap
+    def produtoOf(title: String): String = {
+      val t = java.text.Normalizer.normalize(title.toLowerCase,
+        java.text.Normalizer.Form.NFKD).replaceAll("\\p{M}", "")
+      if (t.contains("total")) "total"
+      else if (t.contains("farelo")) "farelo"
+      else if (t.contains("oleo")) "oleo"
+      else if (t.contains("milho") && !t.contains("soja + milho")) "milho"
+      else if (t.contains("grao")) "grao"
+      else "total"
+    }
+    def serialYear(s: String): Int = // Excel serial date -> year
+      java.time.LocalDate.of(1899, 12, 30).plusDays(s.toDouble.toLong).getYear
+
+    // column-1 sections (1., 1.1 … 1.5.x); heading-only blocks skip
+    val titles = grid.zipWithIndex.collect {
+      case (r, i) if r.size > 1 && r(1).matches("1(\\.\\d+)*\\. .*") => (i, r(1))
+    }
+    assert(titles.size >= 5, s"sections: ${titles.map(_._2)}")
+
+    val long = titles.zipWithIndex.flatMap { case ((start, title), si) =>
+      val end = titles.lift(si + 1).map(_._1).getOrElse(grid.size)
+      val block = grid.slice(start, end)
+      // the serial-date header row gives the (prev, cur) year columns;
+      // heading-only blocks (no such row) contribute nothing
+      val yearRowOpt = block.find(_.count(_.matches("\\d{5}")) >= 2)
+      if (yearRowOpt.isEmpty) Seq.empty else {
+      val yearCols = yearRowOpt.get.zipWithIndex.filter(_._1.matches("\\d{5}"))
+        .map { case (s, i) => (serialYear(s), i) }
+      val valorCols = yearCols.take(2)   // Valor FOB pair
+      val volCols = yearCols.slice(2, 4) // volume pair
+      block.filter(r => r.size > 1 && meses.contains(r(1).trim)).flatMap { r =>
+        val mes = meses(r(1).trim)
+        valorCols.zip(volCols).map { case ((ano, vi), (_, qi)) =>
+          val receita = if (vi < r.size && r(vi).nonEmpty) r(vi).toDouble else Double.NaN
+          val volMilT = if (qi < r.size && r(qi).nonEmpty) r(qi).toDouble else Double.NaN
+          (ano, mes, produtoOf(title), volMilT * 1000, receita)
+        }
+      }
+      }
+    }
+    // expected.json: >=72 rows, products {farelo, grao, milho, oleo, total}
+    assert(long.size >= 72, s"got ${long.size}")
+    assert(long.map(_._3).toSet == Set("farelo", "grao", "milho", "oleo", "total"))
+    assert(long.forall { case (ano, mes, _, _, _) =>
+      (ano == 2024 || ano == 2025) && mes >= 1 && mes <= 12 })
+    assert(long.count(r => !r._4.isNaN) >= 72)
+    // A2 on the melted data: monthly totals aggregate cleanly in Spark
+    import spark.implicits._
+    val agg = long.toDF("ano", "mes", "produto", "volume_ton", "receita_usd_mil")
+      .groupBy("ano", "mes").agg(sum("volume_ton").as("vol"))
+    assert(agg.count() == 24)
+  }
+
   test("comtrade/mirror_sample: trade mirror matches expected.json") {
     val dir = s"$goldenDir/comtrade/mirror_sample"
     assume(available(s"$dir/response_reporter.json"))
