@@ -961,6 +961,60 @@ class GoldenReferenceSpec extends SparkSuite {
     assert(agg.count() == 24)
   }
 
+  test("deral/pc_sample: legacy .xls crop-condition sheets melted to long") {
+    val xls = s"$goldenDir/deral/pc_sample/response.xlsx" // OLE2 despite the name
+    assume(available(xls))
+    import graft.ingest.Biff
+    val names = Biff.sheetNames(xls)
+    assert(names.contains("Atual") && names.size >= 10)
+
+    def noAcc(s: String) = java.text.Normalizer.normalize(s.toLowerCase,
+      java.text.Normalizer.Form.NFKD).replaceAll("\\p{M}", "")
+    def pct(s: String): Option[Double] =
+      if (s.isEmpty || s == "-") None else s.toDoubleOption
+
+    // melt every sheet: (produto, data?, condicao, pct, plantio, colheita)
+    val long = names.flatMap { sheet =>
+      val grid = Biff.readSheet(xls, sheet)
+      val data = """(\d{2})-(\d{2})-(\d{2,4})""".r.findFirstMatchIn(sheet)
+        .map { m =>
+          val y = if (m.group(3).length == 2) "20" + m.group(3) else m.group(3)
+          s"$y-${m.group(2)}-${m.group(1)}"
+        }
+      val hdr = grid.indexWhere(r => r.exists(_ == "Plantada") && r.exists(_ == "Boa"))
+      if (hdr < 0) Seq.empty else {
+        val h = grid(hdr)
+        val iPlant = h.indexOf("Plantada"); val iColh = h.indexOf("Colhida")
+        val iRuim = h.indexOf("Ruim"); val iMed = h.indexOf("Média")
+        val iBoa = h.indexOf("Boa")
+        grid.drop(hdr + 1)
+          .filter(r => r.head.nonEmpty && !r.head.startsWith("SAFRA") &&
+            pct(r(iPlant)).isDefined)
+          .flatMap { r =>
+            Seq(("boa", iBoa), ("media", iMed), ("ruim", iRuim)).map { case (cond, idx) =>
+              (r.head, data.orNull, cond, pct(r(idx)),
+                pct(r(iPlant)), pct(r(iColh)))
+            }
+          }
+      }
+    }
+    // expected.json: >=168 rows, condicoes {boa, media, ruim}, produto non-null
+    assert(long.size >= 168, s"got ${long.size}")
+    assert(long.map(_._3).toSet == Set("boa", "media", "ruim"))
+    assert(long.forall(_._1.nonEmpty))
+    val soja = long.filter(r => noAcc(r._1).startsWith("soja") && r._2 == null &&
+      r._3 == "boa")
+    assert(soja.nonEmpty && soja.head._4.isDefined)
+    // relational end: aggregate per condicao in Spark
+    import spark.implicits._
+    val agg = long.map(r => (r._1, r._3, r._4.getOrElse(Double.NaN)))
+      .toDF("produto", "condicao", "pct")
+      .groupBy("condicao").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg.keySet == Set("boa", "media", "ruim"))
+    assert(agg.values.forall(_ >= 56))
+  }
+
   test("comtrade/mirror_sample: trade mirror matches expected.json") {
     val dir = s"$goldenDir/comtrade/mirror_sample"
     assume(available(s"$dir/response_reporter.json"))
