@@ -122,6 +122,20 @@ class GoldenReferenceSpec extends SparkSuite {
     assert(sjc.getAs[Double]("ajuste_atual") == 22.7072)
   }
 
+  test("b3/ajustes_sample weekend page: no trading day -> empty series") {
+    val f = s"$goldenDir/b3/ajustes_sample/response_weekend.html"
+    assume(available(f))
+    val html = Files.readString(Paths.get(f))
+    // the reference returns an empty frame when 'ATUALIZADO EM' is
+    // absent (`b3/parser.py:50-57`) — same negative path here
+    val dataRef = "ATUALIZADO EM:\\s*(\\d{2}/\\d{2}/\\d{4})".r.findFirstMatchIn(html)
+    assert(dataRef.isEmpty)
+    val rows = if (dataRef.isEmpty) Seq.empty
+      else Ingest.htmlTables(html).find(_.id == "tblDadosAjustes")
+        .map(_.rows).getOrElse(Seq.empty)
+    assert(rows.isEmpty)
+  }
+
   test("inmet/observacoes_sample: sentinel scrub matches expected.json") {
     val dir = s"$goldenDir/inmet/observacoes_sample"
     assume(available(s"$dir/response.json"))
