@@ -62,6 +62,30 @@ object FunctionProperties extends Properties("graft.functions") {
         SketchOps.hash64(u(s), 1L) != SketchOps.hash64(u(s), 2L)
     }
 
+  property("minhash agreement estimates shingle jaccard within 4 sigma") =
+    forAll(Gen.chooseNum(5, 30), Gen.chooseNum(0, 30), Gen.chooseNum(1L, 1000L)) {
+      (nShared, nExtra, seed) =>
+        // two docs: a shared token run plus a disjoint tail on one side
+        val rnd = new scala.util.Random(seed)
+        def tok() = "w" + rnd.nextInt(100000)
+        val shared = Seq.fill(nShared + 2)(tok())
+        val extra = Seq.fill(nExtra)(tok())
+        val a = shared.mkString(" ")
+        val b = (shared ++ extra).mkString(" ")
+        def sh(words: Seq[String]) =
+          words.sliding(3).map(_.mkString(" ")).toSet
+        val sa = sh(shared)
+        val sb = sh(shared ++ extra)
+        val jaccard = (sa & sb).size.toDouble / (sa | sb).size
+        def sig(t: String) = {
+          val arr = SketchOps.minhash(u(t), 3, 64, 42L)
+          (0 until arr.numElements()).map(arr.getLong)
+        }
+        val est = sig(a).zip(sig(b)).count { case (x, y) => x == y } / 64.0
+        // sigma = sqrt(J(1-J)/64) <= 0.0625; allow 4 sigma + slack
+        math.abs(est - jaccard) <= 0.3
+    }
+
   property("simhash hamming identities") =
     forAll(Gen.listOfN(20, Gen.alphaStr.suchThat(_.nonEmpty))) { words =>
       val h = SketchOps.simhash64(u(words.mkString(" ")))
