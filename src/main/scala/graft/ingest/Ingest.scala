@@ -21,6 +21,29 @@ import graft.functions.{GraftFunctions => G}
   */
 object Ingest {
 
+  /** F12 — encoding detection chain (reference
+    * `normalize/encoding.py:10-78`): declared first, then utf-8,
+    * iso-8859-1, cp1252, utf-16, ascii — first strict decode wins;
+    * final fallback decodes utf-8 with replacement. Returns
+    * (charsetName, text).
+    */
+  def detectEncoding(bytes: Array[Byte],
+      declared: Option[String] = None): (String, String) = {
+    import java.nio.charset.{Charset, CodingErrorAction}
+    val chain = declared.toSeq ++
+      Seq("UTF-8", "ISO-8859-1", "windows-1252", "UTF-16", "US-ASCII")
+    chain.distinct.flatMap { name =>
+      scala.util.Try {
+        val dec = Charset.forName(name).newDecoder()
+          .onMalformedInput(CodingErrorAction.REPORT)
+          .onUnmappableCharacter(CodingErrorAction.REPORT)
+        name -> dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      }.toOption
+    }.headOption.getOrElse {
+      "UTF-8//REPLACE" -> new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
   /** S3 — BR CSV scan: explicit schema-free read with separator +
     * encoding options; BR-decimal columns parsed via the codegen'd
     * expression (never a driver-side loop).

@@ -32,6 +32,20 @@ class IngestDatasetsSpec extends SparkSuite {
     assert(rows(0).getAs[java.math.BigDecimal]("valor").toString == "87.2500")
   }
 
+  test("F12: encoding detection chain") {
+    val utf8 = "café açúcar".getBytes("UTF-8")
+    assert(Ingest.detectEncoding(utf8) == ("UTF-8", "café açúcar"))
+    // latin-1 bytes are invalid utf-8 -> fall through to ISO-8859-1
+    val latin1 = "café açúcar".getBytes("ISO-8859-1")
+    val (cs, text) = Ingest.detectEncoding(latin1)
+    assert(cs == "ISO-8859-1" && text == "café açúcar")
+    // declared charset wins when it decodes cleanly
+    assert(Ingest.detectEncoding(latin1, declared = Some("windows-1252"))._1 ==
+      "windows-1252")
+    // plain ascii resolves as utf-8 (first in chain)
+    assert(Ingest.detectEncoding("plain".getBytes("US-ASCII"))._1 == "UTF-8")
+  }
+
   test("S6: JSON long format with header row 0") {
     val dir = tmp()
     val json =
