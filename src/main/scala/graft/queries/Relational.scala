@@ -418,8 +418,8 @@ object Relational {
         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
       FROM (
         SELECT user_id, value,
-          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM (
           SELECT *, CASE WHEN prev_ts IS NULL OR EPOCH(ts) - EPOCH(prev_ts) > 1800
             THEN 1 ELSE 0 END AS brk
@@ -444,7 +444,7 @@ object Relational {
         .orderBy(col("bucket_start"), col("event_type"))
     },
     Some("""
-      SELECT TO_TIMESTAMP(FLOOR(EPOCH(ts) / 21600) * 21600) AS bucket_start, event_type,
+      SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 21600) * 21600) AS TIMESTAMP) AS bucket_start, event_type,
         COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
