@@ -98,32 +98,24 @@ object Dims {
     coalesce(element_at(m, key), regexp_replace(key, " ", "_"))
   }
 
-  /** (codigo_ibge, nome, uf) — representative slice of the 5,570-row
-    * município table (reference `_municipios_ibge.json` via
-    * `normalize/municipalities.py:29-89`; full table drops in the same
-    * way). Bounded → always broadcast.
+  /** (codigo_ibge, nome, uf) — the FULL 5,571-row IBGE município table
+    * (public facts; same data the reference embeds as
+    * `_municipios_ibge.json`, lookup semantics per
+    * `normalize/municipalities.py:29-89`). Shipped as a columnar TSV
+    * resource in código order; parsed once on the driver. Bounded
+    * (~130 KB) → always broadcast; at 100 TB the fact side never
+    * shuffles for this lookup.
     */
-  val municipios: Seq[(Int, String, String)] = Seq(
-    (3550308, "São Paulo", "SP"), (3304557, "Rio de Janeiro", "RJ"),
-    (5300108, "Brasília", "DF"), (2927408, "Salvador", "BA"),
-    (2304400, "Fortaleza", "CE"), (3106200, "Belo Horizonte", "MG"),
-    (1302603, "Manaus", "AM"), (4106902, "Curitiba", "PR"),
-    (2611606, "Recife", "PE"), (5208707, "Goiânia", "GO"),
-    (1501402, "Belém", "PA"), (4314902, "Porto Alegre", "RS"),
-    (5103403, "Cuiabá", "MT"), (5002704, "Campo Grande", "MS"),
-    (2111300, "São Luís", "MA"), (2704302, "Maceió", "AL"),
-    (2408102, "Natal", "RN"), (2211001, "Teresina", "PI"),
-    (2507507, "João Pessoa", "PB"), (2800308, "Aracaju", "SE"),
-    (3205309, "Vitória", "ES"), (4205407, "Florianópolis", "SC"),
-    (1100205, "Porto Velho", "RO"), (1400100, "Boa Vista", "RR"),
-    (1600303, "Macapá", "AP"), (1721000, "Palmas", "TO"),
-    (1200401, "Rio Branco", "AC"), (5107602, "Rondonópolis", "MT"),
-    (5107925, "Sorriso", "MT"), (5106224, "Lucas do Rio Verde", "MT"),
-    (4104808, "Cascavel", "PR"), (4118402, "Paranaguá", "PR"),
-    (3543402, "Ribeirão Preto", "SP"), (3552205, "Sertãozinho", "SP"),
-    (5218805, "Rio Verde", "GO"), (2903201, "Barreiras", "BA"),
-    (2105508, "Imperatriz", "MA"), (4202404, "Blumenau", "SC"),
-    (4322509, "Santa Rosa", "RS"), (3170206, "Uberlândia", "MG"))
+  lazy val municipios: Seq[(Int, String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/municipios_ibge.tsv")
+    require(in != null, "municipios_ibge.tsv resource missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map { line =>
+      val Array(code, nome, uf) = line.split('\t')
+      (code.toInt, nome, uf)
+    }.toVector
+    finally src.close()
+  }
 
   def municipioDim(spark: SparkSession): DataFrame = {
     import spark.implicits._

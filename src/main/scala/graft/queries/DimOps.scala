@@ -108,22 +108,25 @@ object DimOps {
       GROUP BY regiao ORDER BY regiao"""))
 
   /** F6 — "Município - UF" split + broadcast lookup to the IBGE code
-    * (reference `regions.py:152-161` + `municipalities.py:54-89`): the
-    * input is built as "nome - uf" with noisy case/spacing, split
-    * relationally, normalized, and joined to the município dim.
+    * (reference `regions.py:152-161` + `municipalities.py:54-89`) over
+    * the FULL 5,571-row IBGE dim: inputs are built as "nome - uf" with
+    * noisy case by indexing customers into the código-ordered dim (a
+    * broadcast join, not a 5,571-element literal array), then split
+    * relationally, normalized, and looked up back against the dim.
     */
   val g04 = Q("g04_municipio_lookup",
     (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val n = Dims.municipios.size
-      val idx = pmod(col("c_custkey"), lit(n)).cast("int")
-      val nomes = Dims.municipios.map(_._2)
-      val ufsOf = Dims.municipios.map(_._3)
-      val raw = concat(
-        element_at(array(nomes.map(lit): _*), idx + 1), lit(" - "),
-        when(pmod(col("c_custkey"), lit(2)) === 0,
-          lower(element_at(array(ufsOf.map(lit): _*), idx + 1)))
-          .otherwise(element_at(array(ufsOf.map(lit): _*), idx + 1)))
-      val inputs = load(s, dir, "customer").select(col("c_custkey"), raw.as("raw"))
+      val indexed = Dims.municipioDim(s).withColumn("idx",
+        (row_number().over(Window.orderBy(col("codigo_ibge"))) - 1).cast("int"))
+      val inputs = load(s, dir, "customer")
+        .withColumn("idx", pmod(col("c_custkey"), lit(n)).cast("int"))
+        .join(broadcast(indexed), Seq("idx"))
+        .select(col("c_custkey"),
+          concat(col("nome"), lit(" - "),
+            when(pmod(col("c_custkey"), lit(2)) === 0, lower(col("uf")))
+              .otherwise(col("uf"))).as("raw"))
       val (muniRaw, ufRaw) = Dims.splitMunicipioUf(col("raw"))
       val lk = broadcast(Dims.municipioLookup(s))
       inputs
@@ -136,19 +139,20 @@ object DimOps {
     },
     Some {
       val vals = Dims.municipios
-        .map { case (c, nm, u) => s"($c,'$nm','$u')" }.mkString(", ")
-      val nomes = Dims.municipios.map(_._2)
-      val ufsOf = Dims.municipios.map(_._3)
+        .map { case (c, nm, u) => s"($c,'${nm.replace("'", "''")}','$u')" }
+        .mkString(", ")
       s"""
       WITH muni(codigo_ibge, nome, uf) AS (VALUES $vals),
+      indexed AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY codigo_ibge) - 1 AS INT) AS idx
+        FROM muni),
       inputs AS (
         SELECT c_custkey,
-          concat((['${nomes.mkString("','")}'])[idx + 1], ' - ',
-            CASE WHEN c_custkey % 2 = 0
-              THEN lower((['${ufsOf.mkString("','")}'])[idx + 1])
-              ELSE (['${ufsOf.mkString("','")}'])[idx + 1] END) AS raw
+          concat(m.nome, ' - ',
+            CASE WHEN c_custkey % 2 = 0 THEN lower(m.uf) ELSE m.uf END) AS raw
         FROM (SELECT c_custkey, CAST(c_custkey % ${Dims.municipios.size} AS INT) AS idx
-              FROM customer) t)
+              FROM customer) t
+        JOIN indexed m USING (idx))
       SELECT i.c_custkey, i.raw, m.nome, m.uf, m.codigo_ibge
       FROM inputs i
       JOIN muni m

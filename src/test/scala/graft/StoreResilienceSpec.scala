@@ -85,6 +85,24 @@ class StoreResilienceSpec extends SparkSuite {
     assert(Dims.municipios.map(_._1).distinct.size == Dims.municipios.size)
   }
 
+  test("F6: full 5,571-row IBGE município dim — non-capital lookups resolve") {
+    assert(Dims.municipios.size == 5571)
+    import org.apache.spark.unsafe.types.UTF8String
+    def strip(s: String): String =
+      graft.functions.TextOps.stripAccents(UTF8String.fromString(s)).toString
+    // (accent-stripped-lower name, uf) is a unique lookup key over the full table
+    assert(Dims.municipios
+      .map { case (_, n, u) => (strip(n.toLowerCase), u) }.distinct.size == 5571)
+    val lk = Dims.municipioLookup(spark)
+    def ibge(name: String, uf: String): Long =
+      lk.filter(col("k") === strip(name.toLowerCase) && col("uf") === uf)
+        .select(col("codigo_ibge")).as[Int].head().toLong
+    assert(ibge("Não-Me-Toque", "RS") == 4312658L)   // non-capital, accented + hyphens
+    assert(ibge("Sorriso", "MT") == 5107925L)        // non-capital ag hub
+    assert(ibge("Olho d'Água das Cunhãs", "MA") == 2107407L) // apostrophe name
+    assert(ibge("Santa Rosa", "RS") == 4317202L)
+  }
+
   test("D1: error taxonomy classification") {
     assert(ErrorTaxonomy.classify(new java.io.IOException("x")) == "network")
     assert(ErrorTaxonomy.classify(new NumberFormatException("x")) == "parse")
