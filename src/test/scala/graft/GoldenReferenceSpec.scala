@@ -895,6 +895,27 @@ class GoldenReferenceSpec extends SparkSuite {
     assert(df.count() == 27 * 9)
   }
 
+  test("conab_progresso/progresso_sample: section carry-forward XLSX matches expected.json") {
+    val xlsx = s"$goldenDir/conab_progresso/progresso_sample.xlsx"
+    assume(available(xlsx))
+    val recs = graft.ingest.ConabProgresso.parseWorkbook(xlsx)
+    // expected.json: total_records=8, culturas, operacoes, estados, safra, semana
+    assert(recs.size == 8)
+    assert(recs.map(_.cultura).distinct.sorted == Seq("Milho 2ª", "Soja"))
+    assert(recs.map(_.operacao).distinct.sorted == Seq("Colheita", "Semeadura"))
+    assert(recs.map(_.estado).distinct.sorted == Seq("GO", "MT", "PR"))
+    assert(recs.forall(_.safra == "2025/26"))
+    assert(recs.forall(_.semanaAtual == "2026-02-07"))
+    assert(recs.count(r => r.cultura == "Soja" && r.operacao == "Semeadura") == 3)
+    assert(recs.count(r => r.cultura == "Soja" && r.operacao == "Colheita") == 3)
+    assert(recs.count(r => r.cultura == "Milho 2ª" && r.operacao == "Semeadura") == 2)
+    val mt = recs.find(r =>
+      r.cultura == "Soja" && r.operacao == "Colheita" && r.estado == "MT").get
+    assert(math.abs(mt.pctSemanaAtual.get - 0.468) < 1e-9)
+    // summary rows ("3 estados"), footnotes and parenthetical notes excluded
+    assert(!recs.exists(_.estado.toLowerCase.contains("estado")))
+  }
+
   test("mapbiomas/biome_state_sample: XLSX year-column melt (B6) on real data") {
     val xlsx = s"$goldenDir/mapbiomas/biome_state_sample.xlsx"
     assume(available(xlsx))
