@@ -30,30 +30,47 @@ object Dedup {
       .drop("fp")
   }
 
-  /** MinHash-LSH candidate pairs: signature → `bands` band-hashes →
-    * explode → groupBy(band, hash) → within-bucket self-join. The
-    * estimated Jaccard similarity (fraction of agreeing signature
-    * positions) is computed per candidate pair and thresholded.
+  /** The MinHash signature table `(doc_id, sig)` — the expensive stage
+    * of the LSH pipeline, split out so callers choose how to
+    * materialize it (cache for a one-shot job, a persisted parquet
+    * table for the 100 TB shape — see [[persistedMinhashSignatures]]).
     */
-  def minhashLshPairs(
+  def minhashSignatures(
       df: DataFrame, idCol: Column, textCol: Column,
-      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, numHashes: Int = 64): DataFrame =
+    df.select(idCol.as("doc_id"),
+      G.minhashSig(textCol, shingleSize, numHashes).as("sig"))
+
+  /** Write the signature table as parquet and read it back: signatures
+    * are computed EXACTLY once, survive the job, and downstream stages
+    * (band explode + two verify-join sides) scan a columnar table
+    * instead of recomputing or pinning executor memory. At real scale
+    * this also makes the signature table shareable across dedup runs.
+    */
+  def persistedMinhashSignatures(
+      df: DataFrame, idCol: Column, textCol: Column, path: String,
+      shingleSize: Int = 3, numHashes: Int = 64): DataFrame = {
+    minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** MinHash-LSH candidate pairs from a signature table: `bands`
+    * band-hashes → explode → groupBy(band, hash) → within-bucket
+    * self-join. The estimated Jaccard similarity (fraction of agreeing
+    * signature positions) is computed per candidate pair and
+    * thresholded. `sigs` must be materialized (cached or persisted) —
+    * it is read three times.
+    */
+  def minhashLshPairsFromSigs(
+      sigs: DataFrame, numHashes: Int = 64, bands: Int = 16,
       minSim: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = df.select(idCol.as("doc_id"),
-      G.minhashSig(textCol, shingleSize, numHashes).as("sig"))
-
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
     }
-    // materialize signatures: they are the expensive stage and are read
-    // by the band explode AND twice by the verify join — without the
-    // cache every minhash would be computed three times (at scale:
-    // persist the signature table explicitly)
-    val cached = sigs.cache()
-
-    val exploded = cached.select(col("doc_id"),
+    val exploded = sigs.select(col("doc_id"),
       explode(array(bandCols: _*)).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bh"))
 
@@ -67,14 +84,27 @@ object Dedup {
       .distinct()
 
     candidates
-      .join(cached.select(col("doc_id").as("id1"), col("sig").as("sig1")), Seq("id1"))
-      .join(cached.select(col("doc_id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), Seq("id2"))
       .withColumn("est_sim",
         size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1)),
           c => c.isNotNull)).cast("double") / numHashes)
       .filter(col("est_sim") >= minSim)
       .select(col("id1"), col("id2"), col("est_sim"))
   }
+
+  /** One-shot MinHash-LSH: signatures cached in memory (small/medium
+    * corpora; for the persisted 100 TB shape build the signature table
+    * with [[persistedMinhashSignatures]] and call
+    * [[minhashLshPairsFromSigs]]).
+    */
+  def minhashLshPairs(
+      df: DataFrame, idCol: Column, textCol: Column,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minSim: Double = 0.5): DataFrame =
+    minhashLshPairsFromSigs(
+      minhashSignatures(df, idCol, textCol, shingleSize, numHashes).cache(),
+      numHashes, bands, minSim)
 
   /** SimHash near-dup pairs: 64-bit sketch cut into `bands` chunks
     * (pigeonhole: hamming ≤ bands-1 ⇒ some chunk equal), bucket join on

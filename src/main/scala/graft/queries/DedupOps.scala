@@ -112,5 +112,24 @@ object DedupOps {
     },
     None)
 
-  def qs: Seq[Q] = Seq(d01, d02, d03, d04)
+  /** d02's 100 TB shape: the MinHash signature table is WRITTEN to a
+    * parquet table and read back (no executor-memory pin, shareable
+    * across runs), then banded into the same candidate pairs. ScalaTest
+    * asserts persisted == cached pair-for-pair; here the persisted path
+    * runs under the driver's gate like any other query.
+    */
+  val d05 = Q("d05_minhash_persisted_sigs",
+    (s, dir) => {
+      val sigPath = java.nio.file.Files.createTempDirectory("graft_sig_table")
+        .resolve("signatures").toString
+      val sigs = Dedup.persistedMinhashSignatures(
+        withNearDups(s, dir), col("doc_id"), col("text"), sigPath,
+        shingleSize = 3, numHashes = 64)
+      Dedup.minhashLshPairsFromSigs(sigs, numHashes = 64, bands = 16, minSim = 0.5)
+        .select(col("id1"), col("id2"), round(col("est_sim"), 4).as("est_sim"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05)
 }

@@ -40,6 +40,29 @@ class PipelinesSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("persisted-signature minhash path yields identical pairs to the cached path") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+    val docs = (1L to 40L).map { i =>
+      if (i % 5 == 0) (i, base + s" tail $i") // near-dup family
+      else (i, s"unique document number $i about topic ${i * 7} with body text segment ${i * 13} and closing words ${i * 31}")
+    }.toDF("doc_id", "text")
+    val cachedPairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 64, bands = 16, minSim = 0.5)
+      .select("id1", "id2", "est_sim").as[(Long, Long, Double)].collect().toSet
+    val sigDir = java.nio.file.Files.createTempDirectory("graft_sig_spec")
+      .resolve("signatures").toString
+    val sigs = Dedup.persistedMinhashSignatures(docs, col("doc_id"), col("text"),
+      sigDir, shingleSize = 3, numHashes = 64)
+    val persistedPairs = Dedup.minhashLshPairsFromSigs(sigs, 64, 16, 0.5)
+      .select("id1", "id2", "est_sim").as[(Long, Long, Double)].collect().toSet
+    assert(persistedPairs == cachedPairs)
+    assert(persistedPairs.nonEmpty) // the planted family was found
+    // the signature table is a real on-disk parquet table
+    val back = spark.read.parquet(sigDir)
+    assert(back.count() == 40 &&
+      back.schema.fieldNames.toSeq == Seq("doc_id", "sig"))
+  }
+
   test("simhash banding recovers planted near-dup") {
     // a doubled document keeps identical term frequencies -> identical
     // simhash (hamming 0); the unrelated doc must stay out
