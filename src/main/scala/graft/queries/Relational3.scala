@@ -25,6 +25,24 @@ object Relational3 {
     },
     None)
 
+  /** The oracle-checked half of q25: the exact distinct count alone is
+    * engine-independent, so it gets a DuckDB oracle while the HLL
+    * estimate above stays rows-only. Same scan, same grouping — proves
+    * the exact column q25 compares its sketch against is itself
+    * correct.
+    */
+  val q29 = Q("q29_exact_distinct",
+    (s, dir) => {
+      load(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("ano"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+        .orderBy(col("ano"))
+    },
+    Some("""
+      SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS ano,
+             COUNT(DISTINCT o_custkey) AS n_exact
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
   /** Set operations (SURVEY §2.6 note): customers active in BOTH years
     * (intersect) and in 1995 only (except) — both hash-dedup shuffles
     * on the full row.
@@ -96,5 +114,5 @@ object Relational3 {
         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  def qs: Seq[Q] = Seq(q25, q26, q27, q28)
+  def qs: Seq[Q] = Seq(q25, q26, q27, q28, q29)
 }

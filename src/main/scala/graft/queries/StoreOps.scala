@@ -52,5 +52,39 @@ object StoreOps {
       FROM (SELECT concat_ws('|', o_orderkey, o_orderstatus, o_orderpriority) AS r
             FROM orders) t"""))
 
-  def qs: Seq[Q] = Seq(s01, s02)
+  /** S8 under the transactional commit protocol: same MERGE as s01 but
+    * through [[graft.store.TxStore]] — init v1, commitUpsert to v2,
+    * read back the committed snapshot. Same oracle as s01: the ACID
+    * path must be invisible in the result.
+    */
+  val s03 = Q("s03_tx_upsert",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_tx")
+        .resolve("t").toString
+      val base = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.store.TxStore.init(base, root)
+      val touched = load(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      val updates = touched
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 100000.0).as("o_totalprice"))
+        .unionByName(touched.select((col("o_orderkey") + 5000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")))
+      graft.store.TxStore.commitUpsert(s, root, updates, Seq("o_orderkey"))
+      graft.store.TxStore.read(s, root).orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH updates AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 100000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 5000000, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0),
+      base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+      SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      UNION ALL SELECT * FROM updates
+      ORDER BY o_orderkey"""))
+
+  def qs: Seq[Q] = Seq(s01, s02, s03)
 }

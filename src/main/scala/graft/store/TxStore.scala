@@ -1,0 +1,147 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Transactional fact-table commits over plain parquet — the ACID story
+  * the reference gets from DuckDB's staging-table merge
+  * (`cache/duckdb_store.py:417-461`), re-expressed as a versioned
+  * directory layout with an atomic pointer flip (the core idea behind
+  * Delta/Iceberg commit logs, reduced to the single-writer case):
+  *
+  * {{{
+  *   table/
+  *     _current            <- committed version number (the ONLY mutable file)
+  *     _versions/v1/...    <- immutable parquet snapshots
+  *     _versions/v2/...
+  * }}}
+  *
+  * Invariants:
+  *  - data directories are immutable once written (`ErrorIfExists`);
+  *  - readers resolve `_current` first, so they only ever see a fully
+  *    written snapshot — a merge that fails mid-job leaves the pointer
+  *    (and therefore the table) untouched;
+  *  - the pointer flip is a same-filesystem `ATOMIC_MOVE`, and carries
+  *    an optimistic-concurrency check on the expected base version
+  *    (lost-update protection for racing writers).
+  *
+  * At 100 TB the snapshot write becomes a partition-overwrite (only
+  * partitions containing touched PKs are rewritten) and `_current`
+  * lives in a store with atomic rename/CAS (HDFS rename, DynamoDB-style
+  * lock for S3) — the protocol is unchanged.
+  */
+object TxStore {
+
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
+  private def currentFile(root: String): Path = Paths.get(root, "_current")
+
+  def versionDir(root: String, v: Long): String =
+    Paths.get(root, "_versions", s"v$v").toString
+
+  /** The committed version, or None for an uninitialized table. */
+  def currentVersion(root: String): Option[Long] = {
+    val f = currentFile(root)
+    if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+  }
+
+  /** Initialize the table at version 1. */
+  def init(df: DataFrame, root: String): Long = {
+    require(currentVersion(root).isEmpty, s"table already initialized at $root")
+    Files.createDirectories(Paths.get(root, "_versions"))
+    writeVersion(df, root, 1L)
+    flipPointer(root, expected = None, next = 1L)
+    1L
+  }
+
+  /** The committed snapshot (throws for an uninitialized table). */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val v = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    spark.read.parquet(versionDir(root, v))
+  }
+
+  /** MERGE-commit: upsert `updates` into the committed snapshot and
+    * flip the pointer — all-or-nothing. Any failure while computing or
+    * writing the new snapshot (or a concurrent commit in between)
+    * leaves the committed version readable and unchanged.
+    *
+    * @param expectedVersion optimistic-concurrency guard; defaults to
+    *   the version read at call time.
+    */
+  def commitUpsert(spark: SparkSession, root: String, updates: DataFrame,
+      pk: Seq[String], expectedVersion: Option[Long] = None): Long = {
+    val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val base = spark.read.parquet(versionDir(root, expected))
+    val merged = Store.upsert(base, updates, pk)
+    val next = expected + 1
+    writeVersion(merged, root, next)
+    if (currentVersion(root) != Some(expected)) {
+      deleteRecursively(Paths.get(versionDir(root, next)))
+      throw new ConcurrentCommitException(
+        s"table at $root moved past v$expected; retry on the new snapshot")
+    }
+    flipPointer(root, Some(expected), next)
+    next
+  }
+
+  /** Remove data directories above the committed version — orphans from
+    * failed or conflicted commits. Safe anytime: committed snapshots
+    * are never touched.
+    */
+  def vacuum(root: String): Seq[Long] = {
+    val committed = currentVersion(root).getOrElse(return Seq.empty)
+    val versionsDir = Paths.get(root, "_versions")
+    if (!Files.exists(versionsDir)) return Seq.empty
+    val it = Files.list(versionsDir)
+    try {
+      val orphans = it.iterator()
+      val removed = Seq.newBuilder[Long]
+      orphans.forEachRemaining { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("v")) {
+          val v = name.drop(1).toLongOption
+          if (v.exists(_ > committed)) { deleteRecursively(p); removed += v.get }
+        }
+      }
+      removed.result().sorted
+    } finally it.close()
+  }
+
+  /** Write one immutable snapshot. A pre-existing directory means a
+    * concurrent writer claimed this version — surfaced as a conflict,
+    * never deleted. On a mid-write failure only the directory THIS call
+    * created is removed, so a retry of the same version can proceed.
+    */
+  private def writeVersion(df: DataFrame, root: String, v: Long): Unit = {
+    val dir = versionDir(root, v)
+    if (Files.exists(Paths.get(dir)))
+      throw new ConcurrentCommitException(
+        s"snapshot v$v already exists at $root (concurrent writer)")
+    try df.write.mode(SaveMode.ErrorIfExists).parquet(dir)
+    catch {
+      case e: Throwable =>
+        deleteRecursively(Paths.get(dir))
+        throw e
+    }
+  }
+
+  /** Atomic pointer flip: write aside, ATOMIC_MOVE into place. */
+  private def flipPointer(root: String, expected: Option[Long], next: Long): Unit = {
+    val tmp = Paths.get(root, s"_current.tmp.$next")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, currentFile(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+}
