@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{GraftFunctions => G}
 
@@ -152,4 +153,52 @@ object Dedup {
     when(size(array_union(a, b)) === 0, 0.0)
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
+
+  /** Exact n-gram Jaccard similarity join — the EXACT sibling of the
+    * MinHash pipeline: every pair with shingle-Jaccard >= tau, no
+    * sketch error, still never all-pairs. Prefix filtering (the
+    * SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al.
+    * WWW'08): under a global rarest-first token order, a pair with
+    * J >= tau must share a token among each side's first
+    * `n - ceil(tau*n) + 1` tokens, so the inverted index is built on
+    * prefixes only and the candidate join meets inside per-token
+    * buckets whose size the df-ordering keeps small. A length filter
+    * (`tau*|A| <= |B| <= |A|/tau`) prunes inside the bucket; exact
+    * Jaccard on the full shingle sets is computed for candidates only.
+    * Both filters are pruning-only (epsilon-slackened ceil), so the
+    * output is exactly the brute-force answer — DuckDB-oracle-checked
+    * end to end (d06).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 3, tau: Double = 0.6): DataFrame = {
+    // ceil(tau*n) with FP slack: an over-ceil would shrink the prefix /
+    // tighten the length filter and could drop a boundary pair
+    def ceilTau(n: Column): Column = ceil(lit(tau) * n - lit(1e-9))
+    val docs = df.select(idCol.as("doc_id"), shingles(textCol, k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache() // read by the prefix index and both verify-join sides
+    val toks = docs.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    // global token order: rarest first (document frequency asc, token
+    // asc). Any total order is correct; rarest-first makes the indexed
+    // prefixes the LEAST shared tokens, minimizing bucket fan-out.
+    val tokenDf = toks.groupBy(col("s")).agg(count(lit(1)).as("tdf"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("tdf"), col("s"))
+    val prefix = toks.join(tokenDf, Seq("s"))
+      .withColumn("pos", row_number().over(byRarity))
+      .filter(col("pos") <= col("n") - ceilTau(col("n")) + 1)
+      .select(col("s"), col("doc_id"), col("n"))
+    val cand = prefix.select(col("s"), col("doc_id").as("id1"), col("n").as("n1"))
+      .join(prefix.select(col("s"), col("doc_id").as("id2"), col("n").as("n2")), Seq("s"))
+      .filter(col("id1") < col("id2") &&
+        col("n2") >= ceilTau(col("n1")) && col("n1") >= ceilTau(col("n2")))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(docs.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jacc"))
+      .filter(col("jacc") >= tau)
+  }
 }

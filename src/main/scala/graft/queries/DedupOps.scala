@@ -131,5 +131,44 @@ object DedupOps {
     },
     None)
 
-  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05)
+  /** Exact n-gram Jaccard similarity join (prefix-filtered inverted
+    * index — see [[graft.ops.Dedup.ngramJaccardPairs]]). Unlike the
+    * sketch pipelines (d02-d05) the answer is exact, so this one is
+    * fully DuckDB-oracle-checked: the oracle brute-forces shared
+    * shingles; the engine must reach the identical pair set through
+    * the prefix filter.
+    */
+  val d06 = Q("d06_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccardPairs(withNearDups(s, dir),
+      col("doc_id"), col("text"), k = 3, tau = 0.6)
+      .select(col("id1"), col("id2"), round(col("jacc"), 4).as("jacc"))
+      .orderBy(col("id1"), col("id2")),
+    Some("""
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 20000, concat(text, ' graft appended marker tokens')
+        FROM documents WHERE doc_id % 11 = 0),
+      norm AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM all_docs),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      common AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+        FROM sh a JOIN sh b USING (s)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id1, id2, ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS jacc
+      FROM common
+      JOIN sizes s1 ON s1.doc_id = id1
+      JOIN sizes s2 ON s2.doc_id = id2
+      WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6
+      ORDER BY id1, id2"""))
+
+  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06)
 }
