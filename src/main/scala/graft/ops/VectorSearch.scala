@@ -5,14 +5,16 @@ import org.apache.spark.sql.functions._
 import graft.functions.{GraftFunctions => G}
 
 /** Approximate-nearest-neighbor search over an embedding column.
-  * Two paths:
+  * Three paths:
   *  - brute-force: broadcast the (tiny) query set, score every row,
   *    TakeOrdered top-k — the exactness baseline, one scan, no shuffle
   *    beyond the top-k reduction;
   *  - LSH-bucketed: hyperplane sign buckets across several hash tables,
   *    candidates = rows sharing a (table, bucket) with the query, then
   *    exact cosine re-rank of candidates only. At 100 TB the bucket join
-  *    touches ~n/2^nbits × tables rows instead of n.
+  *    touches ~n/2^nbits × tables rows instead of n;
+  *  - IVF-Flat: k-means Voronoi cells + nprobe probing — data-adaptive
+  *    where LSH is oblivious (see [[trainCentroids]]/[[ivfCandidates]]).
   */
 object VectorSearch {
 
@@ -48,6 +50,89 @@ object VectorSearch {
       .drop("tbl", "bucket")
       .withColumn("sim", round(G.cosineSim(col(vecCol), col("q_vec")), 6))
       .drop("q_vec")
+  }
+
+  /** Literal `array<struct<cid:int, c:array<float>>>` of the trained
+    * centroids — tiny (C × dim), rides into codegen as a constant.
+    */
+  private def centroidArray(cents: Array[Seq[Float]]): Column =
+    array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i).as("cid"), typedlit(cv).as("c"))
+    }: _*)
+
+  /** Voronoi cell of a vector: argmax cosine over the centroid literal,
+    * one pass per row via `aggregate` — no explode, no shuffle, stays
+    * inside whole-stage codegen.
+    */
+  def nearestCell(vec: Column, cents: Array[Seq[Float]]): Column = {
+    // aliases inside lambda bodies are stripped by the analyzer, so
+    // both when-branches are pinned to one named struct type via cast
+    val accType = "struct<cid:int,best:double>"
+    aggregate(centroidArray(cents),
+      struct(lit(-1).as("cid"), lit(-2.0).as("best")).cast(accType),
+      (acc, e) => {
+        val s = G.cosineSim(vec, e.getField("c"))
+        when(s > acc.getField("best"),
+          struct(e.getField("cid"), s).cast(accType)).otherwise(acc)
+      },
+      acc => acc.getField("cid"))
+  }
+
+  /** Train the IVF coarse quantizer (Lloyd's k-means, cosine
+    * assignment): seeds are the first `c` vectors under xxhash64(id)
+    * order (deterministic, data-independent tie-break), then `iters`
+    * assign/mean rounds. Train on a hash-sample (`sampleMod` > 1 keeps
+    * 1/sampleMod of rows) — a coarse quantizer never needs the full
+    * corpus, which is what makes training viable at 100 TB. Collected
+    * state is C × dim doubles — bounded and tiny by construction.
+    */
+  def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      c: Int, iters: Int = 3, sampleMod: Int = 1): Array[Seq[Float]] = {
+    val sample = (if (sampleMod <= 1) vectors
+      else vectors.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0))
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .cache() // read once per Lloyd round
+    var cents: Array[Seq[Float]] = sample
+      .orderBy(xxhash64(col("id")), col("id")).limit(c)
+      .select(col("v")).collect()
+      .map(_.getSeq[Float](0))
+    for (_ <- 1 to iters) {
+      val means = sample
+        .select(nearestCell(col("v"), cents).as("cell"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect() // C × dim rows — driver-side by design
+        .groupBy(_.getAs[Int]("cell"))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m").toFloat).toSeq
+        }
+      cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+    }
+    sample.unpersist()
+    cents
+  }
+
+  /** IVF-Flat probe (the inverted-file ANN family — Jégou et al.
+    * TPAMI'11; data-adaptive where hyperplane LSH is oblivious): the
+    * query probes its `nprobe` nearest Voronoi cells and exact cosine
+    * re-ranks inside them only. `nprobe == c` degenerates to exact
+    * brute force (the spec asserts that equivalence). At 100 TB `cell`
+    * is a partition column of a persisted index table, so a probe
+    * reads ~nprobe/C of the data instead of all of it.
+    */
+  def ivfCandidates(vectors: DataFrame, query: DataFrame, vecCol: String,
+      cents: Array[Seq[Float]], nprobe: Int): DataFrame = {
+    val sims = transform(centroidArray(cents),
+      e => struct(G.cosineSim(col("q_vec"), e.getField("c")).as("sim"),
+        e.getField("cid").as("cid")))
+    val probes = transform(slice(reverse(array_sort(sims)), 1, nprobe),
+      s => s.getField("cid"))
+    val qb = broadcast(query.select(col(vecCol).as("q_vec"))
+      .withColumn("cell", explode(probes)))
+    vectors.withColumn("cell", nearestCell(col(vecCol), cents))
+      .join(qb, Seq("cell"))
+      .withColumn("sim", round(G.cosineSim(col(vecCol), col("q_vec")), 6))
+      .drop("q_vec", "cell")
   }
 
   /** Cosine near-duplicate pairs via LSH bucket self-join (multi-table,

@@ -65,5 +65,25 @@ object VectorSearch {
     },
     None)
 
-  def qs: Seq[Q] = Seq(a01, a02, a03)
+  /** IVF-bucketed ANN around vec_id 0: 16-cell k-means coarse
+    * quantizer (trained in-query, deterministic seeds), probe the 4
+    * cells nearest the query, exact cosine re-rank inside them.
+    * Sketch-path rows-only check here; the exactness degeneracy
+    * (nprobe == C ⇒ identical to brute force) and planted-neighbor
+    * recovery are asserted in ScalaTest.
+    */
+  val a04 = Q("a04_ann_ivf",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") =!= 0)
+      val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 3)
+      V.ivfCandidates(base, e.filter(col("vec_id") === 0), "embedding",
+          cents, nprobe = 4)
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(a01, a02, a03, a04)
 }

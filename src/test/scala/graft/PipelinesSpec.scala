@@ -122,6 +122,28 @@ class PipelinesSpec extends SparkSuite {
     assert(lsh.nonEmpty && lsh.head == 0L)
   }
 
+  test("IVF: nprobe == C degenerates to exact brute force; planted neighbor recovered") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = e.filter(col("vec_id") =!= 0L)
+    val query = e.filter(col("vec_id") === 0L)
+    val c = 8
+    val cents = VectorSearch.trainCentroids(base, "vec_id", "embedding", c = c, iters = 2)
+    assert(cents.length == c && cents.forall(_.nonEmpty))
+    def topIds(df: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] =
+      df.orderBy(col("sim").desc, col("vec_id")).limit(k)
+        .select("vec_id").as[Long].collect().toSeq
+    // probing every cell must recover the exact answer
+    val exhaustive = topIds(VectorSearch.ivfCandidates(base, query, "embedding", cents, nprobe = c), 10)
+    val brute = topIds(VectorSearch.bruteForceTopK(base, query, "embedding", 10), 10)
+    assert(exhaustive == brute)
+    // a tiny perturbation of the query lands in the query's own probe set
+    val planted = query.select(lit(99999L).as("vec_id"), lit("planted").as("label"),
+      transform(col("embedding"), (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+    val found = topIds(VectorSearch.ivfCandidates(base.unionByName(planted), query,
+      "embedding", cents, nprobe = 1), 1)
+    assert(found == Seq(99999L))
+  }
+
   test("contract violation report counts nulls and bounds in one pass") {
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val df = Seq[(java.lang.Long, java.lang.Double)](
