@@ -64,6 +64,17 @@ object TxStore {
     spark.read.parquet(versionDir(root, v))
   }
 
+  /** Time travel: read a specific committed version (1-based). Only
+    * versions at or below `_current` are readable — directories above
+    * it are uncommitted orphans by definition.
+    */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    require(v >= 1 && v <= cur, s"version v$v not committed (current: v$cur)")
+    spark.read.parquet(versionDir(root, v))
+  }
+
   /** MERGE-commit: upsert `updates` into the committed snapshot and
     * flip the pointer — all-or-nothing. Any failure while computing or
     * writing the new snapshot (or a concurrent commit in between)

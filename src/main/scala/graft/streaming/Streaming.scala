@@ -31,6 +31,18 @@ object Streaming {
       .select(col("w.start").as("bucket_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup — the streaming twin of the batch dedup
+    * family (P7/d01): duplicate keys arriving within the watermark
+    * horizon are dropped, and the dedup state expires WITH the
+    * watermark, so state is bounded by keys-per-horizon rather than
+    * growing with the stream (the property that keeps this runnable
+    * forever on a 100 TB/day feed).
+    */
+  def dedupStream(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Ev(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp,

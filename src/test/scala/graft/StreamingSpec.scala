@@ -71,6 +71,26 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-horizon duplicates, state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streaming.dedupStream(df, horizon = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+        (1L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0), // same-batch dup
+        (2L, ts("2024-01-01 00:10:00"), 2L, "view", 2.0))
+      q.processAllAvailable()
+      in.addData((1L, ts("2024-01-01 00:20:00"), 1L, "click", 1.0)) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L), s"each id exactly once, got $ids")
+    } finally q.stop()
+  }
+
   test("multimodal stub decode: deterministic features, exact byte math") {
     val docs = Seq((0L, "ab"), (1L, ""), (2L, "xyz")).toDF("doc_id", "text")
     val out = Multimodal.extractFeatures(

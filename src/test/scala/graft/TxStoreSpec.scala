@@ -51,6 +51,18 @@ class TxStoreSpec extends SparkSuite {
     assert(rows(root) == before + ((3L, "trigo", 30.0)))
   }
 
+  test("time travel reads any committed version; uncommitted versions are unreadable") {
+    val root = freshRoot()
+    TxStore.init(Seq((1L, "soja", 100.0)).toDF("k", "produto", "v"), root)
+    TxStore.commitUpsert(spark, root,
+      Seq((1L, "soja", 150.0)).toDF("k", "produto", "v"), Seq("k")) // -> v2
+    assert(TxStore.readVersion(spark, root, 1L).as[(Long, String, Double)].collect().toSet
+      == Set((1L, "soja", 100.0)))
+    assert(TxStore.readVersion(spark, root, 2L).as[(Long, String, Double)].collect().toSet
+      == Set((1L, "soja", 150.0)))
+    intercept[IllegalArgumentException](TxStore.readVersion(spark, root, 3L))
+  }
+
   test("optimistic concurrency: a stale writer conflicts and changes nothing") {
     val root = freshRoot()
     TxStore.init(Seq((1L, "soja", 100.0)).toDF("k", "produto", "v"), root)
