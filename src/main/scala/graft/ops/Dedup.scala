@@ -175,7 +175,13 @@ object Dedup {
     // ceil(tau*n) with FP slack: an over-ceil would shrink the prefix /
     // tighten the length filter and could drop a boundary pair
     def ceilTau(n: Column): Column = ceil(lit(tau) * n - lit(1e-9))
-    val docs = df.select(idCol.as("doc_id"), shingles(textCol, k).as("sh"))
+    // shingles are 64-bit-hashed up front: the inverted index, the
+    // candidate shuffle and the verify arrays carry longs, never the
+    // shingle strings (set cardinalities — and therefore Jaccard — are
+    // unchanged barring a 64-bit collision, which the DuckDB oracle
+    // comparison would surface, same stance as d01)
+    val docs = df.select(idCol.as("doc_id"),
+        transform(shingles(textCol, k), x => xxhash64(x)).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache() // read by the prefix index and both verify-join sides
     val toks = docs.select(col("doc_id"), size(col("sh")).as("n"),
@@ -189,6 +195,11 @@ object Dedup {
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <= col("n") - ceilTau(col("n")) + 1)
       .select(col("s"), col("doc_id"), col("n"))
+    // NOT cached: measured 2.3x slower when materialized — the cache
+    // boundary blocks cross-stage optimization and forces the full
+    // prefix table through storage, while recomputing the two join
+    // sides pipelines them in parallel off the cached docs
+
     val cand = prefix.select(col("s"), col("doc_id").as("id1"), col("n").as("n1"))
       .join(prefix.select(col("s"), col("doc_id").as("id2"), col("n").as("n2")), Seq("s"))
       .filter(col("id1") < col("id2") &&

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.T._
 import graft.functions.{GraftFunctions => G}
@@ -95,5 +96,116 @@ object TextAnalysis {
       ORDER BY doc_id"""
     })
 
-  def qs: Seq[Q] = Seq(t01, t02, t03)
+  /** Corpus distribution stats: exact token-count percentiles per
+    * language (curation decisions — length cutoffs, sampling weights —
+    * are made off these). Exact `percentile`, not approx, so the DuckDB
+    * `quantile_cont` oracle hash-matches; at 100 TB the same shape runs
+    * with `percentile_approx` at a declared error bound.
+    */
+  val t04 = Q("t04_token_percentiles",
+    (s, dir) => {
+      load(s, dir, "documents")
+        .select(col("lang"), G.tokenCount(col("text")).as("nt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(nt, 0.25)"), 6).as("p25"),
+          round(expr("percentile(nt, 0.5)"), 6).as("p50"),
+          round(expr("percentile(nt, 0.75)"), 6).as("p75"),
+          round(expr("percentile(nt, 0.95)"), 6).as("p95"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+        ROUND(quantile_cont(nt, 0.25), 6) AS p25,
+        ROUND(quantile_cont(nt, 0.5), 6) AS p50,
+        ROUND(quantile_cont(nt, 0.75), 6) AS p75,
+        ROUND(quantile_cont(nt, 0.95), 6) AS p95
+      FROM (SELECT lang,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+            FROM documents) t
+      GROUP BY lang ORDER BY lang"""))
+
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * sequences (2048 here) by exclusive prefix sum within each
+    * language — one window shuffle, deterministic bin ids, no driver
+    * loop. The packer every LLM data pipeline runs before tokenizer
+    * sharding.
+    */
+  val t05 = Q("t05_sequence_packing",
+    (s, dir) => {
+      val budget = 2048L
+      val byDoc = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), G.tokenCount(col("text")).as("nt"))
+        .withColumn("cum", sum(col("nt")).over(byDoc))
+        .select(col("doc_id"), col("lang"), col("nt"),
+          floor((col("cum") - col("nt")) / lit(budget.toDouble)).cast("long").as("seq_id"))
+        .withColumn("pos_in_seq",
+          row_number().over(Window.partitionBy(col("lang"), col("seq_id"))
+            .orderBy(col("doc_id"))).cast("long"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, nt,
+          CAST(SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+        FROM t)
+      SELECT doc_id, lang, nt,
+        CAST(FLOOR((cum - nt) / 2048.0) AS BIGINT) AS seq_id,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY lang, CAST(FLOOR((cum - nt) / 2048.0) AS BIGINT)
+          ORDER BY doc_id) AS BIGINT) AS pos_in_seq
+      FROM c ORDER BY lang, doc_id"""))
+
+  /** PII redaction: plant a deterministic email/phone/CPF tail per
+    * document, then scrub with a regexp_replace chain (all-codegen,
+    * patterns kept to the RE2 ∩ java.util.regex common dialect so the
+    * oracle applies the identical rules).
+    */
+  val t06 = Q("t06_pii_redact",
+    (s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+55 [0-9]{2} 9[0-9]{4}-[0-9]{4}"
+      val cpfRe = "[0-9]{3}\\.[0-9]{3}\\.[0-9]{3}-[0-9]{2}"
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +55 11 9"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit("-"), lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"),
+            lit(" cpf 123.456.789-"),
+            lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0")).as("text"))
+        .select(col("doc_id"),
+          (size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+            + size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+            + size(regexp_extract_all(col("text"), lit(cpfRe), lit(0)))).cast("long").as("n_pii"),
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), cpfRe, "<CPF>").as("clean_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH planted AS (
+        SELECT doc_id,
+          concat(text, ' contact user', doc_id, '@example.com or +55 11 9',
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '-',
+            lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0'),
+            ' cpf 123.456.789-',
+            lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')) AS text
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0))
+           + len(regexp_extract_all(text, '\+55 [0-9]{2} 9[0-9]{4}-[0-9]{4}', 0))
+           + len(regexp_extract_all(text, '[0-9]{3}\.[0-9]{3}\.[0-9]{3}-[0-9]{2}', 0)) AS BIGINT) AS n_pii,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\+55 [0-9]{2} 9[0-9]{4}-[0-9]{4}', '<PHONE>', 'g'),
+          '[0-9]{3}\.[0-9]{3}\.[0-9]{3}-[0-9]{2}', '<CPF>', 'g') AS clean_text
+      FROM planted ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06)
 }

@@ -76,7 +76,7 @@ object VectorSearch {
     (s, dir) => {
       val e = load(s, dir, "embeddings")
       val base = e.filter(col("vec_id") =!= 0)
-      val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 3)
+      val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 2)
       V.ivfCandidates(base, e.filter(col("vec_id") === 0), "embedding",
           cents, nprobe = 4)
         .select(col("vec_id"), col("label"), col("sim"))
