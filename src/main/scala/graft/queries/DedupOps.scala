@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.T._
 import graft.ops.Dedup
@@ -170,5 +171,41 @@ object DedupOps {
       WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6
       ORDER BY id1, id2"""))
 
-  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06)
+  /** Leakage-safe train/test split: the 80/20 assignment is a pure
+    * function of the exact-dup CLUSTER (min doc_id over the normalized
+    * text group), never of the individual document — duplicates cannot
+    * straddle the split, the classic eval-contamination bug. The
+    * assignment hash is plain multiplicative arithmetic (Knuth), shared
+    * verbatim with the oracle; the engine groups on the 64-bit text
+    * fingerprint, the oracle on the normalized string (identical
+    * clusters barring a 64-bit collision — d01's stance).
+    */
+  val d07 = Q("d07_split_by_cluster",
+    (s, dir) => {
+      import graft.functions.{GraftFunctions => G}
+      val byFp = Window.partitionBy(G.hash64(G.normalizeWs(col("text"))))
+      withExactDups(s, dir)
+        .select(col("doc_id"), min(col("doc_id")).over(byFp).as("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          when(pmod(col("cluster_id") * lit(2654435761L), lit(100L)) < 80, "train")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000, concat('  ', upper(text), '  ')
+        FROM documents WHERE doc_id % 7 = 0),
+      cl AS (
+        SELECT doc_id,
+          MIN(doc_id) OVER (
+            PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+          ) AS cluster_id
+        FROM all_docs)
+      SELECT doc_id, cluster_id,
+        CASE WHEN (cluster_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'test' END AS split
+      FROM cl ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07)
 }

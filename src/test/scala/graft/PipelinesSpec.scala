@@ -122,6 +122,23 @@ class PipelinesSpec extends SparkSuite {
     assert(lsh.nonEmpty && lsh.head == 0L)
   }
 
+  test("cluster split is leakage-safe: planted duplicates land on their original's side") {
+    val q = graft.queries.QueryRegistry.byName("d07_split_by_cluster")
+    val out = q.fn(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    val byCluster = out.groupBy(_._2).values
+    assert(byCluster.forall(_.map(_._3).distinct.size == 1), "one split per cluster")
+    val splitOf = out.map(r => r._1 -> r._3).toMap
+    // every planted exact dup (doc_id % 7 == 0 mirrored at +10000) follows its original
+    val planted = out.filter(_._1 >= 10000)
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, _, s) => assert(s == splitOf(id - 10000)) }
+    // and the split is actually a split, roughly 80/20
+    val train = out.count(_._3 == "train").toDouble / out.length
+    assert(train > 0.6 && train < 0.95, s"train fraction $train")
+  }
+
   test("IVF: nprobe == C degenerates to exact brute force; planted neighbor recovered") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val base = e.filter(col("vec_id") =!= 0L)
