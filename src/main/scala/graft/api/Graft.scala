@@ -51,4 +51,30 @@ object Graft {
   def missingBusinessDays(df: DataFrame, dateCol: Column,
       keys: Seq[String] = Seq.empty): DataFrame =
     Gaps.missingBusinessDays(df, dateCol, keys)
+
+  // ── training-data curation verbs ────────────────────────────────────
+  // Thin names over graft.ops — the surface a pipeline author calls.
+
+  /** Exact-duplicate clusters (normalized 64-bit fingerprint groupBy). */
+  def dedupExact(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    graft.ops.Dedup.exactDupClusters(df, idCol, textCol)
+
+  /** EXACT near-dup pairs with shingle-Jaccard >= tau (prefix-filtered
+    * similarity join — provably equal to brute force, never all-pairs).
+    */
+  def nearDupPairs(df: DataFrame, idCol: Column, textCol: Column,
+      tau: Double = 0.6): DataFrame =
+    graft.ops.Dedup.ngramJaccardPairs(df, idCol, textCol, k = 3, tau = tau)
+
+  /** Sketch-based near-dup pairs for the very largest corpora (MinHash
+    * LSH banding; estimated similarity, tunable band/row trade-off).
+    */
+  def nearDupPairsApprox(df: DataFrame, idCol: Column, textCol: Column,
+      minSim: Double = 0.5): DataFrame =
+    graft.ops.Dedup.minhashLshPairs(df, idCol, textCol, minSim = minSim)
+
+  /** Exact cosine top-k of `query` rows against `vectors`. */
+  def annTopK(vectors: DataFrame, query: DataFrame, vecCol: String,
+      k: Int): DataFrame =
+    graft.ops.VectorSearch.bruteForceTopK(vectors, query, vecCol, k)
 }

@@ -32,7 +32,8 @@ object VectorSearch {
     * with their similarity; caller takes top-k.
     */
   def lshCandidates(vectors: DataFrame, query: DataFrame, vecCol: String,
-      nbits: Int, tables: Int, baseSeed: Long = 42L): DataFrame = {
+      nbits: Int, tables: Int, baseSeed: Long = 42L,
+      queryIdCol: Option[String] = None): DataFrame = {
     def bucketed(df: DataFrame, vc: String): DataFrame = {
       val tableCols = (0 until tables).map { t =>
         struct(lit(t).as("tbl"),
@@ -43,8 +44,11 @@ object VectorSearch {
         .withColumn("bucket", col("e.bucket"))
         .drop("e")
     }
-    val qb = broadcast(bucketed(query.select(col(vecCol).as("q_vec")), "q_vec")
-      .select(col("tbl"), col("bucket"), col("q_vec")))
+    val qcols = col(vecCol).as("q_vec") +:
+      queryIdCol.map(c => col(c).as("query_id")).toSeq
+    val qb = broadcast(bucketed(query.select(qcols: _*), "q_vec")
+      .select(col("tbl") +: col("bucket") +: col("q_vec") +:
+        queryIdCol.map(_ => col("query_id")).toSeq: _*))
     bucketed(vectors, vecCol)
       .join(qb, Seq("tbl", "bucket"))
       .drop("tbl", "bucket")
@@ -120,14 +124,21 @@ object VectorSearch {
     * is a partition column of a persisted index table, so a probe
     * reads ~nprobe/C of the data instead of all of it.
     */
+  /** @param queryIdCol when set, that column of `query` rides along as
+    *   `query_id` — the batch shape (a query SET against the corpus in
+    *   one probe-join, not a per-query loop).
+    */
   def ivfCandidates(vectors: DataFrame, query: DataFrame, vecCol: String,
-      cents: Array[Seq[Float]], nprobe: Int): DataFrame = {
+      cents: Array[Seq[Float]], nprobe: Int,
+      queryIdCol: Option[String] = None): DataFrame = {
     val sims = transform(centroidArray(cents),
       e => struct(G.cosineSim(col("q_vec"), e.getField("c")).as("sim"),
         e.getField("cid").as("cid")))
     val probes = transform(slice(reverse(array_sort(sims)), 1, nprobe),
       s => s.getField("cid"))
-    val qb = broadcast(query.select(col(vecCol).as("q_vec"))
+    val qcols = col(vecCol).as("q_vec") +:
+      queryIdCol.map(c => col(c).as("query_id")).toSeq
+    val qb = broadcast(query.select(qcols: _*)
       .withColumn("cell", explode(probes)))
     vectors.withColumn("cell", nearestCell(col(vecCol), cents))
       .join(qb, Seq("cell"))

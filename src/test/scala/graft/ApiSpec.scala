@@ -75,6 +75,25 @@ class ApiSpec extends SparkSuite {
     }
   }
 
+  test("facade: curation verbs (dedup, near-dup join, ann)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "  ALPHA   beta GAMMA delta epsilon zeta "),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "totally unrelated words about other things entirely"))
+      .toDF("doc_id", "text")
+    assert(Graft.dedupExact(docs, col("doc_id"), col("text")).count() == 1)
+    val pairs = Graft.nearDupPairs(docs, col("doc_id"), col("text"), tau = 0.4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)) && !pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val top = Graft.annTopK(vecs.filter(col("vec_id") =!= 1L),
+      vecs.filter(col("vec_id") === 1L).select("embedding"), "embedding", 1)
+      .orderBy(col("sim").desc).limit(1).select("vec_id").as[Long].head()
+    assert(top == 3L)
+  }
+
   test("plan regression: events range predicates stay pushed down") {
     val q = graft.queries.QueryRegistry.byName("q02_filter_daterange")
       .fn(spark, "/root/testdata/sf0.001")

@@ -161,6 +161,30 @@ class PipelinesSpec extends SparkSuite {
     assert(found == Seq(99999L))
   }
 
+  test("batch ANN: a query SET probes in one join, per-query results keyed by query_id") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = e.filter(col("vec_id") > 1L)
+    val queries = e.filter(col("vec_id") <= 1L) // vec 0 and vec 1 as a batch
+    val cents = VectorSearch.trainCentroids(base, "vec_id", "embedding", c = 8, iters = 1)
+    def top1(qid: Long, df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("query_id") === qid)
+        .orderBy(col("sim").desc, col("vec_id")).limit(1)
+        .select("vec_id").as[Long].head()
+    val ivf = VectorSearch.ivfCandidates(base, queries, "embedding", cents,
+      nprobe = 8, queryIdCol = Some("vec_id"))
+    val lsh = VectorSearch.lshCandidates(base, queries, "embedding",
+      nbits = 2, tables = 3, queryIdCol = Some("vec_id"))
+    // nprobe = C: per-query IVF top-1 equals per-query brute force
+    Seq(0L, 1L).foreach { qid =>
+      val brute = VectorSearch.bruteForceTopK(base,
+        queries.filter(col("vec_id") === qid).select("embedding"), "embedding", 1)
+        .orderBy(col("sim").desc, col("vec_id")).limit(1)
+        .select("vec_id").as[Long].head()
+      assert(top1(qid, ivf) == brute)
+      assert(lsh.filter(col("query_id") === qid).count() > 0)
+    }
+  }
+
   test("contract violation report counts nulls and bounds in one pass") {
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val df = Seq[(java.lang.Long, java.lang.Double)](
