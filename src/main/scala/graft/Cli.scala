@@ -8,6 +8,7 @@ package graft
   * sbt "runMain graft.Cli verify <sfDir> <outDir>"   # correctness dump
   * sbt "runMain graft.Cli bench"                     # timed run (env-config)
   * sbt "runMain graft.Cli explain [query...]"        # plan audit
+  * sbt "runMain graft.Cli scale [query...]"          # scale-trend bench (SCALE.md)
   * sbt "runMain graft.Cli demo"                      # library tour
   * sbt "runMain graft.Cli queries"                   # list registered queries
   * }}}
@@ -17,6 +18,7 @@ object Cli {
     case "verify" :: rest if rest.size == 2 => Verify.main(rest.toArray)
     case "bench" :: _ => Bench.main(Array.empty)
     case "explain" :: rest => tools.Explain.main(rest.toArray)
+    case "scale" :: rest => tools.ScaleBench.main(rest.toArray)
     case "demo" :: _ => Demo.main(Array.empty)
     case "queries" :: _ =>
       queries.QueryRegistry.all.sortBy(_.name).foreach { q =>
@@ -25,7 +27,7 @@ object Cli {
       }
     case other =>
       System.err.println(
-        s"unknown command ${other.mkString(" ")}; use: verify <sfDir> <outDir> | bench | explain [q...] | demo | queries")
+        s"unknown command ${other.mkString(" ")}; use: verify <sfDir> <outDir> | bench | explain [q...] | scale [q...] | demo | queries")
       sys.exit(2)
   }
 }

@@ -86,5 +86,46 @@ object StoreOps {
       UNION ALL SELECT * FROM updates
       ORDER BY o_orderkey"""))
 
-  def qs: Seq[Q] = Seq(s01, s02, s03)
+  /** s03's MERGE through the INCREMENTAL partitioned commit: base is
+    * partitioned on pmod(o_orderkey, 10); the updates touch only
+    * partition 0, so nine of ten partitions are hard-linked forward,
+    * never rewritten — commit cost ∝ touched data. Same oracle as s03
+    * (minus rows whose partition the updates touch differently): the
+    * commit protocol must be invisible in the result.
+    */
+  val s04 = Q("s04_tx_partitioned",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_txpart")
+        .resolve("t").toString
+      val base = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          pmod(col("o_orderkey"), lit(10)).as("part"))
+      graft.store.TxStore.initPartitioned(base, root, "part")
+      val touched = load(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      val updates = touched
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 100000.0).as("o_totalprice"))
+        .unionByName(touched.select((col("o_orderkey") + 5000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")))
+        .withColumn("part", pmod(col("o_orderkey"), lit(10)))
+      graft.store.TxStore.commitUpsertPartitioned(s, root, updates,
+        Seq("o_orderkey"), "part")
+      graft.store.TxStore.read(s, root)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH updates AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 100000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 5000000, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0),
+      base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+      SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      UNION ALL SELECT * FROM updates
+      ORDER BY o_orderkey"""))
+
+  def qs: Seq[Q] = Seq(s01, s02, s03, s04)
 }

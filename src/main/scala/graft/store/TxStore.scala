@@ -3,6 +3,8 @@ package graft.store
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Transactional fact-table commits over plain parquet — the ACID story
@@ -98,6 +100,93 @@ object TxStore {
     }
     flipPointer(root, Some(expected), next)
     next
+  }
+
+  /** Initialize a PARTITIONED table at version 1 (directory layout
+    * `v1/<partCol>=<value>/part-*.parquet`).
+    */
+  def initPartitioned(df: DataFrame, root: String, partCol: String): Long = {
+    require(currentVersion(root).isEmpty, s"table already initialized at $root")
+    Files.createDirectories(Paths.get(root, "_versions"))
+    val dir = versionDir(root, 1L)
+    try df.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dir)
+    catch { case e: Throwable => deleteRecursively(Paths.get(dir)); throw e }
+    flipPointer(root, expected = None, next = 1L)
+    1L
+  }
+
+  /** Incremental MERGE-commit on a partitioned table — the 100 TB shape
+    * of [[commitUpsert]]: only partitions containing updated keys are
+    * re-merged and rewritten; every untouched partition directory is
+    * HARD-LINKED from the previous version (content copy only where the
+    * filesystem refuses links). Commit cost is therefore proportional
+    * to the touched data, not the table — with the identical
+    * all-or-nothing pointer-flip guarantee.
+    *
+    * The touched-partition list is collected to the driver — bounded by
+    * the partition count of the UPDATE set, metadata-scale by design.
+    */
+  def commitUpsertPartitioned(spark: SparkSession, root: String,
+      updates: DataFrame, pk: Seq[String], partCol: String,
+      expectedVersion: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val baseDir = versionDir(root, expected)
+    val touched = updates.select(col(partCol)).distinct().collect()
+      .map(_.get(0)).toSet
+    val base = spark.read.parquet(baseDir)
+    val touchedBase = base.filter(col(partCol).isInCollection(touched))
+    val merged = Store.upsert(touchedBase, updates, pk)
+    val next = expected + 1
+    val nextDir = versionDir(root, next)
+    if (Files.exists(Paths.get(nextDir)))
+      throw new ConcurrentCommitException(
+        s"snapshot v$next already exists at $root (concurrent writer)")
+    try {
+      merged.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(nextDir)
+      // carry untouched partitions forward as hard links
+      val writtenParts = partitionDirs(nextDir)
+      partitionDirs(baseDir).filterNot(writtenParts.contains).foreach { p =>
+        linkTree(Paths.get(baseDir, p), Paths.get(nextDir, p))
+      }
+    } catch {
+      case e: Throwable => deleteRecursively(Paths.get(nextDir)); throw e
+    }
+    if (currentVersion(root) != Some(expected)) {
+      deleteRecursively(Paths.get(nextDir))
+      throw new ConcurrentCommitException(
+        s"table at $root moved past v$expected; retry on the new snapshot")
+    }
+    flipPointer(root, Some(expected), next)
+    next
+  }
+
+  /** `<partCol>=<value>` child directory names of a version dir. */
+  private def partitionDirs(dir: String): Set[String] = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) return Set.empty
+    val s = Files.list(p)
+    try s.iterator().asScala
+      .filter(c => Files.isDirectory(c) && c.getFileName.toString.contains("="))
+      .map(_.getFileName.toString).toSet
+    finally s.close()
+  }
+
+  /** Recreate `to` as hard links to every file under `from` (copy where
+    * the filesystem refuses cross-links). Immutability of version dirs
+    * is what makes sharing safe.
+    */
+  private def linkTree(from: Path, to: Path): Unit = {
+    Files.createDirectories(to)
+    val s = Files.walk(from)
+    try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+      val t = to.resolve(from.relativize(f))
+      Files.createDirectories(t.getParent)
+      try Files.createLink(t, f)
+      catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        Files.copy(f, t) }
+    } finally s.close()
   }
 
   /** Remove data directories above the committed version — orphans from

@@ -63,6 +63,47 @@ class TxStoreSpec extends SparkSuite {
     intercept[IllegalArgumentException](TxStore.readVersion(spark, root, 3L))
   }
 
+  test("partitioned commit rewrites only touched partitions; untouched ones are hard-linked") {
+    import java.nio.file.{Files, Paths}
+    val root = freshRoot()
+    val base = Seq(
+      (1L, "soja", 100.0), (2L, "soja", 110.0),
+      (3L, "milho", 50.0), (4L, "milho", 55.0),
+      (5L, "trigo", 30.0)).toDF("k", "produto", "v")
+    TxStore.initPartitioned(base, root, "produto")
+    // updates touch ONLY the soja partition (one update + one insert)
+    val updates = Seq((2L, "soja", 120.0), (6L, "soja", 130.0)).toDF("k", "produto", "v")
+    assert(TxStore.commitUpsertPartitioned(spark, root, updates, Seq("k"), "produto") == 2L)
+    // result == the full-table upsert semantics
+    val got = TxStore.read(spark, root)
+      .select("k", "produto", "v").as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "soja", 100.0), (2L, "soja", 120.0), (3L, "milho", 50.0),
+      (4L, "milho", 55.0), (5L, "trigo", 30.0), (6L, "soja", 130.0)))
+    // untouched partitions share inodes with v1 (linked, not rewritten)
+    def inodes(v: Long, part: String): Set[Any] = {
+      val d = Paths.get(TxStore.versionDir(root, v), s"produto=$part")
+      val s = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(Files.getAttribute(_, "unix:ino")).toSet
+      } finally s.close()
+    }
+    assert(inodes(2L, "milho") == inodes(1L, "milho") && inodes(1L, "milho").nonEmpty)
+    assert(inodes(2L, "trigo") == inodes(1L, "trigo"))
+    assert(inodes(2L, "soja").intersect(inodes(1L, "soja")).isEmpty, "touched partition rewritten")
+    // a failed partitioned merge leaves the committed snapshot unchanged
+    val before = TxStore.read(spark, root)
+      .select("k", "produto", "v").as[(Long, String, Double)].collect().toSet
+    val poison = Seq((3L, "milho", -1.0)).toDF("k", "produto", "v")
+      .withColumn("v", when(col("v") < 0, raise_error(lit("poison"))).otherwise(col("v")))
+    intercept[Exception](TxStore.commitUpsertPartitioned(spark, root, poison, Seq("k"), "produto"))
+    assert(TxStore.currentVersion(root).contains(2L))
+    assert(TxStore.read(spark, root)
+      .select("k", "produto", "v").as[(Long, String, Double)].collect().toSet == before)
+    assert(TxStore.vacuum(root).isEmpty)
+  }
+
   test("optimistic concurrency: a stale writer conflicts and changes nothing") {
     val root = freshRoot()
     TxStore.init(Seq((1L, "soja", 100.0)).toDF("k", "produto", "v"), root)
