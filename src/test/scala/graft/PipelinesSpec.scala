@@ -122,6 +122,37 @@ class PipelinesSpec extends SparkSuite {
     assert(lsh.nonEmpty && lsh.head == 0L)
   }
 
+  test("asof join: inclusive at equal ts, null before first build, latest otherwise") {
+    import graft.ops.Temporal
+    val probe = Seq((1L, 10L, 5L), (2L, 10L, 10L), (3L, 10L, 15L), (4L, 10L, 30L),
+      (5L, 99L, 50L)).toDF("event_id", "user_id", "ts")
+    val build = Seq((10L, 10L, 1.0), (10L, 20L, 2.0)).toDF("user_id", "ts", "pv")
+    val got = Temporal.asofJoin(probe, build, Seq("user_id"), "ts", "pv")
+      .select("event_id", "pv").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).isEmpty)          // before the first build row
+    assert(got(2L).contains(1.0))    // equal ts is inclusive (<=)
+    assert(got(3L).contains(1.0))    // between builds -> earlier one
+    assert(got(4L).contains(2.0))    // after the last build
+    assert(got(5L).isEmpty)          // key with no build rows at all
+  }
+
+  test("binned range join equals the naive inequality join") {
+    import graft.ops.Temporal
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 400).map(i => (i.toLong, (i % 5).toLong, rnd.nextInt(100000).toLong))
+      .toDF("pid", "k", "pt")
+    val ivs = (1 to 60).map { i =>
+      val lo = rnd.nextInt(95000).toLong
+      (i.toLong, (i % 5).toLong, lo, lo + rnd.nextInt(8000))
+    }.toDF("iid", "k", "lo", "hi")
+    val binned = Temporal.rangeJoinBinned(ivs, pts, Seq("k"), "pt", "lo", "hi", 4096L)
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    val naive = ivs.join(pts, Seq("k"))
+      .filter(col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    assert(binned == naive && naive.nonEmpty)
+  }
+
   test("cluster split is leakage-safe: planted duplicates land on their original's side") {
     val q = graft.queries.QueryRegistry.byName("d07_split_by_cluster")
     val out = q.fn(spark, "/root/testdata/sf0.001")
