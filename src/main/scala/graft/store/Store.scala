@@ -23,6 +23,16 @@ object Store {
   def upsert(base: DataFrame, updates: DataFrame, pk: Seq[String]): DataFrame =
     base.join(updates, pk, "left_anti").unionByName(updates)
 
+  /** MERGE with additive schema evolution: updates may carry columns the
+    * base lacks (backfilled null on surviving base rows) and may omit
+    * base columns (null on inserted rows). Shared columns must keep
+    * their types — silent widening hides corruption, so it stays an
+    * analysis error.
+    */
+  def upsertEvolve(base: DataFrame, updates: DataFrame, pk: Seq[String]): DataFrame =
+    base.join(updates.select(pk.map(col): _*), pk, "left_anti")
+      .unionByName(updates, allowMissingColumns = true)
+
   /** Canonical content hash (reference `models.py:177-179`: sha256 over
     * the canonical CSV). Here: per-row canonical string, sorted, joined,
     * sha256 — one row out. Collects nothing to the driver, but the final

@@ -189,6 +189,30 @@ object TxStore {
     } finally s.close()
   }
 
+  /** Compaction commit: rewrite the committed snapshot into `numFiles`
+    * files as a NEW version — data-identical, pure file-layout change,
+    * same all-or-nothing pointer flip, and every prior version stays
+    * readable (time travel is unaffected). The small-files problem is
+    * the dominant operational cost of incremental ingestion at scale;
+    * compaction being just another commit is what makes it safe to run
+    * concurrently with readers.
+    */
+  def commitCompaction(spark: SparkSession, root: String, numFiles: Int,
+      expectedVersion: Option[Long] = None): Long = {
+    val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val base = spark.read.parquet(versionDir(root, expected)).coalesce(numFiles)
+    val next = expected + 1
+    writeVersion(base, root, next)
+    if (currentVersion(root) != Some(expected)) {
+      deleteRecursively(Paths.get(versionDir(root, next)))
+      throw new ConcurrentCommitException(
+        s"table at $root moved past v$expected; retry on the new snapshot")
+    }
+    flipPointer(root, Some(expected), next)
+    next
+  }
+
   /** Remove data directories above the committed version — orphans from
     * failed or conflicted commits. Safe anytime: committed snapshots
     * are never touched.

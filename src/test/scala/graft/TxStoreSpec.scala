@@ -51,6 +51,44 @@ class TxStoreSpec extends SparkSuite {
     assert(rows(root) == before + ((3L, "trigo", 30.0)))
   }
 
+  test("compaction commit: identical data, fewer files, history intact") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot()
+    val base = (1L to 200L).map(i => (i, "p" + (i % 3), i * 1.5)).toDF("k", "produto", "v")
+      .repartition(16) // simulate small-file fragmentation
+    TxStore.init(base, root)
+    def files(v: Long): Int = {
+      val s = Files.list(Paths.get(TxStore.versionDir(root, v)))
+      try s.iterator().asScala.count(_.toString.endsWith(".parquet")) finally s.close()
+    }
+    assert(files(1L) > 4)
+    assert(TxStore.commitCompaction(spark, root, numFiles = 2) == 2L)
+    assert(files(2L) <= 2)
+    val v1 = TxStore.readVersion(spark, root, 1L).as[(Long, String, Double)].collect().toSet
+    val v2 = TxStore.read(spark, root).as[(Long, String, Double)].collect().toSet
+    assert(v1 == v2 && v2.size == 200)
+  }
+
+  test("schema-evolving upsert: new column backfilled null, omitted column null on inserts") {
+    import graft.store.Store
+    val base = Seq((1L, "soja", 100.0), (2L, "milho", 50.0)).toDF("k", "produto", "v")
+    val updates = Seq((2L, "milho", 60.0, "conab"), (3L, "trigo", 30.0, "cepea"))
+      .toDF("k", "produto", "v", "fonte")
+    val out = Store.upsertEvolve(base, updates, Seq("k"))
+      .select("k", "produto", "v", "fonte")
+      .as[(Long, String, Double, Option[String])].collect().toSet
+    assert(out == Set(
+      (1L, "soja", 100.0, None),             // surviving base row: null backfill
+      (2L, "milho", 60.0, Some("conab")),    // replaced
+      (3L, "trigo", 30.0, Some("cepea"))))   // insert
+    // reverse direction: updates omitting a base column
+    val narrow = Seq((4L, 70.0)).toDF("k", "v")
+    val out2 = Store.upsertEvolve(base, narrow, Seq("k"))
+      .select("k", "produto", "v").as[(Long, Option[String], Double)].collect().toSet
+    assert(out2.contains((4L, None, 70.0)) && out2.size == 3)
+  }
+
   test("time travel reads any committed version; uncommitted versions are unreadable") {
     val root = freshRoot()
     TxStore.init(Seq((1L, "soja", 100.0)).toDF("k", "produto", "v"), root)
