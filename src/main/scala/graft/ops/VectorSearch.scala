@@ -146,6 +146,55 @@ object VectorSearch {
       .drop("q_vec", "cell")
   }
 
+  /** EXACT cosine pair join (every pair with cos >= minCos, no sketch
+    * error) that still never goes all-pairs: grid blocking on the unit
+    * sphere. For L2-normalized vectors, cos(a,b) >= τ ⟺
+    * ||â-b̂|| <= r = sqrt(2(1-τ)), so points are hashed to an r-wide
+    * grid over the first `gridDims` normalized coordinates; a
+    * qualifying pair's cells differ by at most 1 per axis, so probing
+    * the 3^gridDims neighbor offsets finds every such pair exactly
+    * once (the offset pair is unique given the two cells). Exact
+    * cosine is then verified inside the bucket only. The same
+    * epsilon-ball grid join shape as the binned range join (q31),
+    * lifted to the sphere.
+    *
+    * Scale notes: replication is the constant 3^gridDims on ONE side;
+    * shuffles key on small int cell tuples. The tighter the threshold,
+    * the finer the grid (r shrinks), so selectivity improves exactly
+    * when the workload does. If the corpus concentrates on few cells
+    * (anisotropic embeddings), raise `gridDims` or pre-rotate with a
+    * random orthogonal matrix — grid exactness is rotation-invariant.
+    */
+  def cosinePairsExact(vectors: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, gridDims: Int = 2): DataFrame = {
+    require(minCos > 0 && minCos < 1, "minCos must be in (0,1)")
+    val r = math.sqrt(2.0 * (1.0 - minCos))
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+      .filter(col("nrm") > 0)
+      .withColumn("cells", array((0 until gridDims).map(i =>
+        floor(element_at(col("v"), i + 1) / col("nrm") / lit(r)).cast("int")): _*))
+      .drop("nrm")
+      .cache() // both sides of the grid join read it
+    val offsets = {
+      def combos(d: Int): Seq[Seq[Int]] =
+        if (d == 0) Seq(Seq.empty)
+        else for (rest <- combos(d - 1); o <- -1 to 1) yield o +: rest
+      array(combos(gridDims).map(c => typedlit(c)): _*)
+    }
+    val probes = base.select(col("id").as("id2"), col("v").as("v2"),
+        col("cells"), explode(offsets).as("off"))
+      .select(col("id2"), col("v2"),
+        zip_with(col("cells"), col("off"), (c, o) => c + o).as("cells"))
+    base.select(col("id").as("id1"), col("v").as("v1"), col("cells"))
+      .join(probes, Seq("cells"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", G.cosineSim(col("v1"), col("v2")))
+      .filter(col("cos") >= minCos)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Cosine near-duplicate pairs via LSH bucket self-join (multi-table,
     * bucketed — never all-pairs), verified with exact cosine.
     */

@@ -207,5 +207,76 @@ object DedupOps {
         CASE WHEN (cluster_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'test' END AS split
       FROM cl ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07)
+  /** documents ∪ a near-dup CHAIN per 11th doc: B = A + 4 marker
+    * tokens, C = B + 4 more. For short docs J(A,C) drops below the
+    * d06 threshold while J(A,B) and J(B,C) stay above — the configuration
+    * where pairwise dedup under-removes and only transitive closure
+    * finds the full {A,B,C} cluster.
+    */
+  private def withNearDupChains(s: SparkSession, dir: String): DataFrame = {
+    val d = load(s, dir, "documents")
+    val every11 = d.filter(pmod(col("doc_id"), lit(11)) === 0)
+    d.select(col("doc_id"), col("text"))
+      .unionByName(every11.select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" graft appended marker tokens")).as("text")))
+      .unionByName(every11.select((col("doc_id") + 40000).as("doc_id"),
+        concat(col("text"), lit(" graft appended marker tokens second extension run")).as("text")))
+  }
+
+  /** Near-dup CLUSTERS: exact n-gram Jaccard pairs (d06's operator)
+    * closed under transitivity with distributed connected components
+    * (large-star/small-star — [[graft.ops.Graph.connectedComponents]]).
+    * Fully oracle-checked: DuckDB brute-forces the same pair set and
+    * closes it with a recursive CTE.
+    */
+  val d08 = Q("d08_neardup_clusters",
+    (s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(withNearDupChains(s, dir),
+        col("doc_id"), col("text"), k = 3, tau = 0.6)
+      graft.ops.Graph.nearDupClusters(pairs)
+        .orderBy(col("cluster_id"))
+    },
+    Some("""
+      WITH RECURSIVE all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 20000, concat(text, ' graft appended marker tokens')
+        FROM documents WHERE doc_id % 11 = 0
+        UNION ALL
+        SELECT doc_id + 40000, concat(text, ' graft appended marker tokens second extension run')
+        FROM documents WHERE doc_id % 11 = 0),
+      norm AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM all_docs),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      common AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+        FROM sh a JOIN sh b USING (s)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id1, id2
+        FROM common
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6),
+      edges AS (
+        SELECT id1 AS u, id2 AS v FROM pairs
+        UNION
+        SELECT id2, id1 FROM pairs),
+      reach(src, dst) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+      lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+      SELECT cluster_id, COUNT(*) AS n_docs,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+      FROM lab GROUP BY 1 ORDER BY cluster_id"""))
+
+  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
 }

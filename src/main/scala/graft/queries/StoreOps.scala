@@ -127,5 +127,59 @@ object StoreOps {
       UNION ALL SELECT * FROM updates
       ORDER BY o_orderkey"""))
 
-  def qs: Seq[Q] = Seq(s01, s02, s03, s04)
+  /** SCD Type-2 dimension merge ([[graft.store.Store.scd2Merge]]): the
+    * customer dim takes one change batch exercising all four row
+    * classes — attr change (every 10th key: close + new version),
+    * no-op re-delivery (every 20th ≡ 3: identical attrs, must NOT
+    * version), brand-new keys (+1,000,000), and untouched keys.
+    */
+  val s05 = Q("s05_scd2_merge",
+    (s, dir) => {
+      val cust = load(s, dir, "customer")
+      val dim = cust.select(col("c_custkey"), col("c_acctbal"),
+        to_date(lit("1995-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+      val changes = cust.filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"))
+        .unionByName(cust.filter(pmod(col("c_custkey"), lit(20)) === 3)
+          .select(col("c_custkey"), col("c_acctbal")))
+        .unionByName(cust.filter(pmod(col("c_custkey"), lit(50)) === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_acctbal")))
+        .withColumn("change_date", to_date(lit("2000-06-01")))
+      Store.scd2Merge(dim, changes, Seq("c_custkey"), Seq("c_acctbal"))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
+    Some("""
+      WITH dim AS (
+        SELECT c_custkey, c_acctbal, DATE '1995-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        FROM customer),
+      changes AS (
+        SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+               DATE '2000-06-01' AS change_date
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal, DATE '2000-06-01'
+        FROM customer WHERE c_custkey % 20 = 3
+        UNION ALL
+        SELECT c_custkey + 1000000, c_acctbal, DATE '2000-06-01'
+        FROM customer WHERE c_custkey % 50 = 0),
+      j AS (
+        SELECT d.c_custkey AS dpk, d.c_acctbal AS dbal, d.valid_from,
+               c.c_custkey AS cpk, c.c_acctbal AS cbal, c.change_date
+        FROM dim d FULL OUTER JOIN changes c ON d.c_custkey = c.c_custkey),
+      out AS (
+        SELECT dpk AS c_custkey, dbal AS c_acctbal, valid_from,
+               CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        FROM j WHERE dpk IS NOT NULL AND (cpk IS NULL OR dbal = cbal)
+        UNION ALL
+        SELECT dpk, dbal, valid_from, change_date, FALSE
+        FROM j WHERE dpk IS NOT NULL AND cpk IS NOT NULL AND dbal <> cbal
+        UNION ALL
+        SELECT cpk, cbal, change_date, CAST(NULL AS DATE), TRUE
+        FROM j WHERE cpk IS NOT NULL AND (dpk IS NULL OR dbal <> cbal))
+      SELECT * FROM out ORDER BY c_custkey, valid_from"""))
+
+  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05)
 }

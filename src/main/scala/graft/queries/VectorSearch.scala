@@ -85,5 +85,37 @@ object VectorSearch {
     },
     None)
 
-  def qs: Seq[Q] = Seq(a01, a02, a03, a04)
+  /** EXACT embedding near-dup pairs (a03's planting, no sketch): the
+    * unit-sphere grid join ([[graft.ops.VectorSearch.cosinePairsExact]])
+    * must reproduce DuckDB's brute-force all-pairs answer exactly —
+    * the oracle-hard twin that certifies the whole embedding-dedup
+    * family, the same way q29 certifies q25 and d06 certifies d02.
+    */
+  val a05 = Q("a05_cosine_pairs_exact",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.filter(pmod(col("vec_id"), lit(13)) === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+      V.cosinePairsExact(e.unionByName(planted), "vec_id", "embedding",
+          minCos = 0.99)
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""
+      WITH all_vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000,
+               CAST(list_transform(embedding,
+                 (x, i) -> CASE WHEN i = 1 THEN CAST(x + CAST(0.01 AS FLOAT) AS FLOAT) ELSE x END)
+                 AS DOUBLE[])
+        FROM embeddings WHERE vec_id % 13 = 0)
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
+      FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.99
+      ORDER BY id1, id2"""))
+
+  def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05)
 }

@@ -71,6 +71,59 @@ object Store {
   def factQuery(fact: DataFrame, predicates: Seq[Column], orderDesc: Column): DataFrame =
     predicates.foldLeft(fact)((d, p) => d.filter(p)).orderBy(orderDesc.desc)
 
+  /** SCD Type-2 MERGE — the history-keeping upsert ([[upsert]] is
+    * Type 1: updates overwrite). The dimension carries
+    * `valid_from date, valid_to date (null = open), is_current boolean`
+    * alongside `pk ++ tracked`; one merge of a change batch
+    * `(pk, tracked..., changeDateCol)`:
+    *  - new pk                   → open row inserted as-of the change date;
+    *  - tracked attrs changed    → current row closed (valid_to = change
+    *    date, is_current = false) + new open version inserted;
+    *  - tracked attrs identical  → no-op (idempotent re-delivery);
+    *  - history rows pass through untouched.
+    * Set-based: ONE full-outer shuffle on the pk builds all four row
+    * classes; at scale the change batch is small, so AQE broadcasts it
+    * and the "shuffle" is a map-side join over the partitioned dim.
+    * Null-safe comparison: a tracked attr going null⇄non-null is a
+    * change.
+    *
+    * Reference keeps Type-1 history implicitly via snapshots
+    * (`cache/duckdb_store.py:417-461` + snapshot tables); Type 2 is the
+    * warehouse-standard dimension-history encoding of the same intent.
+    */
+  def scd2Merge(dim: DataFrame, changes: DataFrame, pk: Seq[String],
+      tracked: Seq[String], changeDateCol: String = "change_date"): DataFrame = {
+    val book = Seq("valid_from", "valid_to", "is_current")
+    require(dim.columns.toSet == (pk ++ tracked ++ book).toSet,
+      s"dim must carry exactly pk ++ tracked ++ $book")
+    val current = dim.filter(col("is_current"))
+    val history = dim.filter(!col("is_current"))
+    val ch = changes.select(
+      pk.map(col) ++ tracked.map(c => col(c).as(s"__new_$c")) :+
+        col(changeDateCol).as("__chg"): _*)
+    val j = current.join(ch, pk, "full_outer")
+    val changed = tracked.map(c => !(col(c) <=> col(s"__new_$c"))).reduce(_ || _)
+    val hasCur = col("is_current").isNotNull
+    val hasChg = col("__chg").isNotNull
+    val dimCols = dim.columns.toSeq
+    val survivors = j.filter(hasCur && (!hasChg || !changed))
+      .select(dimCols.map(col): _*)
+    val closed = j.filter(hasCur && hasChg && changed)
+      .withColumn("valid_to", col("__chg"))
+      .withColumn("is_current", lit(false))
+      .select(dimCols.map(col): _*)
+    val validToType = dim.schema("valid_to").dataType
+    val inserts = j.filter(hasChg && (!hasCur || changed))
+      .select(dimCols.map {
+        case c if pk.contains(c) => col(c)
+        case c if tracked.contains(c) => col(s"__new_$c").as(c)
+        case "valid_from" => col("__chg").as("valid_from")
+        case "valid_to" => lit(null).cast(validToType).as("valid_to")
+        case "is_current" => lit(true).as("is_current")
+      }: _*)
+    history.unionByName(survivors).unionByName(closed).unionByName(inserts)
+  }
+
   /** Partitioned fact layout (the Spark mirror of the reference's
     * DuckDB indexes on produto/data, `cache/duckdb_store.py:74-76`):
     * directory partitioning on the query keys means an equality filter
