@@ -114,5 +114,84 @@ object Relational3 {
         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  def qs: Seq[Q] = Seq(q25, q26, q27, q28, q29)
+  /** A4's generalization — CUBE (all grouping sets of year ×
+    * priority) with grouping_id disambiguating which combination each
+    * row belongs to (q16 covers ROLLUP's prefix lattice; CUBE is the
+    * full one). One pass, one shuffle: Spark expands grouping sets
+    * map-side, exactly like the ROLLUP plan.
+    */
+  val q32 = Q("q32_cube_grouping_id",
+    (s, dir) => {
+      load(s, dir, "orders")
+        .cube(year(col("o_orderdate")).cast("long").as("ano"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"),
+          dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+        .orderBy(col("gid"), col("ano").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""
+      SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS ano, o_orderpriority,
+        GROUPING(CAST(YEAR(o_orderdate) AS BIGINT), o_orderpriority) AS gid,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total, COUNT(*) AS n
+      FROM orders GROUP BY CUBE(1, 2)
+      ORDER BY gid, ano ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  /** W-family distribution windows: percent_rank / cume_dist / ntile
+    * quartiles of event value within each event type (the ranking
+    * shapes q08's lag and q07's row_number don't cover). One window
+    * shuffle on the type key.
+    */
+  val q33 = Q("q33_rank_distribution",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      load(s, dir, "events")
+        .filter(pmod(col("event_id"), lit(20)) === 0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("event_type"), col("value"), col("event_id"))
+    },
+    Some("""
+      SELECT event_id, event_type, value,
+        ROUND(percent_rank() OVER w, 6) AS pct_rank,
+        ROUND(cume_dist() OVER w, 6) AS cume,
+        CAST(ntile(4) OVER w AS INT) AS quartile
+      FROM events WHERE event_id % 20 = 0
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      ORDER BY event_type, value, event_id"""))
+
+  /** Correlated scalar subquery, decorrelated: orders beating their
+    * customer's average order value. The correlated AVG is expressed as
+    * a window aggregate over the customer partition — Catalyst's own
+    * decorrelation target — so ONE shuffle on o_custkey replaces a
+    * per-row subquery; the oracle keeps the textbook correlated form.
+    * Average goes through the exact-decimal sum (T.davg's shape) so
+    * both engines agree bit-for-bit.
+    */
+  val q34 = Q("q34_above_cust_avg",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+      load(s, dir, "orders")
+        .withColumn("cust_avg",
+          round((sum(dec(col("o_totalprice"))).over(w).cast("double") /
+            count(lit(1)).over(w)), 6))
+        .filter(col("o_totalprice") > col("cust_avg"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("cust_avg"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+          ROUND((SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                 FROM orders o2 WHERE o2.o_custkey = o.o_custkey), 6) AS cust_avg
+        FROM orders o) t
+      WHERE o_totalprice > cust_avg
+      ORDER BY o_orderkey"""))
+
+  def qs: Seq[Q] = Seq(q25, q26, q27, q28, q29, q32, q33, q34)
 }
