@@ -448,6 +448,37 @@ object Relational {
         COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** J6 at fact scale — the co-located bucketed join
+    * ([[graft.store.Store.writeBucketed]]): orders and customer written
+    * bucketed+sorted on the customer key, then joined as catalog
+    * tables — the sort-merge join runs with zero exchanges (asserted
+    * in BucketedJoinSpec; here the result goes through the driver's
+    * oracle). The write-once-join-many layout for recurring fact⋈dim
+    * joins too big to broadcast.
+    */
+  val q38 = Q("q38_bucketed_join",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q38")
+      graft.store.Store.writeBucketed(
+        load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "graft_q38_orders", s"$base/orders", 8, "o_custkey")
+      graft.store.Store.writeBucketed(
+        load(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "graft_q38_customer", s"$base/customer", 8, "c_custkey")
+      val o = s.table("graft_q38_orders")
+      val c = s.table("graft_q38_customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   def qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q13, q14, q15, q16, q19, q35, q36, q37)
+    q11, q13, q14, q15, q16, q19, q35, q36, q37, q38)
 }

@@ -181,5 +181,34 @@ object StoreOps {
         FROM j WHERE cpk IS NOT NULL AND (dpk IS NULL OR dbal <> cbal))
       SELECT * FROM out ORDER BY c_custkey, valid_from"""))
 
-  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05)
+  /** File-level data skipping ([[graft.store.Skipping]]): orders laid
+    * out range-partitioned on o_orderkey (8 files, narrow per-file key
+    * ranges), min/max sidecar on the committed version, then a range
+    * read that scans only intersecting files. The oracle is the plain
+    * full-scan filter — skipping must be invisible in the result; the
+    * actual file-prune rate is asserted in TxStoreSpec.
+    */
+  val s06 = Q("s06_data_skipping",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_skip")
+        .resolve("t").toString
+      val base = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .repartitionByRange(8, col("o_orderkey"))
+      graft.store.TxStore.init(base, root)
+      graft.store.TxStore.writeStats(s, root, Seq("o_orderkey"))
+      graft.store.TxStore.readRange(s, root, "o_orderkey",
+          lit(100000L), lit(140000L))
+        .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderkey BETWEEN 100000 AND 140000
+      ORDER BY o_orderkey"""))
+
+  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06)
 }

@@ -1,0 +1,69 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max data skipping — the second pruning tier of the
+  * fact store. Directory partitioning ([[Store.writePartitioned]],
+  * [[TxStore.initPartitioned]]) prunes on the partition key; the stats
+  * sidecar built here prunes on any OTHER clustered column (a sorted or
+  * range-partitioned layout makes per-file ranges narrow), the idea
+  * behind Delta/Iceberg file statistics and parquet row-group min/max,
+  * lifted to the file level where a planner can drop whole files from
+  * the scan list before any I/O.
+  *
+  * The sidecar is one parquet table `(file, min_<c>, max_<c>, ...)`
+  * computed in a single aggregate scan grouped by `_metadata.file_path`
+  * and stored UNDER the data directory as `_stats` — the underscore
+  * prefix keeps every normal table read blind to it. Stats rows are
+  * metadata-scale (one per file), so collecting the pruned file list to
+  * the driver is bounded by design.
+  */
+object Skipping {
+
+  private def statsPath(dir: String) = s"$dir/_stats"
+
+  /** Build (or rebuild) the min/max sidecar for `cols` over every
+    * parquet file in `dir`. One scan; at real scale this folds into the
+    * writer (collect stats while writing, as table formats do) — the
+    * separate pass keeps plain-parquet tables retrofittable.
+    */
+  def writeStats(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dir)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1) // one row per data file — metadata-scale
+      .write.mode(SaveMode.Overwrite).parquet(statsPath(dir))
+  }
+
+  /** Files whose [min,max] interval for `c` intersects [lo, hi], plus
+    * the total file count (for skip-rate reporting). Files with a null
+    * min/max (all-null column chunk) are kept — pruning must never be
+    * lossy.
+    */
+  def pruneFiles(spark: SparkSession, dir: String, c: String,
+      lo: Column, hi: Column): (Seq[String], Long) = {
+    val stats = spark.read.parquet(statsPath(dir))
+    val total = stats.count()
+    val kept = stats.filter(
+        col(s"max_$c").isNull || col(s"min_$c").isNull ||
+        (col(s"max_$c") >= lo && col(s"min_$c") <= hi))
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    (kept, total)
+  }
+
+  /** Range read with file skipping: scan only the files that can
+    * contain `c` ∈ [lo, hi], then apply the exact predicate (which
+    * Catalyst additionally pushes into the surviving files' row
+    * groups). Result is identical to a full scan + filter.
+    */
+  def readRange(spark: SparkSession, dir: String, c: String,
+      lo: Column, hi: Column): DataFrame = {
+    val (kept, _) = pruneFiles(spark, dir, c, lo, hi)
+    val pred = col(c) >= lo && col(c) <= hi
+    if (kept.isEmpty) spark.read.parquet(dir).filter(lit(false))
+    else spark.read.parquet(kept: _*).filter(pred)
+  }
+}

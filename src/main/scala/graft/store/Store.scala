@@ -124,6 +124,26 @@ object Store {
     history.unionByName(survivors).unionByName(closed).unionByName(inserts)
   }
 
+  /** Bucketed table layout — the co-located-join story: both sides of
+    * a recurring equi-join written with the SAME bucket count on the
+    * join key (plus in-bucket sort) let every future sort-merge join
+    * run with ZERO exchanges — the shuffle is paid once at write time,
+    * not per query. This is the layout for the 100 TB fact⋈dim joins
+    * too big to broadcast; the no-Exchange plan is asserted in
+    * BucketedJoinSpec. Registered as an EXTERNAL table (explicit
+    * `path`) so the parquet stays a plain directory; bucketing metadata
+    * lives in the session catalog.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      buckets: Int, key: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Partitioned fact layout (the Spark mirror of the reference's
     * DuckDB indexes on produto/data, `cache/duckdb_store.py:74-76`):
     * directory partitioning on the query keys means an equality filter

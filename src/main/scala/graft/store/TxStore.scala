@@ -213,6 +213,28 @@ object TxStore {
     next
   }
 
+  /** Attach a min/max stats sidecar to a committed version (see
+    * [[Skipping]]). Stats live inside the immutable version directory,
+    * so time travel keeps each version's own stats, and hard-linked
+    * partition carry-forward never interacts with them.
+    */
+  def writeStats(spark: SparkSession, root: String, cols: Seq[String],
+      version: Option[Long] = None): Unit = {
+    val v = version.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    Skipping.writeStats(spark, versionDir(root, v), cols)
+  }
+
+  /** Range read over the committed snapshot with file-level skipping —
+    * requires [[writeStats]] to have covered `c` for that version.
+    */
+  def readRange(spark: SparkSession, root: String, c: String,
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column): DataFrame = {
+    val v = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    Skipping.readRange(spark, versionDir(root, v), c, lo, hi)
+  }
+
   /** Remove data directories above the committed version — orphans from
     * failed or conflicted commits. Safe anytime: committed snapshots
     * are never touched.

@@ -156,4 +156,44 @@ class TxStoreSpec extends SparkSuite {
     assert(TxStore.currentVersion(root).contains(2L))
     assert(rows(root) == snapshot)
   }
+
+  test("data skipping: narrow range scans a strict subset of files, identical result") {
+    import graft.store.Skipping
+    val root = freshRoot()
+    // 1000 keys range-partitioned into 10 files -> ~100-key ranges per file
+    val base = (1L to 1000L).map(k => (k, s"p$k", k * 1.5)).toDF("k", "produto", "v")
+      .repartitionByRange(10, $"k")
+    TxStore.init(base, root)
+    TxStore.writeStats(spark, root, Seq("k"))
+    val dir = TxStore.versionDir(root, 1L)
+    val (kept, total) = Skipping.pruneFiles(spark, dir, "k", lit(450L), lit(520L))
+    assert(total == 10)
+    assert(kept.nonEmpty && kept.size <= 2, s"expected <=2 files kept, got ${kept.size}")
+    val got = TxStore.readRange(spark, root, "k", lit(450L), lit(520L))
+      .as[(Long, String, Double)].collect().toSet
+    val want = base.filter($"k".between(450L, 520L))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == want)
+    // out-of-range probe: zero files, empty result, schema intact
+    val (kept0, _) = Skipping.pruneFiles(spark, dir, "k", lit(5000L), lit(6000L))
+    assert(kept0.isEmpty)
+    val empty = TxStore.readRange(spark, root, "k", lit(5000L), lit(6000L))
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("k", "produto", "v"))
+  }
+
+  test("stats sidecar is invisible to normal reads and survives per version") {
+    val root = freshRoot()
+    val base = (1L to 100L).map(k => (k, s"p$k", k * 1.0)).toDF("k", "produto", "v")
+    TxStore.init(base, root)
+    TxStore.writeStats(spark, root, Seq("k"))
+    assert(TxStore.read(spark, root).count() == 100) // _stats not unioned in
+    assert(TxStore.read(spark, root).columns.toSeq == Seq("k", "produto", "v"))
+    // next version without stats: readRange on v2 must fail cleanly, v1 range path intact
+    TxStore.commitUpsert(spark, root,
+      Seq((101L, "x", 1.0)).toDF("k", "produto", "v"), Seq("k"))
+    assert(TxStore.read(spark, root).count() == 101)
+    val v1 = TxStore.versionDir(root, 1L)
+    val (kept, total) = graft.store.Skipping.pruneFiles(spark, v1, "k", lit(1L), lit(5L))
+    assert(total >= 1 && kept.nonEmpty)
+  }
 }
