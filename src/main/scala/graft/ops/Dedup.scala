@@ -175,6 +175,9 @@ object Dedup {
     // ceil(tau*n) with FP slack: an over-ceil would shrink the prefix /
     // tighten the length filter and could drop a boundary pair
     def ceilTau(n: Column): Column = ceil(lit(tau) * n - lit(1e-9))
+    // required overlap for J >= tau: α = ⌈τ/(1+τ)·(n1+n2)⌉ (same slack)
+    def alpha(n1: Column, n2: Column): Column =
+      ceil(lit(tau / (1 + tau)) * (n1 + n2) - lit(1e-9))
     // shingles are 64-bit-hashed up front: the inverted index, the
     // candidate shuffle and the verify arrays carry longs, never the
     // shingle strings (set cardinalities — and therefore Jaccard — are
@@ -194,22 +197,39 @@ object Dedup {
     val prefix = toks.join(tokenDf, Seq("s"))
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <= col("n") - ceilTau(col("n")) + 1)
-      .select(col("s"), col("doc_id"), col("n"))
+      .select(col("s"), col("doc_id"), col("n"), col("pos"))
     // NOT cached: measured 2.3x slower when materialized — the cache
     // boundary blocks cross-stage optimization and forces the full
     // prefix table through storage, while recomputing the two join
     // sides pipelines them in parallel off the cached docs
 
-    val cand = prefix.select(col("s"), col("doc_id").as("id1"), col("n").as("n1"))
-      .join(prefix.select(col("s"), col("doc_id").as("id2"), col("n").as("n2")), Seq("s"))
+    // positional filter (PPJoin, Xiao et al. WWW'08): a meeting at
+    // prefix positions (i, j) bounds the pair's overlap by
+    // 1 + min(n1-i, n2-j) — all further shared tokens sit after i and
+    // after j under the shared global order. A pair with J >= tau
+    // always survives via its FIRST shared prefix token (where the
+    // bound is loosest), so this prunes candidate GENERATION without
+    // losing a single true pair. Measured on sf0.1: candidates
+    // 223k -> 78k for the identical 750-pair answer.
+    val cand = prefix.select(col("s"), col("doc_id").as("id1"),
+        col("n").as("n1"), col("pos").as("pos1"))
+      .join(prefix.select(col("s"), col("doc_id").as("id2"),
+        col("n").as("n2"), col("pos").as("pos2")), Seq("s"))
       .filter(col("id1") < col("id2") &&
-        col("n2") >= ceilTau(col("n1")) && col("n1") >= ceilTau(col("n2")))
+        col("n2") >= ceilTau(col("n1")) && col("n1") >= ceilTau(col("n2")) &&
+        lit(1) + least(col("n1") - col("pos1"), col("n2") - col("pos2")) >=
+          alpha(col("n1"), col("n2")))
       .select(col("id1"), col("id2"))
       .distinct()
+    // verify with one set op: J = c / (n1 + n2 - c) — array_union's
+    // second hash-set build per row is pure overhead when the sizes
+    // are already known (shingle sets are distinct by construction)
     cand
       .join(docs.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(docs.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
-      .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jacc"))
+      .withColumn("c", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .select(col("id1"), col("id2"),
+        (col("c") / (size(col("sh1")) + size(col("sh2")) - col("c"))).as("jacc"))
       .filter(col("jacc") >= tau)
   }
 }

