@@ -210,5 +210,33 @@ object StoreOps {
       WHERE o_orderkey BETWEEN 100000 AND 140000
       ORDER BY o_orderkey"""))
 
-  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06)
+  /** Incremental aggregate maintenance
+    * ([[graft.store.Store.mergeAggregates]]): the monthly revenue view
+    * is maintained from a pre-1997 base plus a 1997+ delta — partial
+    * DECIMAL aggregates merged by key. Oracle is the FULL recompute
+    * over all orders: maintenance must be invisible in the result.
+    */
+  val s07 = Q("s07_agg_maintenance",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      def monthly(df: DataFrame) = df
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mes"))
+        .agg(sum(T.dec(col("o_totalprice"))).as("total_dec"),
+          count(lit(1)).as("n"))
+      val orders = load(s, dir, "orders")
+      val cut = lit("1997-01-01").cast("timestamp")
+      val base = monthly(orders.filter(col("o_orderdate") < cut))
+      val delta = monthly(orders.filter(col("o_orderdate") >= cut))
+      graft.store.Store.mergeAggregates(base, delta,
+          keys = Seq("mes"), measures = Seq("total_dec", "n"))
+        .select(col("mes"), col("total_dec").cast("double").as("total"), col("n"))
+        .orderBy(col("mes"))
+    },
+    Some("""
+      SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mes,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        COUNT(*) AS n
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07)
 }

@@ -207,5 +207,31 @@ object TextAnalysis {
           '[0-9]{3}\.[0-9]{3}\.[0-9]{3}-[0-9]{2}', '<CPF>', 'g') AS clean_text
       FROM planted ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06)
+  /** Deterministic stratified sampling: per-language keep rates
+    * applied through a multiplicative hash of the doc id (Knuth
+    * constant, d07's split convention) — reproducible across engines
+    * and runs, no RNG state, trivially parallel. The training-mix
+    * shape: downsample over-represented strata (en) harder than rare
+    * ones (fr), with the expected rate checked per stratum.
+    */
+  val t07 = Q("t07_stratified_sample",
+    (s, dir) => {
+      val rates = typedlit(Map("en" -> 30L, "de" -> 60L, "es" -> 60L,
+        "fr" -> 90L, "zh" -> 60L))
+      load(s, dir, "documents")
+        .withColumn("keep_rate", element_at(rates, col("lang")))
+        .filter(pmod(col("doc_id") * lit(2654435761L), lit(100L)) < col("keep_rate"))
+        .select(col("doc_id"), col("lang"), col("keep_rate"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, lang, keep_rate FROM (
+        SELECT doc_id, lang,
+          CAST(CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 60 WHEN 'es' THEN 60
+                    WHEN 'fr' THEN 90 WHEN 'zh' THEN 60 END AS BIGINT) AS keep_rate
+        FROM documents) t
+      WHERE (doc_id * 2654435761) % 100 < keep_rate
+      ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07)
 }

@@ -124,6 +124,23 @@ object Store {
     history.unionByName(survivors).unionByName(closed).unionByName(inserts)
   }
 
+  /** Incremental aggregate maintenance: fold a DELTA's partial
+    * aggregates into a maintained aggregate table by key — union of
+    * two group-per-row tables and one re-combine, so refresh cost is
+    * ∝ groups touched, never ∝ facts scanned. Sound for distributive
+    * aggregates (sum, count; min/max too); carry DECIMAL partials so
+    * the combine is associative bit-for-bit (s07 proves the maintained
+    * table equals the full recompute). avg = maintained sum/count at
+    * read time. The materialized-view refresh shape: at 100 TB the
+    * nightly delta re-aggregates hours of data, not years.
+    */
+  def mergeAggregates(aggTable: DataFrame, deltaAgg: DataFrame,
+      keys: Seq[String], measures: Seq[String]): DataFrame =
+    aggTable.unionByName(deltaAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(measures.head)).as(measures.head),
+        measures.tail.map(c => sum(col(c)).as(c)): _*)
+
   /** Bucketed table layout — the co-located-join story: both sides of
     * a recurring equi-join written with the SAME bucket count on the
     * join key (plus in-bucket sort) let every future sort-merge join
