@@ -77,4 +77,38 @@ object Graft {
   def annTopK(vectors: DataFrame, query: DataFrame, vecCol: String,
       k: Int): DataFrame =
     graft.ops.VectorSearch.bruteForceTopK(vectors, query, vecCol, k)
+
+  /** Near-dup CLUSTERS: pair list closed under transitivity
+    * (distributed connected components), rolled up per cluster.
+    */
+  def nearDupClusters(pairs: DataFrame): DataFrame =
+    graft.ops.Graph.nearDupClusters(pairs)
+
+  /** EXACT embedding near-dup pairs (cosine >= minCos) via the
+    * unit-sphere grid join — brute-force answer, never all-pairs.
+    */
+  def embeddingDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      minCos: Double = 0.99): DataFrame =
+    graft.ops.VectorSearch.cosinePairsExact(vectors, idCol, vecCol, minCos)
+
+  /** Deterministic stratified downsampling: per-stratum keep rates in
+    * percent, applied through a multiplicative id hash — reproducible,
+    * RNG-free.
+    */
+  def stratifiedSample(df: DataFrame, idCol: Column, stratumCol: Column,
+      ratesPct: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.filter(pmod(idCol * lit(2654435761L), lit(100L)) <
+      coalesce(element_at(typedlit(ratesPct), stratumCol), lit(0L)))
+  }
+
+  /** SCD Type-2 dimension merge (history-keeping upsert). */
+  def scd2Merge(dim: DataFrame, changes: DataFrame, pk: Seq[String],
+      tracked: Seq[String]): DataFrame =
+    graft.store.Store.scd2Merge(dim, changes, pk, tracked)
+
+  /** Incremental aggregate-table refresh from a delta's partials. */
+  def mergeAggregates(aggTable: DataFrame, deltaAgg: DataFrame,
+      keys: Seq[String], measures: Seq[String]): DataFrame =
+    graft.store.Store.mergeAggregates(aggTable, deltaAgg, keys, measures)
 }

@@ -235,6 +235,33 @@ object TxStore {
     Skipping.readRange(spark, versionDir(root, v), c, lo, hi)
   }
 
+  /** Highest streaming batch id already folded into the table. */
+  def lastBatchId(root: String): Option[Long] = {
+    val f = Paths.get(root, "_last_batch")
+    if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+  }
+
+  /** Idempotent per-microbatch MERGE — the streaming sink contract
+    * (see [[graft.streaming.Streaming.upsertSink]]): Structured
+    * Streaming replays a microbatch after restart with the SAME batch
+    * id, so a batch at or below the recorded high-water mark is a
+    * no-op, and the replayed commit is dropped instead of double-
+    * applied. The id is recorded after the pointer flip; a crash in
+    * between replays the batch, and re-upserting identical rows is
+    * value-idempotent — both failure windows converge to the same
+    * table. First batch initializes the table.
+    *
+    * @return true if the batch was applied, false for a replay skip.
+    */
+  def commitBatch(spark: SparkSession, root: String, batch: DataFrame,
+      pk: Seq[String], batchId: Long): Boolean = {
+    if (lastBatchId(root).exists(batchId <= _)) return false
+    if (currentVersion(root).isEmpty) init(batch, root)
+    else commitUpsert(spark, root, batch, pk)
+    Files.writeString(Paths.get(root, "_last_batch"), batchId.toString)
+    true
+  }
+
   /** Remove data directories above the committed version — orphans from
     * failed or conflicted commits. Safe anytime: committed snapshots
     * are never touched.

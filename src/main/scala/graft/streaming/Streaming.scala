@@ -43,6 +43,36 @@ object Streaming {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: broadcast dim join on a stream — the
+    * at-ingest lookup shape (UF/crop/município dims against a live
+    * event feed). The static side is planned per microbatch, so a dim
+    * refresh is picked up without restarting the stream; broadcast
+    * keeps the stream side shuffle-free.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
+  /** Continuous ingestion into the transactional fact store: each
+    * microbatch MERGEs via [[graft.store.TxStore.commitBatch]] —
+    * all-or-nothing per batch, replay-safe across restarts (batch-id
+    * high-water mark), every batch a time-travelable version. The
+    * reference's incremental cache refresh (`cache/duckdb_store.py`
+    * upsert loop), re-expressed as a restartable stream.
+    */
+  def upsertSink(events: DataFrame, root: String, pk: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val commit: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, id) => {
+        graft.store.TxStore.commitBatch(batch.sparkSession, root,
+          batch.toDF(), pk, id)
+        ()
+      }
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(commit)
+      .start()
+  }
+
   case class Ev(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp,

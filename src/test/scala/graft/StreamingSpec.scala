@@ -91,6 +91,50 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment picks up the broadcast dim per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val dim = Seq(("SP", "Sudeste"), ("BA", "Nordeste")).toDF("uf", "regiao")
+    val q = Streaming.enrich(in.toDF().toDF("id", "uf"), dim, Seq("uf"))
+      .writeStream.format("memory").queryName("enrich_out").start()
+    try {
+      in.addData((1L, "SP"), (2L, "BA"), (3L, "XX"))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .select("id", "regiao").as[(Long, Option[String])].collect().toMap
+      assert(out == Map(1L -> Some("Sudeste"), 2L -> Some("Nordeste"), 3L -> None))
+    } finally q.stop()
+  }
+
+  test("streaming upsert sink: per-batch MERGE commits, replay is a no-op") {
+    import graft.store.TxStore
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ssink").resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sckpt").toString
+    val in = MemoryStream[(Long, String, Double)]
+    val q = Streaming.upsertSink(in.toDF().toDF("k", "produto", "v"),
+      root, Seq("k"), ckpt)
+    try {
+      in.addData((1L, "soja", 100.0), (2L, "milho", 50.0))
+      q.processAllAvailable()
+      assert(TxStore.read(spark, root).as[(Long, String, Double)].collect().toSet ==
+        Set((1L, "soja", 100.0), (2L, "milho", 50.0)))
+      in.addData((2L, "milho", 75.0), (3L, "trigo", 30.0)) // update + insert
+      q.processAllAvailable()
+      assert(TxStore.read(spark, root).as[(Long, String, Double)].collect().toSet ==
+        Set((1L, "soja", 100.0), (2L, "milho", 75.0), (3L, "trigo", 30.0)))
+      // each microbatch is a time-travelable version
+      assert(TxStore.currentVersion(root).exists(_ >= 2L))
+      // restart replay: same batch id arrives again -> skipped, table unchanged
+      val before = TxStore.read(spark, root).collect().toSet
+      val replayed = TxStore.commitBatch(spark, root,
+        Seq((9L, "cafe", 9.0)).toDF("k", "produto", "v"), Seq("k"),
+        TxStore.lastBatchId(root).get)
+      assert(!replayed)
+      assert(TxStore.read(spark, root).collect().toSet == before)
+    } finally q.stop()
+  }
+
   test("multimodal stub decode: deterministic features, exact byte math") {
     val docs = Seq((0L, "ab"), (1L, ""), (2L, "xyz")).toDF("doc_id", "text")
     val out = Multimodal.extractFeatures(
