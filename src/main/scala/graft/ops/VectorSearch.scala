@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{GraftFunctions => G}
 
@@ -207,6 +207,46 @@ object VectorSearch {
       .withColumn("cos", G.cosineSim(col("v1"), col("v2")))
       .filter(col("cos") >= minCos)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Materialize the IVF index as a parquet table PARTITIONED BY the
+    * Voronoi cell — the persisted form of [[ivfCandidates]]'s in-query
+    * assignment. Build cost is one scan + one partitioned write; after
+    * that every probe is directory-pruned I/O (nprobe of C partitions
+    * touched, nothing else read), which is the property that makes IVF
+    * pay at 100 TB: the index is built once and probes scale with
+    * nprobe/C, not with the corpus.
+    */
+  def buildIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Seq[Float]], path: String): Unit =
+    vectors
+      .withColumn("cell", nearestCell(col(vecCol), cents))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe the persisted index: the query's nprobe nearest cells are
+    * computed driver-side from the (tiny) centroid array, and the scan
+    * carries `cell IN (...)` — a PARTITION filter, so only the probed
+    * directories are listed and read (asserted on the plan in
+    * IvfIndexSpec). Candidates are exact-cosine re-ranked as in the
+    * in-query path; same answer, I/O ∝ nprobe/C.
+    */
+  def probeIvfIndex(spark: SparkSession, path: String, query: DataFrame,
+      vecCol: String, cents: Array[Seq[Float]], nprobe: Int): DataFrame = {
+    val sims = transform(centroidArray(cents),
+      e => struct(G.cosineSim(col("q_vec"), e.getField("c")).as("sim"),
+        e.getField("cid").as("cid")))
+    val probes = transform(slice(reverse(array_sort(sims)), 1, nprobe),
+      s => s.getField("cid"))
+    // query sets are small by contract — the probe list is bounded
+    val cells = query.select(col(vecCol).as("q_vec"))
+      .select(explode(probes).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val qb = broadcast(query.select(col(vecCol).as("q_vec")))
+    spark.read.parquet(path)
+      .filter(col("cell").isin(cells: _*))
+      .crossJoin(qb)
+      .withColumn("sim", round(G.cosineSim(col(vecCol), col("q_vec")), 6))
+      .drop("q_vec", "cell")
   }
 
   /** Cosine near-duplicate pairs via LSH bucket self-join (multi-table,

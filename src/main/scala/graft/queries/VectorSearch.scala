@@ -117,5 +117,27 @@ object VectorSearch {
       WHERE list_cosine_similarity(a.e, b.e) >= 0.99
       ORDER BY id1, id2"""))
 
-  def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05)
+  /** a04's persisted form: the IVF index written PARTITIONED BY cell,
+    * probes planned as partition filters — only nprobe of 16 cell
+    * directories are read (plan asserted in IvfIndexSpec). Same
+    * centroids/nprobe as a04, so the two candidate sets are identical;
+    * rows-only here (sketch path), equality asserted in ScalaTest.
+    */
+  val a06 = Q("a06_ann_ivf_persisted",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") =!= 0)
+      val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 2)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf")
+        .resolve("index").toString
+      V.buildIvfIndex(base, "vec_id", "embedding", cents, idx)
+      V.probeIvfIndex(s, idx, e.filter(col("vec_id") === 0), "embedding",
+          cents, nprobe = 4)
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06)
 }
