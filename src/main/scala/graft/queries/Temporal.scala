@@ -68,5 +68,83 @@ object Temporal {
       GROUP BY 1 ORDER BY 1"""),
     bench = true)
 
-  def qs: Seq[Q] = Seq(q30, q31)
+  /** Linear time interpolation of a sparse series (the gap-FILL beside
+    * q37's carry-FORWARD): null points get
+    * prev + (next-prev) · (t-t_prev)/(t_next-t_prev) between their
+    * bracketing non-null neighbors, one window shuffle on the key.
+    * Edges (no prev / no next) stay null — interpolation, not
+    * extrapolation. Epoch-millis integers feed the ratio so both
+    * engines divide identical inputs.
+    */
+  val q41 = Q("q41_interpolate",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val prec = base.rowsBetween(Window.unboundedPreceding, -1)
+      val foll = base.rowsBetween(1, Window.unboundedFollowing)
+      load(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .withColumn("v_sparse", when(col("value") >= 5.0, col("value")))
+        .withColumn("pv", last(col("v_sparse"), ignoreNulls = true).over(prec))
+        .withColumn("pt", last(when(col("v_sparse").isNotNull,
+          unix_millis(col("ts"))), ignoreNulls = true).over(prec))
+        .withColumn("nv", first(col("v_sparse"), ignoreNulls = true).over(foll))
+        .withColumn("nt", first(when(col("v_sparse").isNotNull,
+          unix_millis(col("ts"))), ignoreNulls = true).over(foll))
+        .withColumn("v_interp", round(coalesce(col("v_sparse"),
+          col("pv") + (col("nv") - col("pv")) *
+            (unix_millis(col("ts")) - col("pt")) / (col("nt") - col("pt"))), 6))
+        .select(col("event_id"), col("user_id"), col("v_sparse"), col("v_interp"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, v_sparse,
+        ROUND(COALESCE(v_sparse,
+          pv + (nv - pv) * (epoch_ms(ts) - pt) / (nt - pt)), 6) AS v_interp
+      FROM (
+        SELECT event_id, user_id, ts, v_sparse,
+          LAST_VALUE(v_sparse IGNORE NULLS) OVER prec AS pv,
+          LAST_VALUE(CASE WHEN v_sparse IS NOT NULL THEN epoch_ms(ts) END IGNORE NULLS)
+            OVER prec AS pt,
+          FIRST_VALUE(v_sparse IGNORE NULLS) OVER foll AS nv,
+          FIRST_VALUE(CASE WHEN v_sparse IS NOT NULL THEN epoch_ms(ts) END IGNORE NULLS)
+            OVER foll AS nt
+        FROM (SELECT *, CASE WHEN value >= 5.0 THEN value END AS v_sparse
+              FROM events WHERE user_id < 20) t
+        WINDOW
+          prec AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          foll AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)) x
+      ORDER BY user_id, event_id"""))
+
+  /** RANGE-frame rolling window (the frame family q37/q36's ROWS
+    * frames don't cover): per-user 3-day trailing event sum keyed on
+    * event-TIME, so irregular sampling is handled by the frame, not by
+    * resampling. Epoch-millis ordering keys make the two engines'
+    * frames bound identically; DECIMAL partials keep the sums exact.
+    */
+  val q42 = Q("q42_rolling_range_window",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val threeDaysMs = 3L * 86400L * 1000L
+      val w = Window.partitionBy(col("user_id")).orderBy(unix_millis(col("ts")))
+        .rangeBetween(-threeDaysMs, 0)
+      load(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .withColumn("n_3d", count(lit(1)).over(w))
+        .withColumn("sum_3d", sum(dec(col("value"))).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("n_3d"), col("sum_3d"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+        COUNT(*) OVER w AS n_3d,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_3d
+      FROM events WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                   RANGE BETWEEN 259200000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""))
+
+  def qs: Seq[Q] = Seq(q30, q31, q41, q42)
 }
