@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.T._
+
+/** Event-analytics staples over `events`: ordered funnels and cohort
+  * retention — the product-analytics shapes a warehouse engine is
+  * expected to answer directly. Both reduce to keyed conditional
+  * aggregations and joins of per-user rows (never event×event
+  * products), so the shuffles carry user-level aggregates only.
+  */
+object Analytics {
+
+  /** Ordered funnel signup → view → purchase: each stage's timestamp
+    * must follow the previous stage's. Three conditional-min passes;
+    * the join sides after stage 1 are per-user single rows (broadcast
+    * or map-side under AQE). Strictly-after semantics keep ties out of
+    * the funnel on both engines.
+    */
+  val q43 = Q("q43_funnel",
+    (s, dir) => {
+      val ev = load(s, dir, "events")
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "view")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.select(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.select(count(lit(1)).as("n_view_after")))
+        .crossJoin(s3.select(count(lit(1)).as("n_purchase_after")))
+    },
+    Some("""
+      WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        JOIN s1 USING (user_id)
+        WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+             (SELECT COUNT(*) FROM s2) AS n_view_after,
+             (SELECT COUNT(*) FROM s3) AS n_purchase_after"""))
+
+  /** Cohort retention: users grouped by first-seen ISO week, counted
+    * as active in each subsequent week — the (cohort, weeks_since)
+    * matrix. Two aggregations over (user, week) distinct pairs; the
+    * cohort table is one row per user.
+    */
+  val q44 = Q("q44_cohort_retention",
+    (s, dir) => {
+      val ev = load(s, dir, "events")
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+      val active = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+      active.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("weeks_since"))
+    },
+    Some("""
+      WITH cohort AS (
+        SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY 1),
+      active AS (
+        SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS wk
+        FROM events)
+      SELECT cohort_week,
+        CAST(date_diff('day', cohort_week, wk) / 7 AS INT) AS weeks_since,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM active JOIN cohort USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  def qs: Seq[Q] = Seq(q43, q44)
+}
