@@ -81,5 +81,32 @@ object Analytics {
       FROM active JOIN cohort USING (user_id)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  def qs: Seq[Q] = Seq(q43, q44)
+  /** Sliding (hopping) 6h/3h windows — q35's tumbling twin with
+    * overlap: every event lands in exactly two windows. Spark's
+    * `window(ts, len, slide)` expands map-side; the oracle derives the
+    * same two epoch-aligned starts per event and re-groups.
+    */
+  val q45 = Q("q45_sliding_window",
+    (s, dir) => {
+      load(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("w.start").as("bucket_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("bucket_start"), col("event_type"))
+    },
+    Some("""
+      WITH hits AS (
+        SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 10800) * 10800) AS TIMESTAMP)
+                 AS bucket_start, event_type, value
+        FROM events
+        UNION ALL
+        SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 10800) * 10800 - 10800) AS TIMESTAMP),
+               event_type, value
+        FROM events)
+      SELECT bucket_start, event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      FROM hits GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  def qs: Seq[Q] = Seq(q43, q44, q45)
 }
