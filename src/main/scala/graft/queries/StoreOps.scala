@@ -238,5 +238,32 @@ object StoreOps {
         COUNT(*) AS n
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
-  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07)
+  /** Z-order-clustered data skipping
+    * ([[graft.store.Skipping.writeZOrdered]]): orders laid out by the
+    * Morton code of (o_custkey, o_orderkey), min/max sidecar over BOTH
+    * columns, then a range read on the customer key — the layout where
+    * single-column sorting would leave the second column unprunable.
+    * Oracle is the plain full-scan filter; the both-dimension prune
+    * rates are asserted in SkippingSpec.
+    */
+  val s08 = Q("s08_zorder_skipping",
+    (s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_zorder")
+        .resolve("orders").toString
+      graft.store.Skipping.writeZOrdered(
+        load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        path, "o_custkey", "o_orderkey", numFiles = 16)
+      graft.store.Skipping.writeStats(s, path, Seq("o_custkey", "o_orderkey"))
+      graft.store.Skipping.readRange(s, path, "o_custkey",
+          lit(100L), lit(400L))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_custkey BETWEEN 100 AND 400
+      ORDER BY o_orderkey"""))
+
+  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
 }

@@ -23,6 +23,36 @@ object Skipping {
 
   private def statsPath(dir: String) = s"$dir/_stats"
 
+  /** Morton (Z-order) interleave of the low `bits` of two non-negative
+    * integer columns — the multi-dimensional clustering key behind
+    * Delta's OPTIMIZE ZORDER: range-partitioning + sorting on the
+    * z-value keeps every file's range NARROW IN BOTH columns at once,
+    * so the min/max sidecar prunes on either predicate column, where
+    * single-column sorting only ever prunes on one. Plain shift/mask
+    * arithmetic — stays in whole-stage codegen.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      val abit = shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+      val bbit = shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      abit.bitwiseOR(bbit)
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order-clustered write: range-partition and sort by the Morton
+    * code of the two clustering columns, so [[writeStats]] stats over
+    * BOTH columns become selective. `numFiles` bounds the layout like
+    * a compaction target.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int, bits: Int = 24): Unit = {
+    val z = zValue(col(colA), col(colB), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Build (or rebuild) the min/max sidecar for `cols` over every
     * parquet file in `dir`. One scan; at real scale this folds into the
     * writer (collect stats while writing, as table formats do) — the
