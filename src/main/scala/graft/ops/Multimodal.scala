@@ -30,6 +30,36 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  case class FrameRow(doc_id: Long, frame_idx: Int, n_bytes: Int,
+      energy: Float)
+
+  /** Frame sampling — the video shape: the payload is treated as a
+    * sequence of fixed-size frames, every `stride`-th frame is
+    * decoded (stub: byte-energy), the rest are never touched. One
+    * input row fans out to its sampled frames only, so downstream
+    * work scales with the SAMPLED fraction — the property that makes
+    * frame-level feature extraction tractable on petabyte video sets.
+    * Partition-wise, no driver involvement, deterministic.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 256,
+      stride: Int = 4): Dataset[FrameRow] = {
+    implicit val enc = Encoders.product[FrameRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).iterator.map { fi =>
+          val from = fi * frameBytes
+          val until = math.min(from + frameBytes, bytes.length)
+          var e = 0.0f
+          var i = from
+          while (i < until) { e += (bytes(i) & 0xff).toFloat / 255.0f; i += 1 }
+          FrameRow(r.doc_id, fi, until - from, e)
+        }
+      }
+    }
+  }
+
   /** STUB decode: a real implementation would decode the payload with a
     * codec here (per batch, per partition). The stub derives `dim`
     * deterministic float features from payload bytes (chunked byte

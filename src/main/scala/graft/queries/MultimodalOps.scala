@@ -27,5 +27,26 @@ object MultimodalOps {
         CAST(8 AS INT) AS n_features
       FROM documents ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(m01)
+  /** Frame sampling ([[graft.ops.Multimodal.sampleFrames]]): 256-byte
+    * frames, every 4th decoded — one row per SAMPLED frame only. The
+    * fan-out arithmetic (which frames, how many bytes each) is
+    * oracle-checked; the stub decode's energy values are ScalaTest
+    * territory (byte math isn't DuckDB-expressible).
+    */
+  val m02 = Q("m02_frame_sample",
+    (s, dir) => {
+      val media = Multimodal.asMedia(load(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(media, frameBytes = 256, stride = 4).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("n_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        CAST(LEAST(256, octet_length(encode(text)) - i * 256) AS INT) AS n_bytes
+      FROM documents,
+        UNNEST(generate_series(0,
+          CAST(CEIL(octet_length(encode(text)) / 256.0) AS BIGINT) - 1, 4)) t(i)
+      ORDER BY doc_id, frame_idx"""))
+
+  def qs: Seq[Q] = Seq(m01, m02)
 }

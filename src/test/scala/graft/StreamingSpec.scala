@@ -135,6 +135,22 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("frame sampling: stride fan-out, tail frame, exact energies") {
+    val docs = Seq(
+      (0L, "a" * 600),  // 3 frames of 256/256/88 -> sampled frame 0 only
+      (1L, ""),         // no frames
+      (2L, "b" * 1200)  // 5 frames -> sampled 0 and 4 (tail, 176 bytes)
+    ).toDF("doc_id", "text")
+    val out = Multimodal.sampleFrames(
+      Multimodal.asMedia(docs, "doc_id", "text"), frameBytes = 256, stride = 4)
+      .collect().map(r => (r.doc_id, r.frame_idx) -> r).toMap
+    assert(out.keySet == Set((0L, 0), (2L, 0), (2L, 4)))
+    assert(out((0L, 0)).n_bytes == 256)
+    assert(out((2L, 4)).n_bytes == 1200 - 4 * 256)
+    assert(math.abs(out((0L, 0)).energy - 256 * 97f / 255f) < 1e-3)
+    assert(math.abs(out((2L, 4)).energy - 176 * 98f / 255f) < 1e-3)
+  }
+
   test("multimodal stub decode: deterministic features, exact byte math") {
     val docs = Seq((0L, "ab"), (1L, ""), (2L, "xyz")).toDF("doc_id", "text")
     val out = Multimodal.extractFeatures(
