@@ -85,6 +85,9 @@ object Graph {
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
     var sum = checksum(e)
+    // no small-graph narrowing: measured 25% SLOWER with coalesce(1)
+    // on a 2k-edge graph — AQE already collapses the tiny shuffles,
+    // and single-partition rounds forfeit intra-round parallelism
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
