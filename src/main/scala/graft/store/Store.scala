@@ -98,9 +98,19 @@ object Store {
       s"dim must carry exactly pk ++ tracked ++ $book")
     val current = dim.filter(col("is_current"))
     val history = dim.filter(!col("is_current"))
+    // a batch may re-deliver the same pk (retries, late compaction):
+    // latest change date wins, ties broken on the tracked values so
+    // the merge stays deterministic — without this, duplicate pks
+    // would fan out through the full-outer join into duplicate
+    // versions. Apply intermediate changes in separate batches.
     val ch = changes.select(
-      pk.map(col) ++ tracked.map(c => col(c).as(s"__new_$c")) :+
-        col(changeDateCol).as("__chg"): _*)
+        pk.map(col) ++ tracked.map(c => col(c).as(s"__new_$c")) :+
+          col(changeDateCol).as("__chg"): _*)
+      .groupBy(pk.map(col): _*)
+      .agg(max(struct(col("__chg") +: tracked.map(c => col(s"__new_$c")): _*))
+        .as("__w"))
+      .select(pk.map(col) ++ tracked.map(c =>
+        col(s"__w.__new_$c").as(s"__new_$c")) :+ col("__w.__chg").as("__chg"): _*)
     val j = current.join(ch, pk, "full_outer")
     val changed = tracked.map(c => !(col(c) <=> col(s"__new_$c"))).reduce(_ || _)
     val hasCur = col("is_current").isNotNull

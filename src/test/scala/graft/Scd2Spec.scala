@@ -46,6 +46,19 @@ class Scd2Spec extends SparkSuite {
     assert(out == Seq((9L, "gold", d("2021-07-01"), None, true)))
   }
 
+  test("duplicate pk in one batch: latest change date wins, no fan-out") {
+    val out = merge(Seq(
+      (1L, "silver", d("2021-03-01")),
+      (1L, "platinum", d("2021-07-01")), // latest -> wins
+      (1L, "bronze", d("2021-01-01"))))
+    val rows = out.filter($"id" === 1L).orderBy("valid_from")
+      .as[(Long, String, Date, Option[Date], Boolean)].collect().toSeq
+    assert(rows == Seq(
+      (1L, "gold", d("2020-01-01"), Some(d("2021-07-01")), false),
+      (1L, "platinum", d("2021-07-01"), None, true)))
+    assert(out.count() == dim0.count() + 1) // exactly one new version
+  }
+
   test("two merge rounds accumulate a three-version history") {
     val r1 = Store.scd2Merge(dim0,
       Seq((2L, "gold", d("2021-01-01"))).toDF("id", "tier", "change_date"),
