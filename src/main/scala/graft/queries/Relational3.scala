@@ -193,5 +193,64 @@ object Relational3 {
       WHERE o_totalprice > cust_avg
       ORDER BY o_orderkey"""))
 
-  def qs: Seq[Q] = Seq(q25, q26, q27, q28, q29, q32, q33, q34)
+  /** q26's multiset twin — EXCEPT ALL / INTERSECT ALL keep
+    * multiplicities: a customer with 3 orders in 1995 and 1 in 1996
+    * contributes 2 `excess_1995` rows and 1 `common` row (the bag
+    * semantics the distinct set ops erase). Spark plans both as a
+    * single hash aggregation computing per-row counts on each side —
+    * one shuffle, no join.
+    */
+  val q46 = Q("q46_except_all",
+    (s, dir) => {
+      val o = load(s, dir, "orders")
+      def custs(y: Int) = o.filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey"))
+      val common = custs(1995).intersectAll(custs(1996))
+        .withColumn("membership", lit("common"))
+      val excess = custs(1995).exceptAll(custs(1996))
+        .withColumn("membership", lit("excess_1995"))
+      common.unionByName(excess).orderBy(col("membership"), col("o_custkey"))
+    },
+    Some("""
+      SELECT o_custkey, membership FROM (
+        SELECT o_custkey, 'common' AS membership FROM (
+          SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+          INTERSECT ALL
+          SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996) a
+        UNION ALL
+        SELECT o_custkey, 'excess_1995' FROM (
+          SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+          EXCEPT ALL
+          SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996) b
+      ) t ORDER BY membership, o_custkey"""))
+
+  /** Explicit GROUPING SETS outside the rollup/cube lattice: the union
+    * of two INDEPENDENT group-bys — by year and by priority — in ONE
+    * pass over the fact table (q16's ROLLUP and q32's CUBE only cover
+    * the lattice shapes). Spark expands the sets map-side into a
+    * single shuffle, exactly like its ROLLUP plan, instead of the two
+    * scans + union a user would otherwise write.
+    */
+  val q47 = Q("q47_grouping_sets",
+    (s, dir) => {
+      load(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("ano"),
+          col("o_orderpriority").as("prio"), col("o_totalprice"))
+        .groupingSets(Seq(Seq(col("ano")), Seq(col("prio"))),
+          col("ano"), col("prio"))
+        .agg(grouping_id().as("gid"),
+          dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+        .orderBy(col("gid"), col("ano").asc_nulls_first,
+          col("prio").asc_nulls_first)
+    },
+    Some("""
+      SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS ano,
+        o_orderpriority AS prio,
+        GROUPING(CAST(YEAR(o_orderdate) AS BIGINT), o_orderpriority) AS gid,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        COUNT(*) AS n
+      FROM orders GROUP BY GROUPING SETS ((1), (2))
+      ORDER BY gid, ano ASC NULLS FIRST, prio ASC NULLS FIRST"""))
+
+  def qs: Seq[Q] = Seq(q25, q26, q27, q28, q29, q32, q33, q34, q46, q47)
 }

@@ -265,5 +265,33 @@ object StoreOps {
       WHERE o_custkey BETWEEN 100 AND 400
       ORDER BY o_orderkey"""))
 
-  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
+  /** Time travel through the commit log: init v1, MERGE to v2, compact
+    * to v3 — then read v1 back. Two commits later, the original
+    * snapshot must be byte-identical to the raw base (versions are
+    * immutable; compaction and upsert never touch them), so the oracle
+    * is simply the unmodified base select. The commit-log manifests
+    * (action/parent/file-count per version) are asserted in
+    * TxStoreSpec.
+    */
+  val s09 = Q("s09_time_travel",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_tt")
+        .resolve("t").toString
+      val base = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.store.TxStore.init(base, root)
+      val updates = load(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 100000.0).as("o_totalprice"))
+      graft.store.TxStore.commitUpsert(s, root, updates, Seq("o_orderkey"))
+      graft.store.TxStore.commitCompaction(s, root, numFiles = 4)
+      graft.store.TxStore.readVersion(s, root, 1L)
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_orderkey"""))
+
+  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
 }

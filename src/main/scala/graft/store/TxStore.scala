@@ -44,6 +44,48 @@ object TxStore {
   def versionDir(root: String, v: Long): String =
     Paths.get(root, "_versions", s"v$v").toString
 
+  private def logDir(root: String): Path = Paths.get(root, "_log")
+
+  /** Append-only commit-log manifest (`_log/v<N>.json`, one line per
+    * commit — the Delta-log idea reduced to the single-writer case):
+    * what each version IS (action + parent + file count) without
+    * listing its data directory. Deterministic content — no wall-clock
+    * fields — so committed tables are byte-reproducible. Written
+    * immediately before the pointer flip; [[history]] filters to
+    * committed versions, so a manifest orphaned by a conflicted commit
+    * is invisible (and [[vacuum]] removes it).
+    */
+  private def writeManifest(root: String, v: Long, action: String,
+      parent: Option[Long]): Unit = {
+    Files.createDirectories(logDir(root))
+    val nFiles = {
+      val s = Files.walk(Paths.get(versionDir(root, v)))
+      try s.iterator().asScala.count(f =>
+        Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val json = s"""{"version":$v,"action":"$action","parent":${parent.getOrElse("null")},"num_files":$nFiles}"""
+    Files.writeString(logDir(root).resolve(s"v$v.json"), json + "\n")
+  }
+
+  /** The commit history of the table — one row per committed version
+    * (version, action, parent, num_files), read from the `_log`
+    * manifests. Metadata-scale by construction: one small JSON file per
+    * commit, never a data-directory listing.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val schema = StructType(Seq(
+      StructField("version", LongType), StructField("action", StringType),
+      StructField("parent", LongType), StructField("num_files", LongType)))
+    spark.read.schema(schema).json(logDir(root).toString)
+      .filter(col("version") <= cur)
+      .orderBy(col("version"))
+  }
+
   /** The committed version, or None for an uninitialized table. */
   def currentVersion(root: String): Option[Long] = {
     val f = currentFile(root)
@@ -55,6 +97,7 @@ object TxStore {
     require(currentVersion(root).isEmpty, s"table already initialized at $root")
     Files.createDirectories(Paths.get(root, "_versions"))
     writeVersion(df, root, 1L)
+    writeManifest(root, 1L, "init", parent = None)
     flipPointer(root, expected = None, next = 1L)
     1L
   }
@@ -98,6 +141,7 @@ object TxStore {
       throw new ConcurrentCommitException(
         s"table at $root moved past v$expected; retry on the new snapshot")
     }
+    writeManifest(root, next, "upsert", Some(expected))
     flipPointer(root, Some(expected), next)
     next
   }
@@ -111,6 +155,7 @@ object TxStore {
     val dir = versionDir(root, 1L)
     try df.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dir)
     catch { case e: Throwable => deleteRecursively(Paths.get(dir)); throw e }
+    writeManifest(root, 1L, "init", parent = None)
     flipPointer(root, expected = None, next = 1L)
     1L
   }
@@ -158,6 +203,7 @@ object TxStore {
       throw new ConcurrentCommitException(
         s"table at $root moved past v$expected; retry on the new snapshot")
     }
+    writeManifest(root, next, "upsert-partitioned", Some(expected))
     flipPointer(root, Some(expected), next)
     next
   }
@@ -209,6 +255,7 @@ object TxStore {
       throw new ConcurrentCommitException(
         s"table at $root moved past v$expected; retry on the new snapshot")
     }
+    writeManifest(root, next, "compaction", Some(expected))
     flipPointer(root, Some(expected), next)
     next
   }
@@ -280,6 +327,14 @@ object TxStore {
           val v = name.drop(1).toLongOption
           if (v.exists(_ > committed)) { deleteRecursively(p); removed += v.get }
         }
+      }
+      // manifests orphaned by conflicted commits go with their data dirs
+      if (Files.exists(logDir(root))) {
+        val logs = Files.list(logDir(root))
+        try logs.iterator().asScala.foreach { m =>
+          val v = m.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLongOption
+          if (v.exists(_ > committed)) Files.deleteIfExists(m)
+        } finally logs.close()
       }
       removed.result().sorted
     } finally it.close()

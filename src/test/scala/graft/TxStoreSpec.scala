@@ -142,6 +142,44 @@ class TxStoreSpec extends SparkSuite {
     assert(TxStore.vacuum(root).isEmpty)
   }
 
+  test("commit log: one manifest per committed version, conflicted commits leave none") {
+    val root = freshRoot()
+    TxStore.init(Seq((1L, "soja", 100.0), (2L, "milho", 50.0)).toDF("k", "produto", "v"), root)
+    TxStore.commitUpsert(spark, root,
+      Seq((2L, "milho", 75.0)).toDF("k", "produto", "v"), Seq("k"))      // -> v2
+    TxStore.commitCompaction(spark, root, numFiles = 1)                  // -> v3
+    val h = TxStore.history(spark, root)
+      .select("version", "action", "parent")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(h == Seq((1L, "init", None), (2L, "upsert", Some(1L)),
+      (3L, "compaction", Some(2L))))
+    // every manifest's file count matches its data directory
+    val counts = TxStore.history(spark, root)
+      .select("version", "num_files").as[(Long, Long)].collect().toMap
+    counts.foreach { case (v, n) =>
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(TxStore.versionDir(root, v)))
+      val actual = try s.iterator().asScala.count(_.toString.endsWith(".parquet")) finally s.close()
+      assert(actual == n, s"v$v manifest says $n files, dir has $actual")
+    }
+    // a conflicted (stale-base) commit must not leave a manifest behind
+    intercept[TxStore.ConcurrentCommitException] {
+      TxStore.commitUpsert(spark, root,
+        Seq((9L, "cafe", 9.0)).toDF("k", "produto", "v"), Seq("k"),
+        expectedVersion = Some(1L))
+    }
+    TxStore.vacuum(root)
+    assert(TxStore.history(spark, root).count() == 3)
+    // partitioned tables log their own action label
+    val proot = freshRoot()
+    TxStore.initPartitioned(
+      Seq((1L, "soja", 1.0), (2L, "milho", 2.0)).toDF("k", "produto", "v"), proot, "produto")
+    TxStore.commitUpsertPartitioned(spark, proot,
+      Seq((1L, "soja", 9.0)).toDF("k", "produto", "v"), Seq("k"), "produto")
+    assert(TxStore.history(spark, proot).select("action").as[String].collect().toSeq
+      == Seq("init", "upsert-partitioned"))
+  }
+
   test("optimistic concurrency: a stale writer conflicts and changes nothing") {
     val root = freshRoot()
     TxStore.init(Seq((1L, "soja", 100.0)).toDF("k", "produto", "v"), root)
