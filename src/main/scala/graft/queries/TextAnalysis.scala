@@ -233,5 +233,29 @@ object TextAnalysis {
       WHERE (doc_id * 2654435761) % 100 < keep_rate
       ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07)
+  /** Heavy hitters over corpus tokens ([[graft.ops.Frequency]]): every
+    * token above 1/500 of the corpus, with EXACT counts — per-partition
+    * Misra-Gries candidates bound the shuffle to ≤ k·partitions rows
+    * (vs one per distinct token), then a broadcast-semi-join recount
+    * makes the result exact, so the plain HAVING oracle hash-matches.
+    * Same tokenization as t03 (lower + \s+ split).
+    */
+  val t08 = Q("t08_heavy_hitters",
+    (s, dir) => {
+      val toks = load(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      graft.ops.Frequency.heavyHitters(toks, "token", k = 499)
+        .orderBy(col("freq").desc, col("token"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        FROM documents)
+      SELECT token, COUNT(*) AS freq
+      FROM toks
+      GROUP BY token
+      HAVING COUNT(*) * 500 > (SELECT COUNT(*) FROM toks)
+      ORDER BY freq DESC, token"""))
+
+  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
 }
