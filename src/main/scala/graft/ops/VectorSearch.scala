@@ -249,6 +249,62 @@ object VectorSearch {
       .drop("q_vec", "cell")
   }
 
+  /** Per-query top-k over a scored (query_id, id, sim) set WITHOUT
+    * shuffling every scored row to its query's reducer: phase 1 takes
+    * the top-k per (query, input-partition) — the group is wholly
+    * inside one partition, so collect_list's partial aggregation does
+    * the work map-side and the shuffle carries ≤ Q·P·k rows; phase 2
+    * re-ranks that bounded set with an ordinary window. With Q queries
+    * against an n-row corpus the naive window plan shuffles n·Q rows;
+    * this shuffles Q·P·k — the tree-reduction every distributed top-k
+    * needs at scale. Ordering is (sim DESC, id ASC), on the ALREADY
+    * ROUNDED sim, so engine tie-breaks are deterministic.
+    */
+  def batchTopK(scored: DataFrame, queryIdCol: String, idCol: String,
+      simCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val partial = scored
+      .groupBy(col(queryIdCol), spark_partition_id().as("_p"))
+      .agg(slice(reverse(array_sort(collect_list(
+        struct(col(simCol).as("sim"), (-col(idCol)).as("negid"))))),
+        1, k).as("top"))
+      .select(col(queryIdCol), explode(col("top")).as("t"))
+      .select(col(queryIdCol), (-col("t.negid")).as(idCol), col("t.sim").as(simCol))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col(simCol).desc, col(idCol).asc)
+    partial
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Batch probe of the persisted IVF index: the whole query SET is
+    * answered in ONE pruned scan — the union of every query's nprobe
+    * cells becomes the partition filter, and a broadcast join on `cell`
+    * hands each index row only to the queries that probed its cell
+    * (where [[probeIvfIndex]] cross-joins its single query). Per-query
+    * candidates are identical to nprobe separate probes; I/O is the
+    * UNION of probed cells, read once.
+    */
+  def probeIvfIndexBatch(spark: SparkSession, path: String, queries: DataFrame,
+      vecCol: String, queryIdCol: String, cents: Array[Seq[Float]],
+      nprobe: Int): DataFrame = {
+    val sims = transform(centroidArray(cents),
+      e => struct(G.cosineSim(col("q_vec"), e.getField("c")).as("sim"),
+        e.getField("cid").as("cid")))
+    val probes = transform(slice(reverse(array_sort(sims)), 1, nprobe),
+      s => s.getField("cid"))
+    val qb = queries
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell", explode(probes))
+    // bounded by Q × nprobe — the partition filter for the single scan
+    val cells = qb.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(path)
+      .filter(col("cell").isin(cells: _*))
+      .join(broadcast(qb), Seq("cell"))
+      .withColumn("sim", round(G.cosineSim(col(vecCol), col("q_vec")), 6))
+      .drop("q_vec", "cell")
+  }
+
   /** Cosine near-duplicate pairs via LSH bucket self-join (multi-table,
     * bucketed — never all-pairs), verified with exact cosine.
     */

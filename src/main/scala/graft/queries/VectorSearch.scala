@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.T._
 import graft.ops.{VectorSearch => V}
+import graft.functions.{GraftFunctions => G}
 
 /** Similarity-search family over `embeddings.parquet` (500 × 64-dim
   * float at sf0.01). Brute-force cosine top-k is the oracle-checked
@@ -139,5 +140,65 @@ object VectorSearch {
     },
     None)
 
-  def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06)
+  /** Batch exact ANN: a query SET (every 100th vector) against the
+    * corpus in one broadcast pass, per-query top-5 via
+    * [[graft.ops.VectorSearch.batchTopK]] — partial top-k per input
+    * partition, then a window over the ≤ Q·P·k survivors (never n·Q
+    * rows on the shuffle). Oracle-exact: ranking runs on the already-
+    * rounded sim with an id tie-break, so DuckDB's ROW_NUMBER agrees
+    * bit-for-bit.
+    */
+  val a07 = Q("a07_ann_batch_exact",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+      val queries = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      val scored = e.filter(pmod(col("vec_id"), lit(100)) =!= 0)
+        .crossJoin(broadcast(queries))
+        .withColumn("sim", round(G.cosineSim(col("embedding"), col("q_vec")), 6))
+        .select(col("query_id"), col("vec_id"), col("sim"))
+      V.batchTopK(scored, "query_id", "vec_id", "sim", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id % 100 = 0),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+          ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim
+        FROM embeddings e, q WHERE e.vec_id % 100 <> 0)
+      SELECT query_id, vec_id, sim, rank FROM (
+        SELECT query_id, vec_id, sim,
+          CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM scored) t
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** a07's scale path: the same query set probed against the PERSISTED
+    * IVF index in one partition-pruned scan
+    * ([[graft.ops.VectorSearch.probeIvfIndexBatch]] — union of probed
+    * cells read once, broadcast cell-join fan-out, batchTopK re-rank).
+    * Rows-only (sketch path); per-query equality with the one-at-a-time
+    * persisted probe is asserted in BatchAnnSpec.
+    */
+  val a08 = Q("a08_ann_ivf_batch",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+      val base = e.filter(pmod(col("vec_id"), lit(100)) =!= 0)
+      val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 2)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfb")
+        .resolve("index").toString
+      V.buildIvfIndex(base, "vec_id", "embedding", cents, idx)
+      val queries = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cand = V.probeIvfIndexBatch(s, idx, queries, "embedding", "query_id",
+          cents, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("sim"))
+      V.batchTopK(cand, "query_id", "vec_id", "sim", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08)
 }
