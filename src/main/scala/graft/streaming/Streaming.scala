@@ -73,6 +73,77 @@ object Streaming {
       .start()
   }
 
+  case class AsofIn(key: Long, ts: Timestamp, side: String, value: Double)
+  case class AsofState(builds: List[(Long, Double)], probes: List[(Long, Double)])
+  case class AsofOut(key: Long, ts: Timestamp, probe_value: Double,
+      build_value: Option[Double])
+
+  /** Streaming as-of join — the streaming twin of
+    * [[graft.ops.Temporal.asofJoin]] (q30): both sides arrive as ONE
+    * keyed stream tagged `side` ∈ probe|build, and each probe row is
+    * answered with the latest build value at or before its timestamp.
+    *
+    * Correctness under disorder comes from the watermark, not arrival
+    * order: a probe is emitted only once the watermark passes its
+    * timestamp (no build at or before it can still arrive); until then
+    * it is buffered in state. Buffered builds older than the watermark
+    * collapse to the single LATEST one — any earlier build can never
+    * again be the as-of match for a future probe (future rows carry
+    * ts ≥ watermark), which is what bounds state to the watermark
+    * horizon per key rather than the stream's history. Quiet keys are
+    * garbage-collected one horizon after their last pending work via
+    * event-time timeout (a probe arriving later than that for the same
+    * key loses its carry-forward — the price of bounded state,
+    * identical to the trade every watermarked operator makes).
+    *
+    * Emission order within a key is by probe timestamp; output mode
+    * Append.
+    */
+  def asofJoinStream(in: Dataset[AsofIn], horizon: String = "1 hour",
+      horizonMs: Long = 60 * 60 * 1000L): Dataset[AsofOut] = {
+    import in.sparkSession.implicits._
+    in.withWatermark("ts", horizon)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[AsofIn], state: GroupState[AsofState]) =>
+          val st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          val fresh = rows.toSeq
+          val builds = st.builds ++
+            fresh.filter(_.side == "build").map(r => (r.ts.getTime, r.value))
+          val probes = st.probes ++
+            fresh.filter(_.side == "probe").map(r => (r.ts.getTime, r.value))
+          val wm = state.getCurrentWatermarkMs()
+          // a probe strictly below the watermark is final: every build
+          // at or before it has arrived
+          val (ready, pending) = probes.partition(_._1 < wm)
+          val out = ready.sortBy(_._1).map { case (pts, pv) =>
+            val eligible = builds.filter(_._1 <= pts)
+            val bv = if (eligible.isEmpty) None else Some(eligible.maxBy(_._1)._2)
+            AsofOut(key, new Timestamp(pts), pv, bv)
+          }
+          // evict: of the builds below the watermark only the latest
+          // can ever match again (future probes have ts >= wm)
+          val (old, recent) = builds.partition(_._1 < wm)
+          val kept = (if (old.isEmpty) Nil else List(old.maxBy(_._1))) ++ recent
+          if (state.hasTimedOut && pending.isEmpty) {
+            state.remove() // quiet-key GC: one horizon past the last work
+            out.iterator
+          } else if (kept.isEmpty && pending.isEmpty) {
+            state.remove()
+            out.iterator
+          } else {
+            state.update(AsofState(kept, pending))
+            // wake when the oldest pending probe finalizes, else one
+            // horizon out to GC the carry-forward
+            val wake = if (pending.nonEmpty) pending.map(_._1).min + 1
+              else math.max(wm, kept.map(_._1).max) + horizonMs
+            state.setTimeoutTimestamp(wake)
+            out.iterator
+          }
+      }
+  }
+
   case class Ev(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp,

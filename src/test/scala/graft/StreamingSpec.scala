@@ -135,6 +135,54 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of join matches the batch as-of join once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.AsofIn]
+    val q = Streaming.asofJoinStream(in.toDS(),
+        horizon = "10 seconds", horizonMs = 10000L)
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode(OutputMode.Append()).start()
+    def t(sec: Int) = ts(f"2024-01-01 00:00:$sec%02d")
+    try {
+      // batch 1: out-of-order arrivals; nothing can finalize yet (wm=0)
+      in.addData(
+        Streaming.AsofIn(1L, t(20), "build", 2.0),
+        Streaming.AsofIn(1L, t(25), "probe", 100.0),
+        Streaming.AsofIn(1L, t(0), "build", 1.0),
+        Streaming.AsofIn(1L, t(5), "probe", 101.0),
+        Streaming.AsofIn(2L, t(5), "probe", 200.0)) // key 2: no build ever
+      q.processAllAvailable()
+      // batch 2: wm is now 25-10=15s -> probes at 5s finalize
+      in.addData(Streaming.AsofIn(1L, t(30), "build", 3.0))
+      q.processAllAvailable()
+      val first = spark.table("asof_out").as[Streaming.AsofOut].collect().toSet
+      assert(first == Set(
+        Streaming.AsofOut(1L, t(5), 101.0, Some(1.0)),
+        Streaming.AsofOut(2L, t(5), 200.0, None)),
+        s"probes below the watermark should emit, got $first")
+
+      // batch 3: a late probe ABOVE the watermark still joins correctly,
+      // then a far-future row flushes everything
+      in.addData(Streaming.AsofIn(1L, t(21), "probe", 102.0))
+      q.processAllAvailable()
+      in.addData(Streaming.AsofIn(9L, ts("2024-01-01 01:00:00"), "build", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_out")
+        .filter($"key" =!= 9L).as[Streaming.AsofOut].collect().toSet
+
+      // oracle: the BATCH as-of join over the same rows
+      val probes = Seq((1L, t(25), 100.0), (1L, t(5), 101.0), (2L, t(5), 200.0),
+        (1L, t(21), 102.0)).toDF("key", "ts", "probe_value")
+      val builds = Seq((1L, t(20), 2.0), (1L, t(0), 1.0), (1L, t(30), 3.0))
+        .toDF("key", "ts", "build_value")
+      val want = graft.ops.Temporal.asofJoin(probes, builds, Seq("key"), "ts", "build_value")
+        .select($"key", $"ts", $"probe_value", $"build_value")
+        .as[(Long, Timestamp, Double, Option[Double])].collect()
+        .map(r => Streaming.AsofOut(r._1, r._2, r._3, r._4)).toSet
+      assert(got == want, s"stream/batch divergence: got $got want $want")
+    } finally q.stop()
+  }
+
   test("frame sampling: stride fan-out, tail frame, exact energies") {
     val docs = Seq(
       (0L, "a" * 600),  // 3 frames of 256/256/88 -> sampled frame 0 only
