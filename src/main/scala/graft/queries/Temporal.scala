@@ -146,5 +146,46 @@ object Temporal {
                    RANGE BETWEEN 259200000 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id"""))
 
-  def qs: Seq[Q] = Seq(q30, q31, q41, q42)
+  /** Temporal dimension join: every order priced against the CUSTOMER
+    * DIM VERSION valid at its order date (the query every SCD2 table —
+    * s05's output shape — exists to answer). Composed as an as-of join
+    * on (custkey, valid_from) instead of the textbook
+    * `BETWEEN valid_from AND valid_to` inequality join, which Spark
+    * would execute as a per-key product; the union-window form is one
+    * shuffle, O(n log n) per key. Two inline versions: base balance
+    * from 1990, every 10th key revalued +100 from mid-1996 — so orders
+    * straddle the version boundary.
+    */
+  val q48 = Q("q48_temporal_dim_join",
+    (s, dir) => {
+      val cust = load(s, dir, "customer")
+      val v1 = cust.select(col("c_custkey").as("o_custkey"),
+        to_timestamp(lit("1990-01-01")).as("o_orderdate"),
+        col("c_acctbal").as("bal_at_order"))
+      val v2 = cust.filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .select(col("c_custkey").as("o_custkey"),
+          to_timestamp(lit("1996-06-15")).as("o_orderdate"),
+          (col("c_acctbal") + 100.0).as("bal_at_order"))
+      val probe = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      Tp.asofJoin(probe, v1.unionByName(v2), Seq("o_custkey"),
+          "o_orderdate", "bal_at_order")
+        .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH dim AS (
+        SELECT c_custkey AS cust, TIMESTAMP '1990-01-01' AS vfrom,
+               c_acctbal AS bal_at_order
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, TIMESTAMP '1996-06-15', c_acctbal + 100.0
+        FROM customer WHERE c_custkey % 10 = 0)
+      SELECT o.o_orderkey, o.o_custkey,
+             CAST(o.o_orderdate AS DATE) AS o_orderdate, d.bal_at_order
+      FROM orders o ASOF LEFT JOIN dim d
+        ON o.o_custkey = d.cust AND o.o_orderdate >= d.vfrom
+      ORDER BY o_orderkey"""))
+
+  def qs: Seq[Q] = Seq(q30, q31, q41, q42, q48)
 }

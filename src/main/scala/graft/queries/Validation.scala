@@ -247,5 +247,56 @@ object Validation {
       WHERE p.d IS NULL
       ORDER BY b.user_id, b.d"""))
 
-  def qs: Seq[Q] = Seq(v01, v02, v03, v04, v05, v07, v08)
+  /** Referential-integrity audit: orphan foreign keys counted per
+    * relation in one left-join pass each (planted: every 1000th order
+    * points at a nonexistent customer; one line of every 500th order's
+    * lineitems at a nonexistent order). The dim side is reduced to
+    * DISTINCT keys before the join, so the shuffle carries keys, not
+    * dim payloads; counts and orphans come from the same pass (no
+    * second scan for the denominator).
+    */
+  val v09 = Q("v09_ref_integrity",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      def audit(fact: DataFrame, fk: String, dimKeys: DataFrame, pk: String,
+          name: String): DataFrame =
+        fact.join(dimKeys.distinct(), fact(fk) === dimKeys(pk), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("relation"), col("n_rows"), col("n_orphans"))
+      val orders = load(s, dir, "orders")
+      val oPlanted = orders.withColumn("o_custkey",
+        when(pmod(col("o_orderkey"), lit(1000)) === 0, col("o_custkey") + 9000000L)
+          .otherwise(col("o_custkey")))
+      val liPlanted = load(s, dir, "lineitem").withColumn("l_orderkey",
+        when(pmod(col("l_orderkey"), lit(500)) === 0 && col("l_linenumber") === 1,
+          col("l_orderkey") + 90000000L).otherwise(col("l_orderkey")))
+      audit(oPlanted, "o_custkey",
+          load(s, dir, "customer").select(col("c_custkey")), "c_custkey",
+          "orders->customer")
+        .unionByName(audit(liPlanted, "l_orderkey",
+          orders.select(col("o_orderkey")), "o_orderkey", "lineitem->orders"))
+        .orderBy(col("relation"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT CASE WHEN o_orderkey % 1000 = 0 THEN o_custkey + 9000000
+                    ELSE o_custkey END AS o_custkey
+        FROM orders),
+      l AS (
+        SELECT CASE WHEN l_orderkey % 500 = 0 AND l_linenumber = 1
+                    THEN l_orderkey + 90000000 ELSE l_orderkey END AS l_orderkey
+        FROM lineitem)
+      SELECT 'lineitem->orders' AS relation, COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN oo.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      FROM l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) oo
+        ON l.l_orderkey = oo.o_orderkey
+      UNION ALL
+      SELECT 'orders->customer', COUNT(*),
+        CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey
+      ORDER BY relation"""))
+
+  def qs: Seq[Q] = Seq(v01, v02, v03, v04, v05, v07, v08, v09)
 }
