@@ -162,5 +162,61 @@ object DimOps {
       ORDER BY i.c_custkey"""
     })
 
-  def qs: Seq[Q] = Seq(g01, g02, g03, g04)
+  /** Fuzzy município lookup: misspelled names (3rd character dropped,
+    * every 37th municipality) resolved to the nearest dim entry by
+    * Levenshtein distance over accent-stripped lowercase keys,
+    * candidates BLOCKED to the same UF (≤853 rows/UF) so the edit
+    * distance never runs against the whole 5,570-row dim — the typo
+    * fallback g04's exact lookup needs (reference normalize semantics,
+    * `normalize/municipalities.py`). Deterministic tie-break
+    * (dist, codigo) via row_number; both engines compute the identical
+    * distance matrix.
+    */
+  val g05 = Q("g05_fuzzy_lookup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dim = Dims.municipioDim(s)
+      val inputs = dim
+        .filter(pmod(col("codigo_ibge"), lit(37)) === 0 && length(col("nome")) > 4)
+        .select(col("codigo_ibge").as("src_codigo"), col("uf"),
+          concat(substring(col("nome"), 1, 2), expr("substring(nome, 4)")).as("typo"))
+      val cand = inputs
+        .join(broadcast(dim.select(col("codigo_ibge"), col("nome"), col("uf"))),
+          Seq("uf"))
+        .withColumn("dist", levenshtein(
+          G.stripAccents(lower(col("typo"))),
+          G.stripAccents(lower(col("nome")))).cast("long"))
+      val w = Window.partitionBy(col("src_codigo"))
+        .orderBy(col("dist"), col("codigo_ibge"))
+      cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("src_codigo"), col("typo"),
+          col("codigo_ibge").as("match_codigo"), col("nome").as("match_nome"),
+          col("dist"))
+        .orderBy(col("src_codigo"))
+    },
+    Some {
+      val vals = Dims.municipios
+        .map { case (c, nm, u) => s"($c,'${nm.replace("'", "''")}','$u')" }
+        .mkString(", ")
+      s"""
+      WITH muni(codigo_ibge, nome, uf) AS (VALUES $vals),
+      inputs AS (
+        SELECT codigo_ibge AS src_codigo, uf,
+               substr(nome, 1, 2) || substr(nome, 4) AS typo
+        FROM muni WHERE codigo_ibge % 37 = 0 AND length(nome) > 4),
+      cand AS (
+        SELECT i.src_codigo, i.typo, m.codigo_ibge, m.nome,
+          CAST(levenshtein(strip_accents(lower(i.typo)),
+                           strip_accents(lower(m.nome))) AS BIGINT) AS dist
+        FROM inputs i JOIN muni m USING (uf)),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY src_codigo ORDER BY dist, codigo_ibge) AS rn
+        FROM cand)
+      SELECT src_codigo, typo, codigo_ibge AS match_codigo,
+             nome AS match_nome, dist
+      FROM ranked WHERE rn = 1 ORDER BY src_codigo"""
+    })
+
+  def qs: Seq[Q] = Seq(g01, g02, g03, g04, g05)
 }
