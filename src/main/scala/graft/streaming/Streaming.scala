@@ -144,6 +144,30 @@ object Streaming {
       }
   }
 
+  /** Native stream-STREAM interval join: each left event paired with
+    * the right-side events of the same key inside
+    * [left.ts - tolerance, left.ts] — the "recent context" join (a
+    * trade against the quotes of the preceding minutes). Built on
+    * Spark's own stream-stream inner join: the watermark plus the
+    * range condition is exactly what lets the engine evict right-side
+    * state older than watermark - tolerance, so state is bounded by
+    * key-rate × (horizon + tolerance), not stream history. Inputs are
+    * (key, ts, value) frames; output keeps left columns plus the
+    * matched (r_ts, r_value).
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      tolerance: String = "10 minutes", horizon: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", horizon).alias("l")
+    val r = right
+      .select(col("key"), col("ts").as("r_ts"), col("value").as("r_value"))
+      .withWatermark("r_ts", horizon).alias("r")
+    l.join(r,
+      expr(s"""l.key = r.key AND
+               r_ts >= l.ts - INTERVAL $tolerance AND r_ts <= l.ts"""))
+      .select(col("l.key").as("key"), col("l.ts").as("ts"),
+        col("l.value").as("value"), col("r_ts"), col("r_value"))
+  }
+
   case class Ev(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp,

@@ -183,6 +183,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs each left event with its recent right context") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Timestamp, Double)]
+    val rIn = MemoryStream[(Long, Timestamp, Double)]
+    def t(sec: Int) = ts(f"2024-01-01 00:00:$sec%02d")
+    val q = Streaming.intervalJoinStream(
+        lIn.toDF().toDF("key", "ts", "value"),
+        rIn.toDF().toDF("key", "ts", "value"),
+        tolerance = "10 seconds", horizon = "30 seconds")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      rIn.addData((1L, t(0), 10.0), (1L, t(8), 11.0), (2L, t(5), 20.0))
+      lIn.addData((1L, t(12), 1.0), (2L, t(30), 2.0))
+      q.processAllAvailable()
+      // right event arriving AFTER the left one still joins (both within interval)
+      rIn.addData((1L, t(6), 12.0))
+      q.processAllAvailable()
+      val got = spark.table("ij_out")
+        .select("key", "ts", "value", "r_ts", "r_value")
+        .as[(Long, Timestamp, Double, Timestamp, Double)].collect().toSet
+      // l(1,12): window [2,12] -> r at 8 and 6 (not 0); l(2,30): window [20,30] -> nothing
+      assert(got == Set(
+        (1L, t(12), 1.0, t(8), 11.0),
+        (1L, t(12), 1.0, t(6), 12.0)), s"got $got")
+    } finally q.stop()
+  }
+
   test("frame sampling: stride fan-out, tail frame, exact energies") {
     val docs = Seq(
       (0L, "a" * 600),  // 3 frames of 256/256/88 -> sampled frame 0 only
