@@ -43,6 +43,12 @@ class BatchAnnSpec extends SparkSuite {
       .select($"query_id", $"vec_id", $"sim")
       .as[(Long, Long, Double)].collect()
       .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    // the batched probe must reach the index as a PARTITION filter —
+    // only the union of probed cell directories is listed and read
+    val planned = V.probeIvfIndexBatch(spark, idx, queries, "embedding",
+      "query_id", cents, nprobe = 3)
+    assert(planned.queryExecution.executedPlan.toString.contains("PartitionFilters: [cell#"),
+      "expected a cell partition filter in the batched probe plan")
     val qs = queries.as[(Long, Seq[Float])].collect()
     assert(qs.nonEmpty && batch.keySet == qs.map(_._1).toSet)
     qs.foreach { case (qid, vec) =>
