@@ -298,5 +298,51 @@ object Validation {
         ON o.o_custkey = c.c_custkey
       ORDER BY relation"""))
 
-  def qs: Seq[Q] = Seq(v01, v02, v03, v04, v05, v07, v08, v09)
+  /** Distribution-drift audit: the 1995 vs 1996 order-value histograms
+    * compared bin by bin with a symmetric chi-square statistic
+    * ((p-q)²/((p+q)/2) over bin proportions) — the drift gate a
+    * curation pipeline runs before accepting a new data drop. One
+    * aggregation pass builds both years' histograms (conditional sums,
+    * never two scans); the statistic is pure rational arithmetic on
+    * exact integer counts — no log/exp whose last-ulp could differ
+    * between engines — so the oracle hash-matches. 10 fixed-width bins
+    * with the overflow capped into the last one.
+    */
+  val v10 = Q("v10_dist_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val yr = year(col("o_orderdate"))
+      val w = Window.partitionBy()
+      load(s, dir, "orders")
+        .filter(yr.isin(1995, 1996))
+        .groupBy(least(floor(col("o_totalprice") / 50000), lit(9L)).as("bin"))
+        .agg(sum(when(yr === 1995, 1L).otherwise(0L)).as("n_1995"),
+          sum(when(yr === 1996, 1L).otherwise(0L)).as("n_1996"))
+        .withColumn("p", col("n_1995").cast("double") /
+          sum(col("n_1995")).over(w).cast("double"))
+        .withColumn("q", col("n_1996").cast("double") /
+          sum(col("n_1996")).over(w).cast("double"))
+        .select(col("bin"), col("n_1995"), col("n_1996"),
+          round(col("p"), 6).as("p_1995"), round(col("q"), 6).as("p_1996"),
+          round(((col("p") - col("q")) * (col("p") - col("q"))) /
+            ((col("p") + col("q")) / 2.0), 6).as("chi2"))
+        .orderBy(col("bin"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT CAST(LEAST(FLOOR(o_totalprice / 50000), 9) AS BIGINT) AS bin,
+          CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS n_1995,
+          CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n_1996
+        FROM orders WHERE YEAR(o_orderdate) IN (1995, 1996) GROUP BY 1),
+      props AS (
+        SELECT bin, n_1995, n_1996,
+          CAST(n_1995 AS DOUBLE) / CAST(SUM(n_1995) OVER () AS DOUBLE) AS p,
+          CAST(n_1996 AS DOUBLE) / CAST(SUM(n_1996) OVER () AS DOUBLE) AS q
+        FROM h)
+      SELECT bin, n_1995, n_1996,
+        ROUND(p, 6) AS p_1995, ROUND(q, 6) AS p_1996,
+        ROUND(((p - q) * (p - q)) / ((p + q) / 2.0), 6) AS chi2
+      FROM props ORDER BY bin"""))
+
+  def qs: Seq[Q] = Seq(v01, v02, v03, v04, v05, v07, v08, v09, v10)
 }

@@ -227,6 +227,24 @@ class StreamingSpec extends SparkSuite {
     assert(math.abs(out((2L, 4)).energy - 176 * 98f / 255f) < 1e-3)
   }
 
+  test("media metadata query prunes the payload column at the scan") {
+    val docs = Seq((0L, "hello"), (1L, "a longer doc"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+      .resolve("media").toString
+    Multimodal.asMedia(docs, "doc_id", "text").toDF().write.parquet(dir)
+    // metadata-only rollup: at 100 TB this must not read the payload
+    // bytes — column pruning has to reach the parquet scan
+    val q = spark.read.parquet(dir).groupBy($"format").count()
+    val readSchema = q.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.nonEmpty, "no ReadSchema in plan")
+    assert(!readSchema.contains("payload"),
+      s"payload column not pruned from the scan: $readSchema")
+    assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .values.sum == 3L)
+  }
+
   test("multimodal stub decode: deterministic features, exact byte math") {
     val docs = Seq((0L, "ab"), (1L, ""), (2L, "xyz")).toDF("doc_id", "text")
     val out = Multimodal.extractFeatures(
