@@ -200,5 +200,41 @@ object VectorSearch {
     },
     None)
 
-  def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08)
+  /** Per-DIMENSION corpus statistics over the embedding column (the
+    * normalization/whitening inputs an embedding pipeline computes
+    * before indexing): posexplode to (pos, value), one aggregation
+    * keyed on the 64 positions. Values are rounded to 6 dp FIRST and
+    * summed as exact DECIMAL — rounded doubles cast losslessly to
+    * DECIMAL(18,6), so the cross-partition sum is associative and both
+    * engines agree bit-for-bit (a raw double sum would depend on
+    * partition order). The explode shuffles (pos, value) pairs only.
+    */
+  val a09 = Q("a09_embedding_dim_stats",
+    (s, dir) => {
+      load(s, dir, "embeddings")
+        .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        .select(col("pos").cast("long").as("pos"), round(col("x"), 6).as("y"))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y").cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(18, 6))).cast("double").as("total"),
+          round(min(col("y")), 6).as("vmin"),
+          round(max(col("y")), 6).as("vmax"))
+        .withColumn("mean", round(col("total") / col("n"), 6))
+        .orderBy(col("pos"))
+    },
+    Some("""
+      WITH exploded AS (
+        SELECT unnest(list_transform(CAST(embedding AS DOUBLE[]),
+          (x, i) -> {'pos': i - 1, 'x': x})) AS s
+        FROM embeddings),
+      vals AS (
+        SELECT CAST(s.pos AS BIGINT) AS pos, ROUND(s.x, 6) AS y FROM exploded)
+      SELECT pos, COUNT(*) AS n,
+        CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        ROUND(MIN(y), 6) AS vmin, ROUND(MAX(y), 6) AS vmax,
+        ROUND(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean
+      FROM vals GROUP BY pos ORDER BY pos"""))
+
+  def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09)
 }

@@ -117,6 +117,8 @@ object TxStore {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     require(v >= 1 && v <= cur, s"version v$v not committed (current: v$cur)")
+    require(Files.exists(Paths.get(versionDir(root, v))),
+      s"version v$v expired by retention (oldest retained version differs)")
     spark.read.parquet(versionDir(root, v))
   }
 
@@ -307,6 +309,36 @@ object TxStore {
     else commitUpsert(spark, root, batch, pk)
     Files.writeString(Paths.get(root, "_last_batch"), batchId.toString)
     true
+  }
+
+  /** Retention: expire committed versions older than the newest
+    * `keepLast` (Delta's VACUUM RETAIN, single-writer case). Expired
+    * version directories and their manifests are deleted — time travel
+    * to them then fails the readVersion require() cleanly — while
+    * `_current` and every retained version are untouched. Hard-linked
+    * partition files shared with retained versions survive deletion by
+    * link semantics (the inode lives until its last link goes).
+    * Returns the expired version numbers.
+    */
+  def expireVersions(root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must retain at least the current version")
+    val committed = currentVersion(root).getOrElse(return Seq.empty)
+    val cutoff = committed - keepLast + 1 // oldest retained version
+    val versionsDir = Paths.get(root, "_versions")
+    if (!Files.exists(versionsDir)) return Seq.empty
+    val it = Files.list(versionsDir)
+    try {
+      val expired = Seq.newBuilder[Long]
+      it.iterator().asScala.foreach { p =>
+        val v = p.getFileName.toString.stripPrefix("v").toLongOption
+        if (v.exists(x => x < cutoff)) {
+          deleteRecursively(p)
+          Files.deleteIfExists(logDir(root).resolve(s"v${v.get}.json"))
+          expired += v.get
+        }
+      }
+      expired.result().sorted
+    } finally it.close()
   }
 
   /** Remove data directories above the committed version — orphans from

@@ -180,6 +180,35 @@ class TxStoreSpec extends SparkSuite {
       == Seq("init", "upsert-partitioned"))
   }
 
+  test("retention expires old versions; hard-linked data in retained versions survives") {
+    val root = freshRoot()
+    TxStore.init(Seq((1L, "soja", 100.0)).toDF("k", "produto", "v"), root)
+    (2 to 4).foreach { i =>
+      TxStore.commitUpsert(spark, root,
+        Seq((i.toLong, "soja", i * 10.0)).toDF("k", "produto", "v"), Seq("k"))
+    }
+    assert(TxStore.expireVersions(root, keepLast = 2) == Seq(1L, 2L))
+    // retained versions read fine; expired ones fail cleanly; current intact
+    assert(TxStore.readVersion(spark, root, 3L).count() == 3)
+    assert(TxStore.read(spark, root).count() == 4)
+    intercept[IllegalArgumentException](TxStore.readVersion(spark, root, 1L))
+    assert(TxStore.history(spark, root).select("version").as[Long].collect().toSeq
+      == Seq(3L, 4L), "expired manifests pruned from history")
+    assert(TxStore.expireVersions(root, keepLast = 2).isEmpty, "idempotent")
+
+    // partitioned table: v2 hard-links v1's untouched partitions; after
+    // expiring v1, the shared inodes must still be readable through v2
+    val proot = freshRoot()
+    TxStore.initPartitioned(Seq((1L, "soja", 1.0), (2L, "milho", 2.0))
+      .toDF("k", "produto", "v"), proot, "produto")
+    TxStore.commitUpsertPartitioned(spark, proot,
+      Seq((1L, "soja", 9.0)).toDF("k", "produto", "v"), Seq("k"), "produto")
+    assert(TxStore.expireVersions(proot, keepLast = 1) == Seq(1L))
+    assert(TxStore.read(spark, proot)
+      .select("k", "produto", "v").as[(Long, String, Double)].collect().toSet
+      == Set((1L, "soja", 9.0), (2L, "milho", 2.0)))
+  }
+
   test("optimistic concurrency: a stale writer conflicts and changes nothing") {
     val root = freshRoot()
     TxStore.init(Seq((1L, "soja", 100.0)).toDF("k", "produto", "v"), root)
