@@ -171,7 +171,33 @@ object Dedup {
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: Column, textCol: Column,
-      k: Int = 3, tau: Double = 0.6): DataFrame = {
+      k: Int = 3, tau: Double = 0.6): DataFrame =
+    ppJoin(df.select(idCol.as("doc_id"), textCol.as("text"))
+      .withColumn("side", lit(0)), k, tau, cross = false)
+
+  /** The INCREMENTAL shape of [[ngramJaccardPairs]]: a new `batch`
+    * similarity-joined against an existing `corpus` (daily-drop dedup
+    * against yesterday's table — the common production case, where
+    * re-running the all-pairs self-join over corpus+batch would redo
+    * corpus×corpus work that was already done on the last drop). Same
+    * prefix index and PPJoin filters; the candidate join simply keeps
+    * only cross-side meetings, so corpus-corpus buckets never expand.
+    * Ids must be distinct across the two sides. Returns
+    * (id1=corpus, id2=batch, jacc) — exact, like d06. At 100 TB the
+    * corpus half of the prefix index is a persisted table maintained
+    * by MERGE (d05's signature-table stance).
+    */
+  def ngramJaccardJoin(
+      corpus: DataFrame, batch: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 3, tau: Double = 0.6): DataFrame =
+    ppJoin(
+      corpus.select(idCol.as("doc_id"), textCol.as("text")).withColumn("side", lit(0))
+        .unionByName(
+          batch.select(idCol.as("doc_id"), textCol.as("text")).withColumn("side", lit(1))),
+      k, tau, cross = true)
+
+  private def ppJoin(tagged: DataFrame, k: Int, tau: Double,
+      cross: Boolean): DataFrame = {
     // ceil(tau*n) with FP slack: an over-ceil would shrink the prefix /
     // tighten the length filter and could drop a boundary pair
     def ceilTau(n: Column): Column = ceil(lit(tau) * n - lit(1e-9))
@@ -183,11 +209,11 @@ object Dedup {
     // shingle strings (set cardinalities — and therefore Jaccard — are
     // unchanged barring a 64-bit collision, which the DuckDB oracle
     // comparison would surface, same stance as d01)
-    val docs = df.select(idCol.as("doc_id"),
-        transform(shingles(textCol, k), x => xxhash64(x)).as("sh"))
+    val docs = tagged.select(col("doc_id"), col("side"),
+        transform(shingles(col("text"), k), x => xxhash64(x)).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache() // read by the prefix index and both verify-join sides
-    val toks = docs.select(col("doc_id"), size(col("sh")).as("n"),
+    val toks = docs.select(col("doc_id"), col("side"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
     // global token order: rarest first (document frequency asc, token
     // asc). Any total order is correct; rarest-first makes the indexed
@@ -197,7 +223,7 @@ object Dedup {
     val prefix = toks.join(tokenDf, Seq("s"))
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <= col("n") - ceilTau(col("n")) + 1)
-      .select(col("s"), col("doc_id"), col("n"), col("pos"))
+      .select(col("s"), col("doc_id"), col("side"), col("n"), col("pos"))
     // NOT cached: measured 2.3x slower when materialized — the cache
     // boundary blocks cross-stage optimization and forces the full
     // prefix table through storage, while recomputing the two join
@@ -211,11 +237,14 @@ object Dedup {
     // bound is loosest), so this prunes candidate GENERATION without
     // losing a single true pair. Measured on sf0.1: candidates
     // 223k -> 78k for the identical 750-pair answer.
+    val pairShape =
+      if (cross) col("side1") === 0 && col("side2") === 1
+      else col("id1") < col("id2")
     val cand = prefix.select(col("s"), col("doc_id").as("id1"),
-        col("n").as("n1"), col("pos").as("pos1"))
+        col("side").as("side1"), col("n").as("n1"), col("pos").as("pos1"))
       .join(prefix.select(col("s"), col("doc_id").as("id2"),
-        col("n").as("n2"), col("pos").as("pos2")), Seq("s"))
-      .filter(col("id1") < col("id2") &&
+        col("side").as("side2"), col("n").as("n2"), col("pos").as("pos2")), Seq("s"))
+      .filter(pairShape &&
         col("n2") >= ceilTau(col("n1")) && col("n1") >= ceilTau(col("n2")) &&
         lit(1) + least(col("n1") - col("pos1"), col("n2") - col("pos2")) >=
           alpha(col("n1"), col("n2")))

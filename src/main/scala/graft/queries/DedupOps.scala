@@ -278,5 +278,67 @@ object DedupOps {
              string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
       FROM lab GROUP BY 1 ORDER BY cluster_id"""))
 
-  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
+  /** Incremental dedup: a NEW BATCH similarity-joined against the
+    * existing corpus ([[graft.ops.Dedup.ngramJaccardJoin]] — d06's
+    * prefix index restricted to cross-side candidates, so corpus×corpus
+    * buckets never expand; the daily-drop shape). Batch = near-dup
+    * copies (every 11th doc + marker tokens), exact re-deliveries
+    * (every 23rd verbatim) and heavy truncations (every 13th cut to 40
+    * chars — must fall below τ). Exact like d06, so fully
+    * oracle-checked.
+    */
+  val d09 = Q("d09_incremental_dedup",
+    (s, dir) => {
+      val d = load(s, dir, "documents")
+      val batch = d.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          concat(col("text"), lit(" graft appended marker tokens")).as("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(23)) === 0)
+          .select((col("doc_id") + 70000).as("doc_id"), col("text")))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") + 90000).as("doc_id"),
+            substring(col("text"), 1, 40).as("text")))
+      Dedup.ngramJaccardJoin(d.select(col("doc_id"), col("text")), batch,
+          col("doc_id"), col("text"), k = 3, tau = 0.6)
+        .select(col("id1"), col("id2"), round(col("jacc"), 4).as("jacc"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""
+      WITH batch AS (
+        SELECT doc_id + 50000 AS doc_id,
+               concat(text, ' graft appended marker tokens') AS text
+        FROM documents WHERE doc_id % 11 = 0
+        UNION ALL
+        SELECT doc_id + 70000, text FROM documents WHERE doc_id % 23 = 0
+        UNION ALL
+        SELECT doc_id + 90000, substr(text, 1, 40)
+        FROM documents WHERE doc_id % 13 = 0),
+      norm_c AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      norm_b AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM batch),
+      sh_c AS (
+        SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM norm_c, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)),
+      sh_b AS (
+        SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM norm_b, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)),
+      size_c AS (SELECT doc_id, COUNT(*) AS n FROM sh_c GROUP BY 1),
+      size_b AS (SELECT doc_id, COUNT(*) AS n FROM sh_b GROUP BY 1),
+      common AS (
+        SELECT c.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+        FROM sh_c c JOIN sh_b b USING (s)
+        GROUP BY 1, 2)
+      SELECT id1, id2, ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS jacc
+      FROM common
+      JOIN size_c s1 ON s1.doc_id = id1
+      JOIN size_b s2 ON s2.doc_id = id2
+      WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6
+      ORDER BY id1, id2"""))
+
+  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
 }
