@@ -257,5 +257,34 @@ object TextAnalysis {
       HAVING COUNT(*) * 500 > (SELECT COUNT(*) FROM toks)
       ORDER BY freq DESC, token"""))
 
-  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
+  /** t04's scale path beside its exact twin (the q25/q29 stance for
+    * quantiles): approx_percentile is a mergeable bounded-memory sketch
+    * — the only viable form at 100 TB — while the exact percentile
+    * requires the full sorted group. Sketch output is engine-specific,
+    * so rows-only here with the rank-error bound asserted IN the row
+    * (the sketch guarantees ±accuracy⁻¹ in RANK, checked against the
+    * exact CDF position, not the value).
+    */
+  val t09 = Q("t09_approx_percentiles",
+    (s, dir) => {
+      val docs = load(s, dir, "documents")
+        .select(col("lang"), G.tokenCount(col("text")).as("nt"))
+      val stats = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(nt, 0.5)").as("p50_exact"),
+          expr("approx_percentile(nt, 0.5, 1000)").as("p50_approx"))
+      // rank of the sketch's answer within the group vs the true median
+      // rank: |rank(approx)/n - 0.5| must be inside the sketch bound
+      docs.join(stats, Seq("lang"))
+        .groupBy(col("lang"), col("n_docs"), col("p50_exact"), col("p50_approx"))
+        .agg((sum(when(col("nt") <= col("p50_approx"), 1L).otherwise(0L)) /
+          count(lit(1))).as("cdf_at_approx"))
+        .withColumn("rank_err", abs(col("cdf_at_approx") - 0.5))
+        .withColumn("within_bound",
+          col("rank_err") <= lit(0.01) + lit(1.0) / col("n_docs"))
+        .orderBy(col("lang"))
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
 }
