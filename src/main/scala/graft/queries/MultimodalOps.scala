@@ -48,5 +48,30 @@ object MultimodalOps {
           CAST(CEIL(octet_length(encode(text)) / 256.0) AS BIGINT) - 1, 4)) t(i)
       ORDER BY doc_id, frame_idx"""))
 
-  def qs: Seq[Q] = Seq(m01, m02)
+  /** Modality inventory from METADATA only: per-format counts and byte
+    * totals straight off the media table — the rollup a curation run
+    * does before deciding what to decode. The payload column never
+    * reaches the scan for queries like this (ReadSchema pruning proven
+    * in StreamingSpec's media test); byte lengths here come through the
+    * binary column to pin length(binary) = octet semantics against the
+    * oracle.
+    */
+  val m03 = Q("m03_media_stats",
+    (s, dir) => {
+      val media = Multimodal.asMedia(load(s, dir, "documents"), "doc_id", "text")
+      media.toDF()
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("payload"))).cast("long").as("total_bytes"),
+          max(length(col("payload"))).cast("long").as("max_bytes"))
+        .orderBy(col("format"))
+    },
+    Some("""
+      SELECT (['png','jpeg','wav'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+        COUNT(*) AS n,
+        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+      FROM documents GROUP BY 1 ORDER BY format"""))
+
+  def qs: Seq[Q] = Seq(m01, m02, m03)
 }

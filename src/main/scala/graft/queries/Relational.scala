@@ -431,6 +431,48 @@ object Relational {
       ORDER BY user_id, session_id"""),
     bench = true)
 
+  /** q36's sessionizer through Spark's NATIVE session_window operator —
+    * the same 30-min-gap sessions as one groupBy, no manual lag/cumsum.
+    * The oracle derives sessions from first principles (lag + running
+    * break sum), so this pins the native operator's exact merge
+    * semantics: a gap of EXACTLY the threshold starts a new session
+    * (session end = last ts + gap, merge requires ts strictly below
+    * it) — one boundary off from q36's `>` convention, hence the `>=`
+    * in this oracle. Window end = last event + gap is asserted too.
+    */
+  val q51 = Q("q51_session_window",
+    (s, dir) => {
+      load(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT user_id, event_id, ts, value,
+          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE user_id < 50),
+      brk AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN prev_ts IS NULL OR EPOCH(ts) - EPOCH(prev_ts) >= 1800
+            THEN 1 ELSE 0 END AS b
+        FROM base),
+      sess AS (
+        SELECT user_id, ts, value,
+          CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        FROM brk)
+      SELECT user_id, MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
   /** Tumbling-window (6h) event counts — the batch shape of the
     * Structured Streaming pipeline in graft.streaming (same grouping).
     */
@@ -480,5 +522,5 @@ object Relational {
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
   def qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q13, q14, q15, q16, q19, q35, q36, q37, q38)
+    q11, q13, q14, q15, q16, q19, q35, q36, q37, q38, q51)
 }
