@@ -51,4 +51,36 @@ class DppSpec extends SparkSuite {
     assert(got == ((want, 2L)))
     assert(want == 1000L)
   }
+
+  test("runtime bloom filter is injected on the probe side of a selective shuffle join") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bloom")
+    val factDir = base.resolve("fact").toString
+    val dimDir = base.resolve("dim").toString
+    (1L to 50000L).map(i => (i % 997, i * 1.0)).toDF("k", "v")
+      .write.parquet(factDir)
+    (0L until 997L).map(i => (i, if (i % 100 == 0) "keep" else "drop"))
+      .toDF("k", "tag").write.parquet(dimDir)
+    // non-partitioned fact + non-broadcast join: the only runtime
+    // pruning available is a bloom filter on the probe side, built
+    // from the filtered dim keys during the shuffle. Thresholds are
+    // byte-based cost guesses — pin them open at unit-test sizes.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100000MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = spark.read.parquet(factDir)
+        .join(spark.read.parquet(dimDir).filter($"tag" === "keep"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom"),
+        s"expected a runtime bloom filter in:\n$plan")
+      // 10 surviving dim keys x ~50 fact rows each
+      assert(joined.count() == (1L to 50000L).count(i => (i % 997) % 100 == 0 && (i % 997) < 997))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
