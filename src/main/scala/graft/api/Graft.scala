@@ -111,4 +111,39 @@ object Graft {
   def mergeAggregates(aggTable: DataFrame, deltaAgg: DataFrame,
       keys: Seq[String], measures: Seq[String]): DataFrame =
     graft.store.Store.mergeAggregates(aggTable, deltaAgg, keys, measures)
+
+  /** Latest build value at-or-before each probe row's timestamp
+    * (per key) — [[graft.ops.Temporal.asofJoin]].
+    */
+  def asofJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      ts: String, payload: String): DataFrame =
+    graft.ops.Temporal.asofJoin(probe, build, keys, ts, payload)
+
+  /** Interval×point pairs under a key, bucket-binned —
+    * [[graft.ops.Temporal.rangeJoinBinned]].
+    */
+  def rangeJoin(intervals: DataFrame, points: DataFrame, keys: Seq[String],
+      pt: String, lo: String, hi: String, binWidth: Long): DataFrame =
+    graft.ops.Temporal.rangeJoinBinned(intervals, points, keys, pt, lo, hi, binWidth)
+
+  /** Exact counts of every value above total/(k+1) frequency —
+    * [[graft.ops.Frequency.heavyHitters]].
+    */
+  def heavyHitters(items: DataFrame, c: String, k: Int): DataFrame =
+    graft.ops.Frequency.heavyHitters(items, c, k)
+
+  /** Per-query top-k over a scored (queryId, id, sim) set —
+    * [[graft.ops.VectorSearch.batchTopK]].
+    */
+  def annTopKBatch(scored: DataFrame, queryIdCol: String, idCol: String,
+      simCol: String, k: Int): DataFrame =
+    graft.ops.VectorSearch.batchTopK(scored, queryIdCol, idCol, simCol, k)
+
+  /** Exact similarity join of a new batch against an existing corpus —
+    * [[graft.ops.Dedup.ngramJaccardJoin]].
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+      idCol: org.apache.spark.sql.Column, textCol: org.apache.spark.sql.Column,
+      k: Int = 3, tau: Double = 0.6): DataFrame =
+    graft.ops.Dedup.ngramJaccardJoin(corpus, batch, idCol, textCol, k, tau)
 }

@@ -94,6 +94,39 @@ class ApiSpec extends SparkSuite {
     assert(top == 3L)
   }
 
+  test("facade: temporal, frequency, batch-ann and incremental-dedup verbs") {
+    import java.sql.Timestamp
+    def t(sec: Int) = new Timestamp(sec * 1000L)
+    val probe = Seq((1L, 10L, t(50)), (2L, 10L, t(5))).toDF("pid", "k", "ts")
+    val build = Seq((10L, t(40), 7.0), (10L, t(60), 9.0)).toDF("k", "ts", "payload")
+    val asof = Graft.asofJoin(probe, build, Seq("k"), "ts", "payload")
+      .select($"pid", $"payload").as[(Long, Option[Double])].collect().toMap
+    assert(asof == Map(1L -> Some(7.0), 2L -> None))
+
+    val iv = Seq((1L, 0L, 0L, 100L)).toDF("iv", "k", "lo", "hi")
+    val pts = Seq((1L, 0L, 50L), (2L, 0L, 500L)).toDF("pt_id", "k", "pt")
+    assert(Graft.rangeJoin(iv, pts, Seq("k"), "pt", "lo", "hi", 10L)
+      .select($"pt_id").as[Long].collect().toSeq == Seq(1L))
+
+    val items = (Seq.fill(60)("hot") ++ (1 to 40).map(i => s"cold$i"))
+      .toDF("token")
+    val hh = Graft.heavyHitters(items, "token", 9).as[(String, Long)]
+      .collect().toMap
+    assert(hh == Map("hot" -> 60L))
+
+    val scored = Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7))
+      .toDF("qid", "vec_id", "sim")
+    assert(Graft.annTopKBatch(scored, "qid", "vec_id", "sim", 2)
+      .select($"vec_id").as[Long].collect().toSet == Set(10L, 11L))
+
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val batch = Seq((100L, "alpha beta gamma delta epsilon zeta eta"),
+      (101L, "wholly different content here entirely now")).toDF("doc_id", "text")
+    val inc = Graft.incrementalDedup(corpus, batch, col("doc_id"), col("text"),
+      k = 3, tau = 0.5).select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(inc == Set((1L, 100L)))
+  }
+
   test("plan regression: events range predicates stay pushed down") {
     val q = graft.queries.QueryRegistry.byName("q02_filter_daterange")
       .fn(spark, "/root/testdata/sf0.001")
