@@ -82,3 +82,26 @@ final class Telemetry {
     counters.get((source, kind))
   def all: Map[(String, String), Summary] = counters.toMap
 }
+
+/** Distributed-side telemetry: dataset metrics that RIDE the job
+  * instead of costing a second scan. `Dataset.observe` attaches
+  * aggregate expressions to the plan (CollectMetrics node); executors
+  * fold them alongside the real work and the driver reads the result
+  * after the action — at 100 TB the difference between "row counts and
+  * null rates for free" and "double the I/O". The JVM-side [[Telemetry]]
+  * above counts driver events (fetch/parse); this counts DATA events.
+  */
+object DataMetrics {
+  import org.apache.spark.sql.{Column, DataFrame, Observation}
+
+  /** Attach named metrics to a frame. Returns the instrumented frame
+    * and a handle whose `get` blocks until an ACTION has run on it,
+    * then yields the metric row as a map.
+    */
+  def observed(df: DataFrame, name: String, metrics: Map[String, Column])
+      : (DataFrame, Observation) = {
+    val obs = Observation(name)
+    val exprs = metrics.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }
+    (df.observe(obs, exprs.head, exprs.tail: _*), obs)
+  }
+}

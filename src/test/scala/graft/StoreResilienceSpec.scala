@@ -74,6 +74,20 @@ class StoreResilienceSpec extends SparkSuite {
     assert(t.summary("ibge", "fetch").isEmpty)
   }
 
+  test("D8: data metrics ride the job via observe (no second scan)") {
+    import graft.ingest.DataMetrics
+    val df = Seq((1L, Some(2.0)), (2L, None), (3L, Some(5.0)))
+      .toDF("k", "v")
+    val (instrumented, obs) = DataMetrics.observed(df, "ingest_stats", Map(
+      "n_rows" -> count(lit(1)),
+      "n_null_v" -> sum(when(col("v").isNull, 1L).otherwise(0L)),
+      "sum_v" -> sum(col("v"))))
+    // the downstream pipeline runs exactly once; metrics fold alongside
+    assert(instrumented.filter(col("k") > 1).count() == 2)
+    val m = obs.get
+    assert(m("n_rows") == 3L && m("n_null_v") == 1L && m("sum_v") == 7.0)
+  }
+
   test("F6: municipio splitter + dim lookup") {
     val (m, u) = Dims.splitMunicipioUf(col("raw"))
     val out = Seq("Sertãozinho - SP", "Lucas do Rio Verde/MT", "no separator")
