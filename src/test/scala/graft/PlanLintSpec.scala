@@ -1,0 +1,49 @@
+package graft
+
+import graft.queries.QueryRegistry
+
+/** Structural lint over EVERY registered query's physical plan: the
+  * two anti-patterns that silently work at test scale and melt down at
+  * 100 TB are an unkeyed CartesianProduct and an unintended
+  * BroadcastNestedLoopJoin. Neither may appear anywhere — except the
+  * BNLJ cases that are the DESIGN (cross joins against broadcast
+  * one-row aggregates or tiny broadcast query sets), which are named
+  * here explicitly so a new query can't sneak one in unreviewed.
+  */
+class PlanLintSpec extends SparkSuite {
+
+  /** Queries whose plan legitimately contains a BNLJ: every one is a
+    * crossJoin against a broadcast side that is one row (scalar
+    * aggregates) or a bounded query set — constant fan-out, by design.
+    */
+  private val bnljByDesign = Set(
+    "q43_funnel",            // three 1-row funnel-stage counts
+    "v07_parser_consensus",  // 1-row consensus summary
+    "t08_heavy_hitters",     // 1-row corpus total
+    "a01_ann_bruteforce",    // broadcast 1-row query vector
+    "a07_ann_batch_exact",   // broadcast bounded query set
+    "a06_ann_ivf_persisted", // broadcast 1-row query against pruned cells
+    "a08_ann_ivf_batch",     // broadcast bounded query set against pruned cells
+    "t09_approx_percentiles", // per-lang stats rejoin (broadcast under AQE)
+    "q39_salted_skew_join"   // explicit salt replication: dim × saltBuckets literals
+  )
+
+  test("no query plans a CartesianProduct; BNLJ only where designed") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    QueryRegistry.all.foreach { q =>
+      val plan =
+        try q.fn(spark, dir).queryExecution.executedPlan.toString
+        catch { case e: Throwable =>
+          fail(s"${q.name} failed to plan: ${e.getMessage}")
+        }
+      if (plan.contains("CartesianProduct"))
+        offenders += s"${q.name}: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljByDesign(q.name))
+        offenders += s"${q.name}: undeclared BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty,
+      s"plan lint violations:\n${offenders.mkString("\n")}")
+  }
+}
