@@ -93,4 +93,49 @@ class CorpusPipelineSpec extends SparkSuite {
 
     assert(n0 > n1 || n1 > n2 || n2 > n3) // the funnel actually funnels
   }
+
+  test("day-2 incremental drop: observe -> dedup vs corpus -> transactional commit") {
+    import graft.ingest.DataMetrics
+    import graft.store.TxStore
+    val root = java.nio.file.Files.createTempDirectory("graft_day2")
+      .resolve("corpus").toString
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    TxStore.init(d, root)
+    val nCorpus = d.count()
+
+    // the day-2 drop: exact re-deliveries under new ids + genuinely new
+    // docs (token order reversed -> shingle sets disjoint from day 1)
+    val redelivered = d.filter(pmod($"doc_id", lit(10)) === 0)
+      .select(($"doc_id" + 90000).as("doc_id"), $"text")
+    val fresh = d.filter(pmod($"doc_id", lit(10)) === 5)
+      .select(($"doc_id" + 95000).as("doc_id"),
+        concat_ws(" ", reverse(split($"text", "\\s+"))).as("text"))
+    val nRedelivered = redelivered.count()
+    val nFresh = fresh.count()
+
+    // ingest metrics ride the dedup job — no extra pass over the drop
+    val (batch, obs) = DataMetrics.observed(
+      redelivered.unionByName(fresh), "drop_stats",
+      Map("n_rows" -> count(lit(1)),
+        "n_empty" -> sum(when(length(trim($"text")) === 0, 1L).otherwise(0L))))
+
+    val dups = Graft.incrementalDedup(TxStore.read(spark, root), batch,
+      $"doc_id", $"text", k = 3, tau = 0.6)
+    val dupIds = dups.select($"id2".as("doc_id")).distinct()
+    val clean = batch.join(dupIds, Seq("doc_id"), "left_anti")
+    TxStore.commitUpsert(spark, root, clean, Seq("doc_id"))
+
+    // every re-delivery caught, every fresh doc admitted
+    assert(dupIds.as[Long].collect().toSet
+      == redelivered.select($"doc_id").as[Long].collect().toSet)
+    assert(TxStore.read(spark, root).count() == nCorpus + nFresh)
+    assert(nRedelivered > 0 && nFresh > 0)
+    // the drop's metrics resolved from the SAME jobs
+    val m = obs.get
+    assert(m("n_rows") == nRedelivered + nFresh && m("n_empty") == 0L)
+    // and the commit log tells the day-2 story
+    assert(TxStore.history(spark, root).select("action").as[String]
+      .collect().toSeq == Seq("init", "upsert"))
+  }
 }
