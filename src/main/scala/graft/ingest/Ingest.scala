@@ -60,6 +60,27 @@ object Ingest {
       df.withColumn(c, G.parseBrDecimal(col(c))))
   }
 
+  /** S9 — the write twin of [[csvScanBr]]: export with the same BR
+    * conventions (`;` separator, latin-1, comma-decimal numbers with
+    * dot thousands groups) so downstream BR tooling — and this
+    * engine's own reader — consume it unchanged. Numeric formatting is
+    * the `translate`-swapped US format_number, all codegen; the
+    * round trip reader∘writer = identity is asserted in spec.
+    */
+  def csvExportBr(df: DataFrame, path: String,
+      brDecimalCols: Seq[String] = Seq.empty, decimals: Int = 4,
+      sep: String = ";", encoding: String = "ISO-8859-1"): Unit = {
+    val out = brDecimalCols.foldLeft(df)((d, c) =>
+      d.withColumn(c,
+        translate(format_number(col(c).cast("double"), decimals), ",.", ".,")))
+    out.write
+      .option("sep", sep)
+      .option("encoding", encoding)
+      .option("header", "true")
+      .mode("overwrite")
+      .csv(path)
+  }
+
   /** S6 — JSON long-format scan where row 0 is the header record
     * (SIDRA shape, reference `ibge/client.py:237-267`): read, take the
     * single header row (1-row collect — header metadata, not data),

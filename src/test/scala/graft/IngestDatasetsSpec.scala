@@ -32,6 +32,33 @@ class IngestDatasetsSpec extends SparkSuite {
     assert(rows(0).getAs[java.math.BigDecimal]("valor").toString == "87.2500")
   }
 
+  test("S9: BR CSV export round-trips through the engine's own BR reader") {
+    val dir = Files.createTempDirectory("graft_brcsv").resolve("out").toString
+    val src = Seq(
+      ("Sertãozinho", 1234.5678, -0.25),
+      ("Não-Me-Toque", 0.0001, 1000000.0),
+      ("Açúcar çedilha", -9876.54, 42.0))
+      .toDF("municipio", "valor", "variacao")
+    Ingest.csvExportBr(src, dir, brDecimalCols = Seq("valor", "variacao"))
+    // the raw bytes really are latin-1 semicolon BR format
+    val dataFile = {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(dir)).iterator().asScala
+        .find(_.toString.endsWith(".csv")).get
+    }
+    val text = new String(Files.readAllBytes(dataFile), Charset.forName("ISO-8859-1"))
+    assert(text.contains("Sertãozinho;1.234,5678;-0,2500"))
+    // reader ∘ writer = identity on values
+    val back = Ingest.csvScanBr(spark, dir,
+        brDecimalCols = Seq("valor", "variacao"))
+      .select($"municipio", $"valor".cast("double"), $"variacao".cast("double"))
+      .as[(String, Double, Double)].collect().toSet
+    assert(back == Set(
+      ("Sertãozinho", 1234.5678, -0.25),
+      ("Não-Me-Toque", 0.0001, 1000000.0),
+      ("Açúcar çedilha", -9876.54, 42.0)))
+  }
+
   test("F12: encoding detection chain") {
     val utf8 = "café açúcar".getBytes("UTF-8")
     assert(Ingest.detectEncoding(utf8) == ("UTF-8", "café açúcar"))
