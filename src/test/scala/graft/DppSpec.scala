@@ -52,6 +52,38 @@ class DppSpec extends SparkSuite {
     assert(want == 1000L)
   }
 
+  test("AQE splits a skewed join partition at runtime (the automatic twin of q39's salting)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_skewaqe")
+    val factDir = base.resolve("fact").toString
+    val dimDir = base.resolve("dim").toString
+    // 95% of rows share key 0 -> one shuffle partition dwarfs the rest
+    (1L to 60000L).map(i => (if (i % 20 == 0) i % 7 else 0L, i * 1.0))
+      .toDF("k", "v").write.parquet(factDir)
+    (0L until 7L).map(i => (i, s"d$i")).toDF("k", "tag").write.parquet(dimDir)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = spark.read.parquet(factDir)
+        .join(spark.read.parquet(dimDir), Seq("k"))
+      // act on THIS dataset's own queryExecution (count() would plan a
+      // new query and leave this one unfinalized)
+      assert(joined.collect().length == 60000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected a skew-split join in the final adaptive plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter is injected on the probe side of a selective shuffle join") {
     val base = java.nio.file.Files.createTempDirectory("graft_bloom")
     val factDir = base.resolve("fact").toString
