@@ -286,5 +286,45 @@ object TextAnalysis {
     },
     None)
 
-  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
+  /** Vocabulary coverage: the exact top-100 tokens by frequency with
+    * each prefix's cumulative share of the corpus — the curve a
+    * tokenizer-vocab cutoff is read off. The top-k is orderBy+limit on
+    * the aggregated counts (Spark's TakeOrdered: per-partition heaps,
+    * driver merges k·P candidates — never a global sort), and only the
+    * 100 survivors enter the ordered window for the cumulative share.
+    */
+  val t10 = Q("t10_vocab_coverage",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = load(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      val top = counts.orderBy(col("freq").desc, col("token")).limit(100)
+      val total = toks.agg(count(lit(1)).as("_total"))
+      val w = Window.orderBy(col("freq").desc, col("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum_share",
+          round(sum(col("freq")).over(w).cast("double") / col("_total"), 6))
+        .select(col("rank"), col("token"), col("freq"), col("cum_share"))
+        .orderBy(col("rank"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        FROM documents),
+      counts AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1),
+      top AS (
+        SELECT token, freq FROM counts
+        ORDER BY freq DESC, token LIMIT 100),
+      tot AS (SELECT COUNT(*) AS total FROM toks)
+      SELECT CAST(ROW_NUMBER() OVER w AS INT) AS rank, token, freq,
+        ROUND(CAST(SUM(freq) OVER w AS DOUBLE) / tot.total, 6) AS cum_share
+      FROM top, tot
+      WINDOW w AS (ORDER BY freq DESC, token
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY rank"""))
+
+  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }
