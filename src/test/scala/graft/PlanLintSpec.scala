@@ -25,7 +25,8 @@ class PlanLintSpec extends SparkSuite {
     "a06_ann_ivf_persisted", // broadcast 1-row query against pruned cells
     "a08_ann_ivf_batch",     // broadcast bounded query set against pruned cells
     "t09_approx_percentiles", // per-lang stats rejoin (broadcast under AQE)
-    "q39_salted_skew_join"   // explicit salt replication: dim × saltBuckets literals
+    "q39_salted_skew_join",  // explicit salt replication: dim × saltBuckets literals
+    "t10_vocab_coverage"     // 1-row corpus total against the top-100 survivors
   )
 
   test("no query plans a CartesianProduct; BNLJ only where designed") {
