@@ -37,11 +37,17 @@ object Graph {
     // m(u) = min of the closed neighborhood of u
     val mins = sym.groupBy(col("u"))
       .agg(least(min(col("v")), first(col("u"))).as("m"))
-    // connect every LARGER neighbor of u to m(u)
+    // connect every LARGER neighbor of u to m(u). No trailing distinct:
+    // the only consumer (smallStar, always next in the round) re-orients
+    // and dedups first thing, so a distinct here is one pure-overhead
+    // shuffle per round (measured below in the loop comment)
     sym.filter(col("v") > col("u"))
       .join(mins, Seq("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v"))
+    // (measured at sf0.1: ~neutral wall-clock — AQE had already shrunk
+    // the tiny shuffle — but at real edge counts this is one full
+    // edge-set exchange per round that existed only to be re-deduped)
   }
 
   private def smallStar(e: DataFrame): DataFrame = {
