@@ -27,6 +27,15 @@ object GraftFunctions {
   def convertUnit(value: Column, from: Column, to: Column, produto: Column): Column =
     c(ConvertUnit(e(value), e(from), e(to), e(coalesce(produto, lit("")))))
 
+  /** F1's inverse — format a number with BR conventions
+    * ("1.234,5678"): the translate-swapped US `format_number`, all
+    * codegen built-ins. The writer side of
+    * [[graft.ingest.Ingest.csvExportBr]]; `parseBrDecimal` of the
+    * output recovers the value exactly at the given scale.
+    */
+  def formatBrDecimal(col: Column, decimals: Int = 4): Column =
+    translate(format_number(col.cast("double"), decimals), ",.", ".,")
+
   /** F2 — multi-format date parse: first format that sticks wins. */
   def parseDateMulti(col: Column): Column =
     coalesce(

@@ -71,8 +71,7 @@ object Ingest {
       brDecimalCols: Seq[String] = Seq.empty, decimals: Int = 4,
       sep: String = ";", encoding: String = "ISO-8859-1"): Unit = {
     val out = brDecimalCols.foldLeft(df)((d, c) =>
-      d.withColumn(c,
-        translate(format_number(col(c).cast("double"), decimals), ",.", ".,")))
+      d.withColumn(c, G.formatBrDecimal(col(c), decimals)))
     out.write
       .option("sep", sep)
       .option("encoding", encoding)

@@ -48,6 +48,12 @@ class IngestDatasetsSpec extends SparkSuite {
     }
     val text = new String(Files.readAllBytes(dataFile), Charset.forName("ISO-8859-1"))
     assert(text.contains("Sertãozinho;1.234,5678;-0,2500"))
+    // column-level inverse: parse ∘ format = identity at 4 dp
+    import graft.functions.{GraftFunctions => G}
+    val direct = src
+      .select(G.parseBrDecimal(G.formatBrDecimal($"valor")).cast("double").as("v"))
+      .as[Double].collect().toSet
+    assert(direct == Set(1234.5678, 0.0001, -9876.54))
     // reader ∘ writer = identity on values
     val back = Ingest.csvScanBr(spark, dir,
         brDecimalCols = Seq("valor", "variacao"))
