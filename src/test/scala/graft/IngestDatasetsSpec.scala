@@ -40,13 +40,15 @@ class IngestDatasetsSpec extends SparkSuite {
       ("Açúcar çedilha", -9876.54, 42.0))
       .toDF("municipio", "valor", "variacao")
     Ingest.csvExportBr(src, dir, brDecimalCols = Seq("valor", "variacao"))
-    // the raw bytes really are latin-1 semicolon BR format
-    val dataFile = {
+    // the raw bytes really are latin-1 semicolon BR format (the export
+    // may split across part files — read them all)
+    val text = {
       import scala.jdk.CollectionConverters._
       Files.list(Paths.get(dir)).iterator().asScala
-        .find(_.toString.endsWith(".csv")).get
+        .filter(_.toString.endsWith(".csv")).toSeq.sorted
+        .map(f => new String(Files.readAllBytes(f), Charset.forName("ISO-8859-1")))
+        .mkString("\n")
     }
-    val text = new String(Files.readAllBytes(dataFile), Charset.forName("ISO-8859-1"))
     assert(text.contains("Sertãozinho;1.234,5678;-0,2500"))
     // column-level inverse: parse ∘ format = identity at 4 dp
     import graft.functions.{GraftFunctions => G}
