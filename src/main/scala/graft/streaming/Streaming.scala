@@ -73,6 +73,32 @@ object Streaming {
       .start()
   }
 
+  /** Continuously-maintained MATERIALIZED VIEW: a streaming
+    * aggregation in update mode, each microbatch's changed rows
+    * MERGEd into the transactional store by aggregate key. Update-mode
+    * rows carry the COMPLETE current aggregate value for every key the
+    * batch touched (streaming state owns the partials), so the commit
+    * is a plain per-key upsert — no partial-merge arithmetic — and the
+    * view is an ACID table readers hit without touching the stream:
+    * every refresh a time-travelable version, replays dropped by the
+    * batch-id high-water mark. The s07 incremental-maintenance shape,
+    * run forever.
+    */
+  def aggViewSink(agg: DataFrame, root: String, pk: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val commit: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, id) => {
+        graft.store.TxStore.commitBatch(batch.sparkSession, root,
+          batch.toDF(), pk, id)
+        ()
+      }
+    agg.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(commit)
+      .start()
+  }
+
   case class AsofIn(key: Long, ts: Timestamp, side: String, value: Double)
   case class AsofState(builds: List[(Long, Double)], probes: List[(Long, Double)])
   case class AsofOut(key: Long, ts: Timestamp, probe_value: Double,

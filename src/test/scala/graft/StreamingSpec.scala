@@ -135,6 +135,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("materialized view sink: running aggregates stay correct across batches") {
+    import graft.store.TxStore
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_mview").resolve("v").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mckpt").toString
+    val in = MemoryStream[(Long, String, Double)]
+    val agg = in.toDF().toDF("event_id", "event_type", "value")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,4)")).cast("double").as("total"))
+    val q = Streaming.aggViewSink(agg, root, Seq("event_type"), ckpt)
+    try {
+      in.addData((1L, "click", 1.0), (2L, "view", 5.0), (3L, "click", 2.0))
+      q.processAllAvailable()
+      def view() = TxStore.read(spark, root)
+        .select("event_type", "n", "total")
+        .as[(String, Long, Double)].collect()
+        .map { case (t, n, s) => t -> ((n, s)) }.toMap
+      assert(view() == Map("click" -> ((2L, 3.0)), "view" -> ((1L, 5.0))))
+      // a later batch UPDATES click and view counts in place
+      in.addData((4L, "click", 4.0), (5L, "purchase", 9.0))
+      q.processAllAvailable()
+      assert(view() == Map("click" -> ((3L, 7.0)), "view" -> ((1L, 5.0)),
+        "purchase" -> ((1L, 9.0))))
+      // every refresh is a committed, time-travelable version
+      assert(TxStore.currentVersion(root).exists(_ >= 2L))
+    } finally q.stop()
+  }
+
   test("streaming as-of join matches the batch as-of join once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streaming.AsofIn]
