@@ -149,6 +149,29 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
   }
 
+  /** CHARACTER k-gram shingles — the CJK-capable sibling of the word
+    * [[shingles]]: unspaced scripts (zh here) tokenize to whole
+    * sentences under a whitespace split, making word shingles useless
+    * for dedup; character windows restore granularity. Normalization
+    * (lower + whitespace collapse) matches the word path; the `when`
+    * guard keeps `sequence` from inferring a NEGATIVE step on
+    * too-short strings (sequence(1, 0) yields [1, 0], not empty).
+    */
+  def charShingles(textCol: Column, k: Int): Column = {
+    val norm = lower(G.normalizeWs(textCol))
+    when(length(norm) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(norm) - (k - 1)),
+        i => norm.substr(i, lit(k)))))
+  }
+
+  /** [[ngramJaccardPairs]] over character k-grams (CJK corpora). */
+  def charNgramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 5, tau: Double = 0.6): DataFrame =
+    ppJoin(df.select(idCol.as("doc_id"), textCol.as("text"))
+      .withColumn("side", lit(0)), k, tau, cross = false,
+      shingler = charShingles(_, k))
+
   def jaccard(a: Column, b: Column): Column =
     when(size(array_union(a, b)) === 0, 0.0)
       .otherwise(size(array_intersect(a, b)).cast("double") /
@@ -197,7 +220,9 @@ object Dedup {
       k, tau, cross = true)
 
   private def ppJoin(tagged: DataFrame, k: Int, tau: Double,
-      cross: Boolean): DataFrame = {
+      cross: Boolean, shingler: Column => Column = null): DataFrame = {
+    val makeShingles: Column => Column =
+      if (shingler != null) shingler else shingles(_, k)
     // ceil(tau*n) with FP slack: an over-ceil would shrink the prefix /
     // tighten the length filter and could drop a boundary pair
     def ceilTau(n: Column): Column = ceil(lit(tau) * n - lit(1e-9))
@@ -210,7 +235,7 @@ object Dedup {
     // unchanged barring a 64-bit collision, which the DuckDB oracle
     // comparison would surface, same stance as d01)
     val docs = tagged.select(col("doc_id"), col("side"),
-        transform(shingles(col("text"), k), x => xxhash64(x)).as("sh"))
+        transform(makeShingles(col("text")), x => xxhash64(x)).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache() // read by the prefix index and both verify-join sides
     val toks = docs.select(col("doc_id"), col("side"), size(col("sh")).as("n"),

@@ -340,5 +340,51 @@ object DedupOps {
       WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6
       ORDER BY id1, id2"""))
 
-  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
+  /** CJK dedup: the zh slice of the corpus has no useful word
+    * boundaries (a whitespace split yields whole sentences), so d06's
+    * word shingles see nothing — CHARACTER 5-grams
+    * ([[graft.ops.Dedup.charShingles]]) restore granularity, and the
+    * same PPJoin prefix machinery runs over them unchanged. Planted
+    * suffix-mutated copies of every 5th zh doc must be the pairs found;
+    * exact like d06, fully oracle-checked.
+    */
+  val d10 = Q("d10_cjk_char_dedup",
+    (s, dir) => {
+      val zh = load(s, dir, "documents")
+        .filter(col("lang") === "zh").select(col("doc_id"), col("text"))
+      val planted = zh.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"), lit(" 重复标记后缀")).as("text"))
+      Dedup.charNgramJaccardPairs(zh.unionByName(planted),
+          col("doc_id"), col("text"), k = 5, tau = 0.7)
+        .select(col("id1"), col("id2"), round(col("jacc"), 4).as("jacc"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""
+      WITH zh AS (SELECT doc_id, text FROM documents WHERE lang = 'zh'),
+      all_docs AS (
+        SELECT doc_id, text FROM zh
+        UNION ALL
+        SELECT doc_id + 30000, concat(text, ' 重复标记后缀')
+        FROM zh WHERE doc_id % 5 = 0),
+      norm AS (
+        SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        FROM all_docs),
+      sh AS (
+        SELECT DISTINCT doc_id, substr(t, i, 5) AS s
+        FROM norm, UNNEST(generate_series(1, greatest(length(t) - 4, 0))) AS g(i)
+        WHERE length(t) >= 5),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      common AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+        FROM sh a JOIN sh b USING (s)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT id1, id2, ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS jacc
+      FROM common
+      JOIN sizes s1 ON s1.doc_id = id1
+      JOIN sizes s2 ON s2.doc_id = id2
+      WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.7
+      ORDER BY id1, id2"""))
+
+  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
 }
