@@ -146,4 +146,24 @@ object Graft {
       idCol: org.apache.spark.sql.Column, textCol: org.apache.spark.sql.Column,
       k: Int = 3, tau: Double = 0.6): DataFrame =
     graft.ops.Dedup.ngramJaccardJoin(corpus, batch, idCol, textCol, k, tau)
+
+  /** Script-aware near-dup pairs: word shingles for spaced scripts,
+    * character shingles for the unspaced ones (named in `charLangs`),
+    * one exact PPJoin per route, results unioned. Cross-script pairs
+    * are not compared — different scripts cannot be near-duplicates of
+    * each other at the shingle level.
+    */
+  def nearDupPairsByScript(df: DataFrame, idCol: org.apache.spark.sql.Column,
+      textCol: org.apache.spark.sql.Column, langCol: org.apache.spark.sql.Column,
+      charLangs: Set[String] = Set("zh", "ja", "th"),
+      wordK: Int = 3, charK: Int = 5, tau: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val isChar = langCol.isInCollection(charLangs)
+    val word = graft.ops.Dedup.ngramJaccardPairs(
+      df.filter(!isChar), idCol, textCol, wordK, tau)
+    val char = graft.ops.Dedup.charNgramJaccardPairs(
+      df.filter(isChar), idCol, textCol, charK, tau)
+    word.withColumn("route", lit("word"))
+      .unionByName(char.withColumn("route", lit("char")))
+  }
 }

@@ -127,6 +127,21 @@ class ApiSpec extends SparkSuite {
     assert(inc == Set((1L, 100L)))
   }
 
+  test("facade: script-aware dedup routes zh through char shingles") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta eta", "en"),
+      (3L, "今天的天气很好我们一起去公园散步吧这是一个测试文档", "zh"),
+      (4L, "今天的天气很好我们一起去公园散步吧这是一个测试文档了", "zh"),
+      (5L, "完全不同的内容讲述另外一个故事与前面毫无关系", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = Graft.nearDupPairsByScript(docs, $"doc_id", $"text", $"lang",
+        tau = 0.5)
+      .select($"id1", $"id2", $"route").as[(Long, Long, String)].collect().toSet
+    assert(pairs == Set((1L, 2L, "word"), (3L, 4L, "char")),
+      s"expected one pair per script route, got $pairs")
+  }
+
   test("plan regression: events range predicates stay pushed down") {
     val q = graft.queries.QueryRegistry.byName("q02_filter_daterange")
       .fn(spark, "/root/testdata/sf0.001")
