@@ -342,10 +342,10 @@ object DedupOps {
 
   /** CJK dedup: the zh slice of the corpus has no useful word
     * boundaries (a whitespace split yields whole sentences), so d06's
-    * word shingles see nothing — CHARACTER 5-grams
+    * word shingles see nothing — CHARACTER 7-grams
     * ([[graft.ops.Dedup.charShingles]]) restore granularity, and the
     * same PPJoin prefix machinery runs over them unchanged. Planted
-    * suffix-mutated copies of every 5th zh doc must be the pairs found;
+    * suffix-mutated copies of every 5th zh doc (7-gram windows: rare enough that cross-doc bucket sharing stays small) must be the pairs found;
     * exact like d06, fully oracle-checked.
     */
   val d10 = Q("d10_cjk_char_dedup",
@@ -356,7 +356,7 @@ object DedupOps {
         .select((col("doc_id") + 30000).as("doc_id"),
           concat(col("text"), lit(" 重复标记后缀")).as("text"))
       Dedup.charNgramJaccardPairs(zh.unionByName(planted),
-          col("doc_id"), col("text"), k = 5, tau = 0.7)
+          col("doc_id"), col("text"), k = 7, tau = 0.7)
         .select(col("id1"), col("id2"), round(col("jacc"), 4).as("jacc"))
         .orderBy(col("id1"), col("id2"))
     },
@@ -371,9 +371,9 @@ object DedupOps {
         SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
         FROM all_docs),
       sh AS (
-        SELECT DISTINCT doc_id, substr(t, i, 5) AS s
-        FROM norm, UNNEST(generate_series(1, greatest(length(t) - 4, 0))) AS g(i)
-        WHERE length(t) >= 5),
+        SELECT DISTINCT doc_id, substr(t, i, 7) AS s
+        FROM norm, UNNEST(generate_series(1, greatest(length(t) - 6, 0))) AS g(i)
+        WHERE length(t) >= 7),
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
       common AS (
         SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
