@@ -262,6 +262,38 @@ object TxStore {
     next
   }
 
+  /** Partition-evolution commit: rewrite the committed snapshot
+    * PARTITIONED BY a (new) column as the next version — data-identical,
+    * pure layout change, same all-or-nothing pointer flip. Because
+    * versions are independent immutable directories, changing the
+    * partitioning scheme is just another commit: older versions keep
+    * their old layout and stay time-travelable, and subsequent
+    * [[commitUpsertPartitioned]] calls run against the new scheme. The
+    * Iceberg partition-evolution idea, reduced to the single-writer
+    * case.
+    */
+  def commitRepartition(spark: SparkSession, root: String, partCol: String,
+      expectedVersion: Option[Long] = None): Long = {
+    val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val base = spark.read.parquet(versionDir(root, expected))
+    val next = expected + 1
+    val nextDir = versionDir(root, next)
+    if (Files.exists(Paths.get(nextDir)))
+      throw new ConcurrentCommitException(
+        s"snapshot v$next already exists at $root (concurrent writer)")
+    try base.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(nextDir)
+    catch { case e: Throwable => deleteRecursively(Paths.get(nextDir)); throw e }
+    if (currentVersion(root) != Some(expected)) {
+      deleteRecursively(Paths.get(nextDir))
+      throw new ConcurrentCommitException(
+        s"table at $root moved past v$expected; retry on the new snapshot")
+    }
+    writeManifest(root, next, "repartition", Some(expected))
+    flipPointer(root, Some(expected), next)
+    next
+  }
+
   /** Attach a min/max stats sidecar to a committed version (see
     * [[Skipping]]). Stats live inside the immutable version directory,
     * so time travel keeps each version's own stats, and hard-linked

@@ -99,6 +99,49 @@ object Streaming {
       .start()
   }
 
+  case class HHState(counters: Map[String, Long])
+  case class HHOut(bucket: Int, item: String, weight: Long)
+
+  /** Streaming heavy hitters: the streaming form of
+    * [[graft.ops.Frequency]] — per-BUCKET Misra-Gries summaries kept in
+    * keyed state (items are hash-bucketed so state and work distribute
+    * over `buckets` tasks, not one), each trigger emitting the bucket's
+    * current surviving candidates with their MG weights (update-style
+    * output through flatMapGroupsWithState). Merging all buckets'
+    * candidates yields a superset of every item above
+    * total/(k·buckets+1) — the same mergeable-summaries guarantee as
+    * the batch path, so a batch recount over the candidates makes it
+    * exact. State is O(k) per bucket, forever.
+    */
+  def heavyHittersStream(items: DataFrame, itemCol: String, k: Int,
+      buckets: Int = 16): Dataset[HHOut] = {
+    import items.sparkSession.implicits._
+    items
+      .select(col(itemCol).cast("string").as("item"))
+      .withColumn("bucket", pmod(xxhash64(col("item")), lit(buckets)).cast("int"))
+      .as[(String, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[HHState, HHOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bucket: Int, rows: Iterator[(String, Int)], state: GroupState[HHState]) =>
+          val counters = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(_.counters.foreach { case (i, n) => counters(i) = n })
+          rows.foreach { case (x, _) =>
+            counters.get(x) match {
+              case Some(n) => counters(x) = n + 1
+              case None if counters.size < k => counters(x) = 1L
+              case None =>
+                val dead = List.newBuilder[String]
+                counters.mapValuesInPlace((_, n) => n - 1)
+                counters.foreach { case (key, n) => if (n == 0) dead += key }
+                dead.result().foreach(counters.remove)
+            }
+          }
+          state.update(HHState(counters.toMap))
+          counters.iterator.map { case (i, w) => HHOut(bucket, i, w) }
+      }
+  }
+
   case class AsofIn(key: Long, ts: Timestamp, side: String, value: Double)
   case class AsofState(builds: List[(Long, Double)], probes: List[(Long, Double)])
   case class AsofOut(key: Long, ts: Timestamp, probe_value: Double,

@@ -135,6 +135,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: hot items survive MG state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = Streaming.heavyHittersStream(in.toDF().toDF("item"),
+        "item", k = 4, buckets = 4)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: hot item + noise; batch 2: more of the hot item
+      in.addData(Seq.fill(30)("hot") ++ (1 to 20).map(i => s"n$i"): _*)
+      q.processAllAvailable()
+      in.addData(Seq.fill(25)("hot") ++ (21 to 35).map(i => s"n$i"): _*)
+      q.processAllAvailable()
+      // the LAST emission for hot's bucket must still carry it, with
+      // weight reflecting both batches (bounded undercount allowed)
+      val rows = spark.table("hh_out")
+        .select("item", "weight").as[(String, Long)].collect()
+      val hotWeights = rows.filter(_._1 == "hot").map(_._2)
+      assert(hotWeights.nonEmpty, s"hot item lost from MG state: ${rows.toSeq}")
+      assert(hotWeights.max >= 30,
+        s"hot weight should accumulate across batches, got ${hotWeights.toSeq}")
+      // state stays bounded: no emission carries more than k items/bucket
+      val perBucket = spark.table("hh_out").groupBy("bucket")
+        .agg(countDistinct($"item").as("n")).as[(Int, Long)].collect()
+      assert(perBucket.forall(_._2 <= 4 + 4), // k plus churn across emissions
+        s"bucket candidate churn exceeded bound: ${perBucket.toSeq}")
+    } finally q.stop()
+  }
+
   test("materialized view sink: running aggregates stay correct across batches") {
     import graft.store.TxStore
     implicit val sqlCtx = spark.sqlContext

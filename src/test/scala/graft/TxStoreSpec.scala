@@ -209,6 +209,33 @@ class TxStoreSpec extends SparkSuite {
       == Set((1L, "soja", 9.0), (2L, "milho", 2.0)))
   }
 
+  test("partition evolution: re-layout is a commit; old versions keep their layout") {
+    import java.nio.file.{Files, Paths}
+    val root = freshRoot()
+    val base = Seq((1L, "soja", 2020L, 1.0), (2L, "milho", 2020L, 2.0),
+      (3L, "soja", 2021L, 3.0)).toDF("k", "produto", "ano", "v")
+    TxStore.initPartitioned(base, root, "produto")
+    assert(TxStore.commitRepartition(spark, root, "ano") == 2L)
+    // layout changed, data identical, history says why
+    def partDirs(v: Long) = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(TxStore.versionDir(root, v)))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.contains("=")).toSet finally s.close()
+    }
+    assert(partDirs(1L).forall(_.startsWith("produto=")))
+    assert(partDirs(2L).forall(_.startsWith("ano=")) && partDirs(2L).size == 2)
+    assert(TxStore.read(spark, root).select("k", "v")
+      .as[(Long, Double)].collect().toSet == Set((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    assert(TxStore.history(spark, root).select("action").as[String].collect().toSeq
+      == Seq("init", "repartition"))
+    // incremental partitioned commits now run against the NEW scheme
+    TxStore.commitUpsertPartitioned(spark, root,
+      Seq((4L, "trigo", 2021L, 4.0)).toDF("k", "produto", "ano", "v"),
+      Seq("k"), "ano")
+    assert(TxStore.read(spark, root).count() == 4)
+  }
+
   test("optimistic concurrency: a stale writer conflicts and changes nothing") {
     val root = freshRoot()
     TxStore.init(Seq((1L, "soja", 100.0)).toDF("k", "produto", "v"), root)
