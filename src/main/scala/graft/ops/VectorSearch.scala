@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{GraftFunctions => G}
 
@@ -304,6 +305,104 @@ object VectorSearch {
       .withColumn("sim", round(G.cosineSim(col(vecCol), col("q_vec")), 6))
       .drop("q_vec", "cell")
   }
+
+  /** L2-nearest cell over a centroid literal — [[nearestCell]]'s
+    * Euclidean sibling (PQ codebooks quantize in L2).
+    */
+  private def nearestCellL2(vec: Column, cents: Array[Seq[Float]]): Column = {
+    val accType = "struct<cid:int,best:double>"
+    aggregate(centroidArray(cents),
+      struct(lit(-1).as("cid"), lit(Double.MaxValue).as("best")).cast(accType),
+      (acc, e) => {
+        val d = aggregate(zip_with(vec, e.getField("c"),
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (s, x) => s + x)
+        when(d < acc.getField("best"),
+          struct(e.getField("cid"), d).cast(accType)).otherwise(acc)
+      },
+      acc => acc.getField("cid"))
+  }
+
+  /** Train PRODUCT-QUANTIZATION codebooks (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    * is split into `m` subvectors and each subspace gets its own
+    * `c`-cell L2 k-means codebook. ALL subspaces train together — one
+    * exploded (sub, subvec) table, one broadcast-join assignment and
+    * one mean-aggregation per Lloyd round for every subspace at once —
+    * so training cost does not scale with m. Returns codebooks(m)(c) =
+    * subspace centroid; collected state is m·c·(dim/m) = dim·c floats,
+    * tiny by construction.
+    */
+  def trainPqCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int, c: Int, iters: Int = 2): Array[Array[Seq[Float]]] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subLen = dim / m
+    val subs = vectors.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), explode(array((0 until m).map(i =>
+        struct(lit(i).as("sub"),
+          slice(col("v"), i * subLen + 1, subLen).as("sv"))): _*)).as("e"))
+      .select(col("id"), col("e.sub"), col("e.sv"))
+      .cache() // read once per Lloyd round
+    // deterministic seeds: first c subvectors per subspace in hash order
+    val seedW = Window.partitionBy(col("sub")).orderBy(xxhash64(col("id")), col("id"))
+    var books: Map[Int, IndexedSeq[Seq[Float]]] = subs
+      .withColumn("rn", row_number().over(seedW)).filter(col("rn") <= c)
+      .select(col("sub"), col("rn"), col("sv"))
+      .as[(Int, Int, Seq[Double])].collect()
+      .groupBy(_._1).map { case (s, rows) =>
+        s -> rows.sortBy(_._2).map(_._3.map(_.toFloat)).toIndexedSeq
+      }
+    for (_ <- 1 to iters) {
+      val centDf = broadcast(books.toSeq.flatMap { case (s, cs) =>
+        cs.zipWithIndex.map { case (cv, i) => (s, i, cv) }
+      }.toDF("sub", "cid", "cv"))
+      val l2 = aggregate(zip_with(col("sv"), col("cv"),
+        (a, b) => (a - b) * (a - b)), lit(0.0d), (s, x) => s + x)
+      val means = subs.join(centDf, Seq("sub"))
+        .select(col("id"), col("sub"), col("sv"), col("cid"), l2.as("d"))
+        .groupBy(col("id"), col("sub"))
+        .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cell"),
+          first(col("sv")).as("sv"))
+        .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cell"), col("pos")).agg(avg(col("x")).as("mu"))
+        .collect() // m·c·subLen rows — driver-side by design
+        .groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("cell")))
+        .map { case ((s, cell), rows) =>
+          (s, cell) -> rows.sortBy(_.getAs[Int]("pos"))
+            .map(_.getAs[Double]("mu").toFloat).toSeq
+        }
+      books = books.map { case (s, cs) =>
+        s -> cs.zipWithIndex.map { case (old, i) => means.getOrElse((s, i), old) }
+      }
+    }
+    subs.unpersist()
+    (0 until m).map(s => (0 until c).map(i => books(s)(i)).toArray).toArray
+  }
+
+  /** Encode a vector as its `m` codebook cell ids (the PQ code:
+    * m·log2(c) bits — 8 bytes here vs 256 for the raw floats).
+    */
+  def pqEncode(vec: Column, books: Array[Array[Seq[Float]]]): Column = {
+    val subLen = books(0)(0).size
+    array(books.zipWithIndex.map { case (cb, i) =>
+      nearestCellL2(slice(vec, i * subLen + 1, subLen), cb)
+    }: _*)
+  }
+
+  /** Asymmetric distance computation (ADC): the query stays exact, the
+    * corpus is its codes — score = Σ_m LUT[m][code_m], where LUT holds
+    * the query-subvector · codebook-centroid dot products (computed
+    * once, driver-side, m·c doubles). With L2-normalized inputs the
+    * score approximates cosine; the standard use is top-N candidates
+    * by ADC then exact re-rank of those only.
+    */
+  def pqScore(codes: Column, lut: Array[Array[Double]]): Column =
+    lut.zipWithIndex.map { case (row, i) =>
+      element_at(typedlit(row.toSeq), element_at(codes, i + 1) + 1)
+    }.reduce(_ + _)
 
   /** Cosine near-duplicate pairs via LSH bucket self-join (multi-table,
     * bucketed — never all-pairs), verified with exact cosine.

@@ -236,5 +236,48 @@ object VectorSearch {
         ROUND(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean
       FROM vals GROUP BY pos ORDER BY pos"""))
 
-  def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09)
+  /** Product-quantization ANN (Jégou et al. TPAMI'11 — the compression
+    * half of IVF-PQ): vectors L2-normalized, 8 subspaces × 16-cell L2
+    * codebooks trained in one pass (all subspaces together), corpus
+    * encoded to 8 small ints (32× smaller than the raw floats), query
+    * answered by ADC — a per-subspace lookup-table sum — then EXACT
+    * cosine re-rank of the top-50 ADC candidates only. Rows-only
+    * (sketch path); plumbing correctness, planted-duplicate recovery
+    * and the candidates==all degeneracy are asserted in BatchAnnSpec.
+    */
+  val a10 = Q("a10_ann_pq",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+      def normalized(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
+        .filter(col("nrm") > 0)
+        .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      val base = normalized(e.filter(col("vec_id") =!= 0))
+      val books = V.trainPqCodebooks(base, "vec_id", "nv", m = 8, c = 16)
+      val qv = normalized(e.filter(col("vec_id") === 0))
+        .select(col("nv")).head().getSeq[Double](0)
+      val subLen = qv.size / books.length
+      val lut: Array[Array[Double]] = books.zipWithIndex.map { case (cb, i) =>
+        cb.map(cent => cent.zipWithIndex.map { case (x, j) =>
+          x * qv(i * subLen + j)
+        }.sum.toDouble)
+      }
+      val scored = base
+        .withColumn("codes", V.pqEncode(col("nv"), books))
+        .withColumn("adc", round(V.pqScore(col("codes"), lut), 6))
+      val cand = V.batchTopK(scored.select(lit(0L).as("qid"),
+          col("vec_id"), col("adc")), "qid", "vec_id", "adc", k = 50)
+        .select(col("vec_id"))
+      scored.join(cand, Seq("vec_id"))
+        .withColumn("sim", round(aggregate(
+          zip_with(col("nv"), typedlit(qv), (a, b) => a * b),
+          lit(0.0d), (acc, x) => acc + x), 6))
+        .select(col("vec_id"), col("label"), col("adc"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10)
 }

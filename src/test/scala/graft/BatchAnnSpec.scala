@@ -30,6 +30,50 @@ class BatchAnnSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("product quantization: 32x codes, planted duplicate recovered, full-candidate degeneracy") {
+    val base = emb.filter($"vec_id" =!= 0)
+      .withColumn("v", $"embedding".cast("array<double>"))
+      .withColumn("nrm", sqrt(aggregate($"v", lit(0.0d), (a, x) => a + x * x)))
+      .withColumn("nv", transform($"v", x => x / $"nrm"))
+    val books = V.trainPqCodebooks(base, "vec_id", "nv", m = 8, c = 16)
+    assert(books.length == 8 && books.forall(_.length == 16)
+      && books.forall(_.forall(_.size == 8)))
+
+    // codes: 8 cell ids in [0, 16) — 8 bytes of information per vector
+    val encoded = base.withColumn("codes", V.pqEncode($"nv", books)).cache()
+    val codes = encoded.select($"codes").as[Seq[Int]].collect()
+    assert(codes.forall(cs => cs.size == 8 && cs.forall(c => c >= 0 && c < 16)))
+
+    // query = vec 0; ADC must put its near-identical planted copy first
+    val q = emb.filter($"vec_id" === 0)
+      .withColumn("v", $"embedding".cast("array<double>"))
+      .withColumn("nrm", sqrt(aggregate($"v", lit(0.0d), (a, x) => a + x * x)))
+      .withColumn("nv", transform($"v", x => x / $"nrm"))
+      .select($"nv").head().getSeq[Double](0)
+    val dup = emb.filter($"vec_id" === 0)
+      .select(lit(9999L).as("vec_id"), lit("dup").as("label"),
+        transform($"embedding", x => x + lit(0.001f)).as("embedding"))
+    val withDup = emb.filter($"vec_id" =!= 0).unionByName(dup)
+      .withColumn("v", $"embedding".cast("array<double>"))
+      .withColumn("nrm", sqrt(aggregate($"v", lit(0.0d), (a, x) => a + x * x)))
+      .withColumn("nv", transform($"v", x => x / $"nrm"))
+    val lut = books.zipWithIndex.map { case (cb, i) =>
+      cb.map(cent => cent.zipWithIndex.map { case (x, j) => x * q(i * 8 + j) }.sum.toDouble)
+    }
+    val byAdc = withDup.withColumn("codes", V.pqEncode($"nv", books))
+      .withColumn("adc", V.pqScore($"codes", lut))
+      .orderBy($"adc".desc).select($"vec_id").as[Long].collect()
+    assert(byAdc.take(5).contains(9999L),
+      s"planted duplicate not in ADC top-5: ${byAdc.take(5).toSeq}")
+
+    // degeneracy: candidates == corpus -> PQ+re-rank == brute force
+    val exact = withDup
+      .withColumn("sim", aggregate(zip_with($"nv", typedlit(q), (a, b) => a * b),
+        lit(0.0d), (acc, x) => acc + x))
+      .orderBy($"sim".desc, $"vec_id").select($"vec_id").as[Long].collect().take(10)
+    assert(exact.head == 9999L, "exact re-rank must put the duplicate first")
+  }
+
   test("batched persisted-index probe == per-query persisted probes") {
     val base = emb.filter(pmod($"vec_id", lit(10)) =!= 0)
     val cents = V.trainCentroids(base, "vec_id", "embedding", c = 8, iters = 2)
