@@ -404,6 +404,64 @@ object VectorSearch {
       element_at(typedlit(row.toSeq), element_at(codes, i + 1) + 1)
     }.reduce(_ + _)
 
+  /** Materialize the FULL IVF-PQ index: PQ codes partitioned by
+    * Voronoi cell (`<path>/codes/cell=N/`, each row id + 8 small ints)
+    * beside a full-vector side table (`<path>/vectors/`) used only to
+    * re-rank finalists. A probe therefore reads nprobe/C of the CODES —
+    * which are ~32× smaller than the embeddings — and touches real
+    * vectors only for the shortlist: the two multiplicative I/O savings
+    * that make billion-vector ANN serveable from object storage.
+    */
+  def buildIvfPqIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Seq[Float]], books: Array[Array[Seq[Float]]],
+      path: String): Unit = {
+    val normed = vectors
+      .withColumn("_v", col(vecCol).cast("array<double>"))
+      .withColumn("_nrm", sqrt(aggregate(col("_v"), lit(0.0d), (a, x) => a + x * x)))
+      .filter(col("_nrm") > 0)
+      .withColumn("_nv", transform(col("_v"), x => x / col("_nrm")))
+    normed
+      .select(col(idCol), col("_nv"),
+        nearestCell(col(vecCol), cents).as("cell"))
+      .withColumn("codes", pqEncode(col("_nv"), books))
+      .select(col(idCol), col("cell"), col("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    normed.select(col(idCol), col("_nv").as("nv"))
+      .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Probe the IVF-PQ index: nprobe cells planned as a partition
+    * filter on the CODES table, ADC shortlist of `shortlist` ids, full
+    * vectors joined back for those ids only, exact cosine out.
+    */
+  def probeIvfPqIndex(spark: SparkSession, path: String, queryVec: Seq[Double],
+      cents: Array[Seq[Float]], books: Array[Array[Seq[Float]]],
+      nprobe: Int, shortlist: Int, idCol: String): DataFrame = {
+    val subLen = books(0)(0).size
+    val lut = books.zipWithIndex.map { case (cb, i) =>
+      cb.map(cent => cent.zipWithIndex.map { case (x, j) =>
+        x * queryVec(i * subLen + j)
+      }.sum.toDouble)
+    }
+    // nprobe nearest cells by cosine to the (tiny) centroid array
+    val cells = cents.zipWithIndex.map { case (cv, i) =>
+      val dot = cv.zipWithIndex.map { case (x, j) => x * queryVec(j) }.sum
+      val n = math.sqrt(cv.map(x => x.toDouble * x).sum)
+      (if (n > 0) dot / n else -2.0, i)
+    }.sortBy(-_._1).take(nprobe).map(_._2).toSeq
+    val shortIds = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("adc", pqScore(col("codes"), lut))
+      .orderBy(col("adc").desc, col(idCol)).limit(shortlist)
+      .select(col(idCol))
+    spark.read.parquet(s"$path/vectors")
+      .join(shortIds, Seq(idCol))
+      .withColumn("sim", round(aggregate(
+        zip_with(col("nv"), typedlit(queryVec), (a, b) => a * b),
+        lit(0.0d), (acc, x) => acc + x), 6))
+      .select(col(idCol), col("sim"))
+  }
+
   /** Cosine near-duplicate pairs via LSH bucket self-join (multi-table,
     * bucketed — never all-pairs), verified with exact cosine.
     */

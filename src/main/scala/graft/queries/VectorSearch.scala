@@ -279,5 +279,37 @@ object VectorSearch {
     },
     None)
 
-  def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10)
+  /** The complete persisted IVF-PQ probe (a06's pruning × a10's
+    * compression): the probe reads nprobe/16 of the CODES partitions —
+    * themselves ~32× smaller than the embeddings — and joins full
+    * vectors back for the 50-row ADC shortlist only. Rows-only (sketch
+    * path); partition pruning and shortlist equality asserted in
+    * BatchAnnSpec.
+    */
+  val a11 = Q("a11_ann_ivfpq_persisted",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") =!= 0)
+      val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 2)
+      val normBase = base
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
+        .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      val books = V.trainPqCodebooks(normBase, "vec_id", "nv", m = 8, c = 16)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq")
+        .resolve("index").toString
+      V.buildIvfPqIndex(base, "vec_id", "embedding", cents, books, idx)
+      val qv = e.filter(col("vec_id") === 0)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
+        .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+        .select(col("nv")).head().getSeq[Double](0)
+      V.probeIvfPqIndex(s, idx, qv, cents, books,
+          nprobe = 6, shortlist = 50, idCol = "vec_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11)
 }

@@ -74,6 +74,44 @@ class BatchAnnSpec extends SparkSuite {
     assert(exact.head == 9999L, "exact re-rank must put the duplicate first")
   }
 
+  test("IVF-PQ persisted index: codes scan is partition-pruned, full probe == in-memory PQ") {
+    val base = emb.filter($"vec_id" =!= 0)
+    val cents = V.trainCentroids(base, "vec_id", "embedding", c = 8, iters = 2)
+    val normBase = base
+      .withColumn("v", $"embedding".cast("array<double>"))
+      .withColumn("nrm", sqrt(aggregate($"v", lit(0.0d), (a, x) => a + x * x)))
+      .withColumn("nv", transform($"v", x => x / $"nrm"))
+    val books = V.trainPqCodebooks(normBase, "vec_id", "nv", m = 8, c = 16)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec")
+      .resolve("index").toString
+    V.buildIvfPqIndex(base, "vec_id", "embedding", cents, books, idx)
+    val qv = emb.filter($"vec_id" === 0)
+      .withColumn("v", $"embedding".cast("array<double>"))
+      .withColumn("nrm", sqrt(aggregate($"v", lit(0.0d), (a, x) => a + x * x)))
+      .withColumn("nv", transform($"v", x => x / $"nrm"))
+      .select($"nv").head().getSeq[Double](0)
+    // pruned scan: the codes read carries a cell partition filter
+    val probed = V.probeIvfPqIndex(spark, idx, qv, cents, books,
+      nprobe = 3, shortlist = 20, idCol = "vec_id")
+    assert(probed.queryExecution.executedPlan.toString.contains("PartitionFilters: [cell#"),
+      "expected a cell partition filter on the codes scan")
+    // full-probe degeneracy: nprobe == C must equal the in-memory PQ
+    // pipeline over the same codes (same shortlist, same sims)
+    val full = V.probeIvfPqIndex(spark, idx, qv, cents, books,
+        nprobe = 8, shortlist = 20, idCol = "vec_id")
+      .select($"vec_id", $"sim").as[(Long, Double)].collect().toSet
+    val lut = books.zipWithIndex.map { case (cb, i) =>
+      cb.map(c => c.zipWithIndex.map { case (x, j) => x * qv(i * 8 + j) }.sum.toDouble)
+    }
+    val inMem = normBase.withColumn("codes", V.pqEncode($"nv", books))
+      .withColumn("adc", V.pqScore($"codes", lut))
+      .orderBy($"adc".desc, $"vec_id").limit(20)
+      .withColumn("sim", round(aggregate(zip_with($"nv", typedlit(qv), (a, b) => a * b),
+        lit(0.0d), (acc, x) => acc + x), 6))
+      .select($"vec_id", $"sim").as[(Long, Double)].collect().toSet
+    assert(full == inMem, s"persisted IVF-PQ diverged from in-memory PQ:\n$full\nvs\n$inMem")
+  }
+
   test("batched persisted-index probe == per-query persisted probes") {
     val base = emb.filter(pmod($"vec_id", lit(10)) =!= 0)
     val cents = V.trainCentroids(base, "vec_id", "embedding", c = 8, iters = 2)
