@@ -326,5 +326,47 @@ object TextAnalysis {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ORDER BY rank"""))
 
-  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
+  /** Token-rarity scoring: each document's mean token DOCUMENT
+    * FREQUENCY share — a corpus-calibrated quality signal (low score =
+    * mostly rare/OOV-ish tokens; the statistical cousin of t02's
+    * hand-tuned heuristics, with the corpus itself as the model). Two
+    * aggregations: per-token df over distinct (doc, token) pairs, then
+    * a per-doc mean through the exact-decimal path so cross-partition
+    * order can't perturb the hash. No log/exp anywhere — the score is
+    * pure rational arithmetic, so the oracle matches bit-for-bit.
+    */
+  val t11 = Q("t11_rarity_score",
+    (s, dir) => {
+      val docTok = load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .distinct()
+      val nDocs = load(s, dir, "documents").agg(count(lit(1)).as("_n"))
+      val dfs = docTok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      docTok.join(dfs, Seq("token"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("share", round(col("df").cast("double") / col("_n"), 6))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct_tokens"),
+          // 6-dp-rounded doubles cast EXACTLY to DECIMAL(18,6): the sum
+          // is associative and no second rounding can sit on a boundary
+          round(sum(col("share").cast(org.apache.spark.sql.types.DataTypes
+              .createDecimalType(18, 6))).cast("double") / count(lit(1)), 6)
+            .as("mean_df_share"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH doc_tok AS (
+        SELECT DISTINCT doc_id,
+          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        FROM documents),
+      dfs AS (SELECT token, COUNT(*) AS df FROM doc_tok GROUP BY 1),
+      n AS (SELECT COUNT(*) AS total FROM documents)
+      SELECT doc_id, COUNT(*) AS n_distinct_tokens,
+        ROUND(CAST(SUM(CAST(ROUND(CAST(df AS DOUBLE) / n.total, 6) AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*), 6) AS mean_df_share
+      FROM doc_tok JOIN dfs USING (token), n
+      GROUP BY doc_id, n.total ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
 }

@@ -344,5 +344,55 @@ object Validation {
         ROUND(((p - q) * (p - q)) / ((p + q) / 2.0), 6) AS chi2
       FROM props ORDER BY bin"""))
 
-  def qs: Seq[Q] = Seq(v01, v02, v03, v04, v05, v07, v08, v09, v10)
+  /** Cross-table measure reconciliation (v09's sibling at the measure
+    * level): each order's header total compared against the
+    * recomputed sum over its lineitems
+    * (extendedprice·(1−discount)·(1+tax), the TPC-H identity), all in
+    * exact DECIMAL so both engines agree on every difference. Output
+    * is the reconciliation summary a warehouse loader gates on:
+    * orders checked, orders without lines, matches at 2 dp, and the
+    * worst absolute discrepancy. (On the driver's synthetic tables the
+    * identity deliberately does NOT hold — the audit's job is to say
+    * so, identically in both engines.)
+    */
+  val v11 = Q("v11_reconciliation",
+    (s, dir) => {
+      val li = load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum((dec(col("l_extendedprice")) * (lit(1.0) - dec(col("l_discount"))) *
+          (lit(1.0) + dec(col("l_tax")))).cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(28, 8)))
+          .as("computed"))
+      load(s, dir, "orders")
+        .select(col("o_orderkey"), dec(col("o_totalprice")).as("header"))
+        .join(li, Seq("o_orderkey"), "left")
+        .withColumn("diff",
+          when(col("computed").isNull, lit(null))
+            .otherwise(abs(col("header") - col("computed"))))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("computed").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+          sum(when(col("diff") <= 0.01, 1L).otherwise(0L)).as("n_match_2dp"),
+          max(col("diff")).cast("double").as("max_abs_diff"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey AS o_orderkey,
+          SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+            * (1.0 - CAST(l_discount AS DECIMAL(18,4)))
+            * (1.0 + CAST(l_tax AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS computed
+        FROM lineitem GROUP BY 1),
+      j AS (
+        SELECT o.o_orderkey, CAST(o.o_totalprice AS DECIMAL(18,4)) AS header,
+               li.computed,
+               CASE WHEN li.computed IS NULL THEN NULL
+                    ELSE ABS(CAST(o.o_totalprice AS DECIMAL(18,4)) - li.computed)
+               END AS diff
+        FROM orders o LEFT JOIN li USING (o_orderkey))
+      SELECT COUNT(*) AS n_orders,
+        CAST(SUM(CASE WHEN computed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+        CAST(SUM(CASE WHEN diff <= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_match_2dp,
+        CAST(MAX(diff) AS DOUBLE) AS max_abs_diff
+      FROM j"""))
+
+  def qs: Seq[Q] = Seq(v01, v02, v03, v04, v05, v07, v08, v09, v10, v11)
 }
