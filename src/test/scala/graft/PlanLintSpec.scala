@@ -26,7 +26,8 @@ class PlanLintSpec extends SparkSuite {
     "a08_ann_ivf_batch",     // broadcast bounded query set against pruned cells
     "t09_approx_percentiles", // per-lang stats rejoin (broadcast under AQE)
     "q39_salted_skew_join",  // explicit salt replication: dim × saltBuckets literals
-    "t10_vocab_coverage"     // 1-row corpus total against the top-100 survivors
+    "t10_vocab_coverage",    // 1-row corpus total against the top-100 survivors
+    "t11_rarity_score"       // 1-row doc-count total against the df table
   )
 
   test("no query plans a CartesianProduct; BNLJ only where designed") {
