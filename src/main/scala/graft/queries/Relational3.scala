@@ -252,5 +252,38 @@ object Relational3 {
       FROM orders GROUP BY GROUPING SETS ((1), (2))
       ORDER BY gid, ano ASC NULLS FIRST, prio ASC NULLS FIRST"""))
 
-  def qs: Seq[Q] = Seq(q25, q26, q27, q28, q29, q32, q33, q34, q46, q47)
+  /** Count-min sketch beside exact counts (the q25/q29 stance for
+    * FREQUENCIES): Spark's built-in count_min_sketch aggregate is
+    * mergeable bounded memory — the streaming/distributed counting
+    * standard (Cormode & Muthukrishnan 2005) — and CMS's one-sided
+    * guarantee (never undercounts; overcount ≤ ε·N with prob 1−δ) is
+    * asserted IN the row against the exact counts of the corpus's top
+    * tokens. Deterministic seed ⇒ stable estimates; the sketch and the
+    * token list are driver-side by design (one 7 KB row + 30 rows).
+    */
+  val q52 = Q("q52_count_min_sketch",
+    (s, dir) => {
+      import org.apache.spark.util.sketch.CountMinSketch
+      val eps = 0.0001
+      val toks = load(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      val bytes = toks
+        .agg(expr(s"count_min_sketch(token, ${eps}d, 0.99d, 42)")).head()
+        .getAs[Array[Byte]](0)
+      val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+      val total = toks.count()
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(30)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      import s.implicits._
+      exact.map { case (t, n) =>
+        val est = cms.estimateCount(t)
+        (t, n, est, est >= n, est <= n + (eps * total).toLong)
+      }.toSeq
+        .toDF("token", "n_exact", "n_est", "never_undercounts", "within_eps")
+        .orderBy(col("n_exact").desc, col("token"))
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(q25, q26, q27, q28, q29, q32, q33, q34, q46, q47, q52)
 }
