@@ -67,6 +67,32 @@ class IngestDatasetsSpec extends SparkSuite {
       ("Açúcar çedilha", -9876.54, 42.0)))
   }
 
+  test("row-level provenance: the hidden _metadata column names each row's source file") {
+    val dir = Files.createTempDirectory("graft_prov").toString
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$dir/drop1")
+    Seq((2L, "b"), (3L, "c")).toDF("k", "v").write.parquet(s"$dir/drop2")
+    val rows = spark.read.parquet(s"$dir/drop1", s"$dir/drop2")
+      .select($"k", col("_metadata.file_path").as("src"))
+      .as[(Long, String)].collect()
+    // every row attributes to the drop directory it came from — the
+    // per-row lineage MetaInfo tracks at dataset level, free at read time
+    assert(rows.filter(_._1 == 1L).forall(_._2.contains("drop1")))
+    assert(rows.filter(_._1 >= 2L).forall(_._2.contains("drop2")))
+    assert(rows.length == 3)
+  }
+
+  test("schema drift across file drops: mergeSchema unifies, missing columns null") {
+    val dir = Files.createTempDirectory("graft_drift").toString
+    Seq((1L, "soja")).toDF("k", "produto").write.parquet(s"$dir/old")
+    Seq((2L, "milho", 50.0)).toDF("k", "produto", "valor").write.parquet(s"$dir/new")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/old", s"$dir/new")
+    assert(merged.columns.toSeq == Seq("k", "produto", "valor"))
+    val byK = merged.select($"k", $"valor").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(byK == Map(1L -> None, 2L -> Some(50.0)))
+  }
+
   test("F12: encoding detection chain") {
     val utf8 = "café açúcar".getBytes("UTF-8")
     assert(Ingest.detectEncoding(utf8) == ("UTF-8", "café açúcar"))
