@@ -45,6 +45,25 @@ object Temporal {
       .select((probeCols.filterNot(_ == payload) :+ payload).map(col): _*)
   }
 
+  /** [[asofJoin]] with a STALENESS bound (pandas `merge_asof`'s
+    * `tolerance`): a build row older than `toleranceMs` at the probe's
+    * timestamp is no match — the quote-too-stale-to-price rule. Same
+    * single union-window shuffle; the build timestamp rides the carried
+    * struct and the tolerance is a post-filter on it.
+    */
+  def asofJoinTolerance(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      ts: String, payload: String, toleranceMs: Long): DataFrame = {
+    val packed = build.select(
+      (keys :+ ts).map(col) :+
+        struct(col(ts).as("bts"), col(payload).as("pv")).as("_pk"): _*)
+    asofJoin(probe, packed, keys, ts, "_pk")
+      .withColumn(payload,
+        when(col("_pk").isNotNull &&
+          unix_millis(col(ts)) - unix_millis(col("_pk.bts")) <= toleranceMs,
+          col("_pk.pv")))
+      .drop("_pk")
+  }
+
   /** Inner range join: pairs (interval, point) with the same `keys` and
     * `lo <= pt <= hi`. `binWidth` must be in the unit of `pt`/`lo`/`hi`
     * (exact integers — epoch micros for timestamps); every interval is

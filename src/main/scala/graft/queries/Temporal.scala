@@ -187,5 +187,34 @@ object Temporal {
         ON o.o_custkey = d.cust AND o.o_orderdate >= d.vfrom
       ORDER BY o_orderkey"""))
 
-  def qs: Seq[Q] = Seq(q30, q31, q41, q42, q48)
+  /** q30 with a 2-hour STALENESS bound
+    * ([[graft.ops.Temporal.asofJoinTolerance]]): a purchase older than
+    * 2 h at the event's timestamp no longer counts as "recent" — the
+    * merge_asof(tolerance=...) shape. Oracle: DuckDB ASOF join, then
+    * the same staleness filter on the matched build timestamp.
+    */
+  val q53 = Q("q53_asof_tolerance",
+    (s, dir) => {
+      val ev = load(s, dir, "events")
+      val probe = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val build = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("recent_purchase_value"))
+      Tp.asofJoinTolerance(probe, build, Seq("user_id"), "ts",
+          "recent_purchase_value", toleranceMs = 2L * 3600 * 1000)
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH build AS (
+        SELECT user_id, ts, MAX(value) AS recent_purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT e.event_id, e.user_id, e.ts,
+        CASE WHEN b.ts IS NOT NULL
+              AND epoch_ms(e.ts) - epoch_ms(b.ts) <= 7200000
+             THEN b.recent_purchase_value END AS recent_purchase_value
+      FROM events e ASOF LEFT JOIN build b
+        ON e.user_id = b.user_id AND e.ts >= b.ts
+      ORDER BY e.event_id"""))
+
+  def qs: Seq[Q] = Seq(q30, q31, q41, q42, q48, q53)
 }
