@@ -386,5 +386,140 @@ object DedupOps {
       WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.7
       ORDER BY id1, id2"""))
 
-  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
+  /** 1-based positions of a document's word n-grams: (doc_id, pos, g).
+    * Built with codegen higher-order functions (transform over
+    * sequence) — no UDF, stays inside whole-stage codegen until the
+    * explode.
+    */
+  private def wordGramPositions(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .select(col("doc_id"), posexplode(when(size(col("ws")) >= n,
+        expr(s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
+        .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("g"))
+
+  /** Benchmark decontamination: flag training documents that share any
+    * verbatim 8-gram with a held-out benchmark set (the n-gram-overlap
+    * rule used to scrub eval sets out of pretraining corpora). The
+    * corpus has no natural 8-gram overlap with the tiny benchmark
+    * slice, so contamination is PLANTED deterministically: every 13th
+    * training doc gets the first 8 tokens of benchmark doc
+    * (doc_id mod 6) appended — the identical construction in the
+    * oracle, which must flag exactly those docs. Scale shape: the
+    * benchmark gram set is always tiny next to the corpus, so the
+    * detection join broadcasts it and the corpus grams stream through
+    * map-side; only flagged (doc, gram) hits reach the final
+    * aggregation shuffle.
+    */
+  val d11 = Q("d11_decontaminate",
+    (s, dir) => {
+      val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val snip = bench.select((col("doc_id") / 97).cast("long").as("bix"),
+        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 8)).as("snippet"))
+      val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val planted = train.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .withColumn("bix", pmod(col("doc_id"), lit(6)))
+        .join(snip, Seq("bix"))
+        .select(col("doc_id"), concat(col("text"), lit(" "), col("snippet")).as("text"))
+      val corpus = train.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .unionByName(planted)
+      val benchGrams = wordGramPositions(bench, 8)
+        .groupBy(col("g")).agg(min(col("doc_id")).as("bench_doc"))
+      wordGramPositions(corpus, 8)
+        .join(broadcast(benchGrams), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_shared_grams"),
+          min(col("bench_doc")).as("first_bench_hit"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH bench AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      snip AS (
+        SELECT doc_id // 97 AS bix,
+          array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:8], ' ') AS snippet
+        FROM bench),
+      train AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0),
+      planted AS (
+        SELECT t.doc_id, concat(t.text, ' ', s.snippet) AS text
+        FROM train t JOIN snip s ON t.doc_id % 6 = s.bix
+        WHERE t.doc_id % 13 = 0),
+      corpus AS (
+        SELECT doc_id, text FROM train WHERE doc_id % 13 != 0
+        UNION ALL SELECT doc_id, text FROM planted),
+      cg AS (
+        SELECT doc_id,
+          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+          toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] AS g
+        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+              FROM corpus),
+          UNNEST(generate_series(1, greatest(len(toks) - 7, 0))) AS u(i)),
+      bgr AS (
+        SELECT g, MIN(doc_id) AS bench_doc FROM (
+          SELECT doc_id,
+            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+            toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] AS g
+          FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM bench),
+            UNNEST(generate_series(1, greatest(len(toks) - 7, 0))) AS u(i)) b
+        GROUP BY 1)
+      SELECT doc_id, COUNT(DISTINCT g) AS n_shared_grams,
+             MIN(bench_doc) AS first_bench_hit
+      FROM cg JOIN bgr USING (g)
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Duplicated-SPAN detection (the substring-dedup shape of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", reduced to fixed k-grams): positions whose 5-gram occurs
+    * more than once corpus-wide, merged into maximal contiguous spans
+    * per document with gaps-and-islands (pos − row_number). Near-dup
+    * copies are planted (every 11th doc + marker tail, d02's corpus),
+    * so originals and copies must surface as whole-document spans.
+    * Everything is exact → fully oracle-checked. Scale shape: the
+    * duplicated-gram filter is a self-aggregation on the gram hash;
+    * only duplicated positions (a small fraction) reach the window.
+    */
+  val d12 = Q("d12_duplicate_spans",
+    (s, dir) => {
+      val grams = wordGramPositions(withNearDups(s, dir), 5)
+      val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("g"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      grams.join(dup, Seq("g"))
+        .withColumn("island", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + 4).as("span_end"),
+          count(lit(1)).as("n_grams"))
+        .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some("""
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 20000, concat(text, ' graft appended marker tokens')
+        FROM documents WHERE doc_id % 11 = 0),
+      t AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        FROM all_docs),
+      g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+        FROM t, UNNEST(generate_series(1, greatest(len(ws) - 4, 0))) AS u(i)),
+      dup AS (SELECT g FROM (SELECT g, COUNT(*) AS c FROM g GROUP BY 1) d WHERE c > 1),
+      h AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+      isl AS (
+        SELECT doc_id, pos,
+          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM h)
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+             COUNT(*) AS n_grams
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start"""))
+
+  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
 }

@@ -285,5 +285,51 @@ object Relational3 {
     },
     None)
 
-  def qs: Seq[Q] = Seq(q25, q26, q27, q28, q29, q32, q33, q34, q46, q47, q52)
+  /** Grouped Pearson correlation through EXACT decimal moment sums
+    * (q1-family arithmetic discipline): sums of x, y, x², y², xy are
+    * DECIMAL — associative, so shuffle order can't perturb them — and
+    * only the final closed-form formula runs in DOUBLE, written with
+    * the identical expression shape in both engines so the doubles
+    * match bit-for-bit. The built-in `corr` aggregate (a float
+    * accumulator) would NOT hash-match across engines — this is the
+    * deterministic form a 100 TB audit needs anyway. One scan, one
+    * shuffle on the group key, partial aggregation map-side.
+    */
+  val q54 = Q("q54_group_corr",
+    (s, dir) => {
+      val li = load(s, dir, "lineitem")
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"),
+          sum(x * y).cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag,
+          CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+          -- DuckDB multiplies in the operand width (no auto-promotion to
+          -- int128), so one side is widened; scale 4 is unchanged, the
+          -- values are identical to the DECIMAL(18,4) view Spark sums.
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        ROUND((n * sxy - sx * sy) /
+          (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_qty_price
+      FROM m ORDER BY l_returnflag"""))
+
+  def qs: Seq[Q] = Seq(q25, q26, q27, q28, q29, q32, q33, q34, q46, q47, q52, q54)
 }

@@ -293,5 +293,35 @@ object StoreOps {
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders ORDER BY o_orderkey"""))
 
-  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
+  /** Multi-format interchange: the fact slice is written as ORC
+    * (zstd) and read back, and the aggregation runs over the ORC scan
+    * with its filter applied AFTER the round-trip — so ORC's own
+    * predicate pushdown (search-argument row pruning) carries the
+    * selectivity, asserted in FormatsSpec. The result must be
+    * byte-identical to the same query over the original parquet (the
+    * oracle side): formats are an exchange surface, never a semantic
+    * boundary. Reference exports CSV/parquet (`export.py`); ORC is the
+    * third first-class columnar format a Spark estate meets.
+    */
+  val s10 = Q("s10_orc_interchange",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_orc")
+        .resolve("lineitem_orc").toString
+      load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").option("compression", "zstd").orc(out)
+      s.read.orc(out)
+        .filter(col("l_quantity") > 40)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM lineitem WHERE l_quantity > 40
+      GROUP BY 1 ORDER BY 1"""))
+
+  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
 }

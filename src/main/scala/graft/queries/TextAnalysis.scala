@@ -368,5 +368,59 @@ object TextAnalysis {
       FROM doc_tok JOIN dfs USING (token), n
       GROUP BY doc_id, n.total ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+  /** Repetition quality stats (the Gopher/MassiveText rules re-expressed
+    * relationally): per document, the share of bigram occurrences taken
+    * by the single most frequent bigram, and the share of trigram
+    * occurrences whose trigram repeats within the document. High values
+    * flag boilerplate/spam long before any model sees the text. Two
+    * explode→count pipelines joined on doc_id — the per-(doc, gram)
+    * aggregation is map-side-combinable and the join keys are the
+    * grouping keys, so no extra shuffle; at 100 TB this is the same
+    * plan, just wider.
+    */
+  val t12 = Q("t12_repetition_stats",
+    (s, dir) => {
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ws"))
+      def grams(n: Int) = when(size(col("ws")) >= n,
+        expr(s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
+        .otherwise(array().cast("array<string>"))
+      val bi = docs.select(col("doc_id"), explode(grams(2)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("topc"), sum(col("c")).as("tot2"))
+      val tri = docs.select(col("doc_id"), explode(grams(3)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupc"),
+          sum(col("c")).as("tot3"))
+      bi.join(tri, Seq("doc_id"))
+        .select(col("doc_id"),
+          round(col("topc").cast("double") / col("tot2"), 6).as("top_bigram_frac"),
+          round(col("dupc").cast("double") / col("tot3"), 6).as("dup_trigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        FROM documents),
+      bg AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+          i -> ws[i] || ' ' || ws[i+1])) AS g
+        FROM t),
+      bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      b AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS tot2 FROM bgc GROUP BY 1),
+      tg AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        FROM t),
+      tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+      tr AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc,
+               SUM(c) AS tot3 FROM tgc GROUP BY 1)
+      SELECT doc_id,
+        ROUND(CAST(topc AS DOUBLE) / tot2, 6) AS top_bigram_frac,
+        ROUND(CAST(dupc AS DOUBLE) / tot3, 6) AS dup_trigram_frac
+      FROM b JOIN tr USING (doc_id) ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
 }

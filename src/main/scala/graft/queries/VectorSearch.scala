@@ -311,5 +311,47 @@ object VectorSearch {
     },
     None)
 
-  def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11)
+  /** Recall@10 measurement harness: the LSH index (a02's config) scored
+    * against the exact batch ground truth (a07's query set), per query —
+    * the acceptance gate every ANN index deployment runs before
+    * swapping in an approximate path. Ground truth and candidates share
+    * one broadcast query set; the hit count is a semi-join of the two
+    * top-10 lists, so nothing but (query_id, vec_id) pairs ever
+    * shuffles. Rows-only (the LSH side is sketch-specific); the recall
+    * floor is asserted in BatchAnnSpec.
+    */
+  val a12 = Q("a12_ann_recall",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+      val queries = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val base = e.filter(pmod(col("vec_id"), lit(100)) =!= 0)
+      val truth = V.batchTopK(
+        base.crossJoin(broadcast(queries.select(col("query_id"),
+            col("embedding").as("q_vec"))))
+          .withColumn("sim", round(G.cosineSim(col("embedding"), col("q_vec")), 6))
+          .select(col("query_id"), col("vec_id"), col("sim")),
+        "query_id", "vec_id", "sim", k = 10)
+      val cand = V.lshCandidates(base, queries, "embedding",
+          nbits = 4, tables = 3, queryIdCol = Some("query_id"))
+        .select(col("query_id"), col("vec_id"), col("sim")).distinct()
+      val approx = V.batchTopK(cand, "query_id", "vec_id", "sim", k = 10)
+      val nCand = cand.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_candidates"))
+      val hits = truth.select(col("query_id"), col("vec_id"))
+        .join(approx.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      queries.select(col("query_id"))
+        .join(nCand, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / lit(10.0), 4).as("recall_at_10"))
+        .orderBy(col("query_id"))
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12)
 }

@@ -140,4 +140,17 @@ class BatchAnnSpec extends SparkSuite {
       assert(batch(qid) == single, s"candidate mismatch for query $qid")
     }
   }
+
+  test("a12 recall harness: bucketed candidates, deterministic recall floor") {
+    val rows = graft.queries.VectorSearch.a12
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 5)
+    // every query recovers at least one true neighbor through the buckets
+    assert(rows.forall(_.getAs[Long]("n_hits") >= 1))
+    // ...without degenerating into brute force: candidate sets stay a
+    // fraction of the 495-vector base (4-bit buckets x 3 tables)
+    assert(rows.forall(_.getAs[Long]("n_candidates") <= 495 / 3))
+    val mean = rows.map(_.getAs[Double]("recall_at_10")).sum / rows.length
+    assert(mean >= 0.2, s"mean recall@10 $mean below deterministic floor")
+  }
 }

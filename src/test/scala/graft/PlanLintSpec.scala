@@ -27,7 +27,8 @@ class PlanLintSpec extends SparkSuite {
     "t09_approx_percentiles", // per-lang stats rejoin (broadcast under AQE)
     "q39_salted_skew_join",  // explicit salt replication: dim × saltBuckets literals
     "t10_vocab_coverage",    // 1-row corpus total against the top-100 survivors
-    "t11_rarity_score"       // 1-row doc-count total against the df table
+    "t11_rarity_score",      // 1-row doc-count total against the df table
+    "a12_ann_recall"         // broadcast bounded query set (ground-truth side)
   )
 
   test("no query plans a CartesianProduct; BNLJ only where designed") {
