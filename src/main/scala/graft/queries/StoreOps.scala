@@ -323,5 +323,56 @@ object StoreOps {
       FROM lineitem WHERE l_quantity > 40
       GROUP BY 1 ORDER BY 1"""))
 
-  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
+  /** Change data feed across commits: init → MERGE (updates + inserts)
+    * → compaction → DELETE, then ask the store what changed between v1
+    * and v4 ([[graft.store.TxStore.changesBetween]] — the endpoint
+    * snapshot diff on the PK). The compaction commit sits inside the
+    * span deliberately: layout-only commits are data-identical and
+    * must contribute NO change rows. A key updated at v2 and deleted
+    * at v4 must surface as a single `delete` carrying the v1
+    * pre-image — endpoint semantics, not a replay of intermediate
+    * states. The oracle reconstructs the same three change classes
+    * from first principles.
+    */
+  val s11 = Q("s11_change_data_feed",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_cdf")
+        .resolve("t").toString
+      val base = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.store.TxStore.init(base, root)
+      val touched = load(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      val updates = touched
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 100000.0).as("o_totalprice"))
+        .unionByName(touched.select((col("o_orderkey") + 5000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")))
+      graft.store.TxStore.commitUpsert(s, root, updates, Seq("o_orderkey"))
+      graft.store.TxStore.commitCompaction(s, root, numFiles = 4)
+      graft.store.TxStore.commitDelete(s, root,
+        pmod(col("o_orderkey"), lit(9)) === 0)
+      graft.store.TxStore.changesBetween(s, root, 1L, 4L, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH ins AS (
+        SELECT o_orderkey + 5000000 AS o_orderkey, o_custkey, o_totalprice,
+               'insert' AS change_type
+        FROM orders
+        WHERE o_orderkey % 10 = 0 AND (o_orderkey + 5000000) % 9 != 0),
+      upd AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 100000.0 AS o_totalprice,
+               'update' AS change_type
+        FROM orders
+        WHERE o_orderkey % 10 = 0 AND o_orderkey % 9 != 0),
+      del AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, 'delete' AS change_type
+        FROM orders WHERE o_orderkey % 9 = 0)
+      SELECT * FROM ins
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM del
+      ORDER BY o_orderkey"""))
+
+  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
 }

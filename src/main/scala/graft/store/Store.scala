@@ -71,6 +71,35 @@ object Store {
   def factQuery(fact: DataFrame, predicates: Seq[Column], orderDesc: Column): DataFrame =
     predicates.foldLeft(fact)((d, p) => d.filter(p)).orderBy(orderDesc.desc)
 
+  /** Endpoint diff of two snapshots keyed on the PK — the generic CDC
+    * primitive behind [[TxStore.changesBetween]]: rows only in `after`
+    * are inserts, rows only in `before` are deletes (pre-image
+    * emitted), rows in both with any payload difference are updates
+    * (post-image emitted). Payload columns compare as ONE null-safe
+    * struct, so a column going null⇄non-null is a change and adding
+    * columns never silently widens the compare. One full-outer shuffle
+    * on the PK; unchanged rows are dropped before anything else moves.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame = {
+    require(before.columns.toSet == after.columns.toSet,
+      "snapshots must share a schema (schema evolution diffs not supported)")
+    val payload = before.columns.filterNot(pk.contains).toSeq
+    val a = before.select(pk.map(col) :+ struct(payload.map(col): _*).as("_old"): _*)
+    val b = after.select(pk.map(col) :+ struct(payload.map(col): _*).as("_new"): _*)
+    a.join(b, pk, "full_outer")
+      .withColumn("change_type",
+        when(col("_old").isNull, "insert")
+          .when(col("_new").isNull, "delete")
+          .when(!(col("_old") <=> col("_new")), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(pk.map(col) ++
+        // per-COLUMN coalesce would corrupt an update that nulls a
+        // field; pick the whole image by change type instead
+        payload.map(c => when(col("change_type") === "delete", col(s"_old.$c"))
+          .otherwise(col(s"_new.$c")).as(c)) :+
+        col("change_type"): _*)
+  }
+
   /** SCD Type-2 MERGE — the history-keeping upsert ([[upsert]] is
     * Type 1: updates overwrite). The dimension carries
     * `valid_from date, valid_to date (null = open), is_current boolean`

@@ -262,6 +262,87 @@ object TxStore {
     next
   }
 
+  /** DELETE-commit: the committed snapshot minus rows matching
+    * `predicate`, as the next version — same all-or-nothing pointer
+    * flip as every other commit. Nothing is erased: the deleted rows
+    * remain readable in every prior version until retention expires
+    * them (the GDPR caveat a real estate handles with targeted
+    * version rewrites).
+    */
+  def commitDelete(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      expectedVersion: Option[Long] = None): Long = {
+    val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val remaining = spark.read.parquet(versionDir(root, expected))
+      .filter(!predicate)
+    val next = expected + 1
+    writeVersion(remaining, root, next)
+    if (currentVersion(root) != Some(expected)) {
+      deleteRecursively(Paths.get(versionDir(root, next)))
+      throw new ConcurrentCommitException(
+        s"table at $root moved past v$expected; retry on the new snapshot")
+    }
+    writeManifest(root, next, "delete", Some(expected))
+    flipPointer(root, Some(expected), next)
+    next
+  }
+
+  /** Contract-gated MERGE: evaluate row-level contract predicates over
+    * the WOULD-BE snapshot and commit only if every row passes — a
+    * violation aborts BEFORE the pointer flip, so the committed table
+    * is never observable in a contract-violating state (constraint
+    * enforcement as part of the transaction, the Delta CHECK-constraint
+    * stance; reference runs the same checks post-hoc via
+    * `validate/contracts.py`). The gate is one aggregate over the
+    * merged frame — no second pass after the write. Throws
+    * [[ContractViolationException]] with per-check violation counts;
+    * the failed snapshot directory is removed.
+    */
+  final class ContractViolationException(val counts: Map[String, Long])
+    extends RuntimeException(
+      s"contract violations: ${counts.map { case (k, v) => s"$k=$v" }.mkString(", ")}")
+
+  def commitUpsertChecked(spark: SparkSession, root: String, updates: DataFrame,
+      pk: Seq[String], checks: Map[String, org.apache.spark.sql.Column],
+      expectedVersion: Option[Long] = None): Long = {
+    require(checks.nonEmpty, "commitUpsertChecked needs at least one check")
+    val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val base = spark.read.parquet(versionDir(root, expected))
+    val merged = Store.upsert(base, updates, pk)
+    val cs = checks.toSeq
+    val row = merged.agg(
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(!cs.head._2, 1L).otherwise(0L)),
+      cs.tail.map { case (_, p) =>
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(!p, 1L).otherwise(0L))
+      }: _*).head()
+    val counts = cs.indices.map(i => cs(i)._1 -> row.getLong(i)).toMap
+    val bad = counts.filter(_._2 > 0)
+    if (bad.nonEmpty) throw new ContractViolationException(bad)
+    commitUpsert(spark, root, updates, pk, Some(expected))
+  }
+
+  /** CDC between two committed versions: the endpoint diff keyed on
+    * the PK (what Delta's change-data-feed materializes per commit,
+    * recovered here from the immutable snapshots themselves — valid
+    * across ANY version span, including through compaction/repartition
+    * commits, which are data-identical and therefore contribute no
+    * change rows). One full-outer shuffle on the PK; payload columns
+    * compare null-safely as a single struct. Emits the POST-image for
+    * inserts/updates and the pre-image for deletes, tagged
+    * `change_type ∈ {insert, update, delete}`.
+    */
+  def changesBetween(spark: SparkSession, root: String,
+      fromV: Long, toV: Long, pk: Seq[String]): DataFrame = {
+    require(fromV < toV, s"need fromV < toV (got v$fromV..v$toV)")
+    val a = readVersion(spark, root, fromV)
+    val b = readVersion(spark, root, toV)
+    Store.snapshotDiff(a, b, pk)
+  }
+
   /** Partition-evolution commit: rewrite the committed snapshot
     * PARTITIONED BY a (new) column as the next version — data-identical,
     * pure layout change, same all-or-nothing pointer flip. Because

@@ -290,4 +290,65 @@ class TxStoreSpec extends SparkSuite {
     val (kept, total) = graft.store.Skipping.pruneFiles(spark, v1, "k", lit(1L), lit(5L))
     assert(total >= 1 && kept.nonEmpty)
   }
+
+  test("delete commit removes matching rows; prior versions keep them") {
+    val root = freshRoot()
+    TxStore.init(Seq((1L, "soja", 100.0), (2L, "milho", 50.0), (3L, "trigo", 30.0))
+      .toDF("k", "produto", "v"), root)
+    assert(TxStore.commitDelete(spark, root, col("k") % 2 === 0) == 2L)
+    assert(rows(root) == Set((1L, "soja", 100.0), (3L, "trigo", 30.0)))
+    // nothing erased: v1 still carries the deleted row, manifest says 'delete'
+    assert(TxStore.readVersion(spark, root, 1L).count() == 3)
+    val hist = TxStore.history(spark, root)
+      .select("version", "action").as[(Long, String)].collect().toMap
+    assert(hist(2L) == "delete")
+  }
+
+  test("contract-gated commit: violation aborts before the flip, table unchanged") {
+    val root = freshRoot()
+    TxStore.init(Seq((1L, "soja", 100.0), (2L, "milho", 50.0)).toDF("k", "produto", "v"), root)
+    val before = rows(root)
+    val checks = Map(
+      "v_non_negative" -> (col("v") >= 0.0),
+      "produto_not_null" -> col("produto").isNotNull)
+    // a poisoned batch: one negative value, one null produto
+    val bad = Seq((2L, "milho", -75.0), (3L, null.asInstanceOf[String], 30.0))
+      .toDF("k", "produto", "v")
+    val e = intercept[TxStore.ContractViolationException] {
+      TxStore.commitUpsertChecked(spark, root, bad, Seq("k"), checks)
+    }
+    assert(e.counts == Map("v_non_negative" -> 1L, "produto_not_null" -> 1L))
+    assert(TxStore.currentVersion(root).contains(1L) && rows(root) == before)
+    // the same table accepts a clean batch through the same gate
+    val good = Seq((2L, "milho", 75.0), (3L, "trigo", 30.0)).toDF("k", "produto", "v")
+    assert(TxStore.commitUpsertChecked(spark, root, good, Seq("k"), checks) == 2L)
+    assert(rows(root) == Set((1L, "soja", 100.0), (2L, "milho", 75.0), (3L, "trigo", 30.0)))
+  }
+
+  test("CDC endpoint diff: insert/update/delete tagged, layout commits contribute nothing") {
+    val root = freshRoot()
+    TxStore.init(Seq((1L, "soja", 100.0), (2L, "milho", 50.0), (3L, "trigo", 30.0))
+      .toDF("k", "produto", "v"), root)
+    TxStore.commitUpsert(spark, root,
+      Seq((2L, "milho", 75.0), (4L, "arroz", 20.0)).toDF("k", "produto", "v"), Seq("k"))
+    TxStore.commitCompaction(spark, root, numFiles = 1) // v3: data-identical
+    TxStore.commitDelete(spark, root, col("k") === 3L)  // v4
+    val diff = TxStore.changesBetween(spark, root, 1L, 4L, Seq("k"))
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(diff == Set(
+      (2L, "milho", 75.0, "update"),
+      (4L, "arroz", 20.0, "insert"),
+      (3L, "trigo", 30.0, "delete")))
+    // a span covering only the compaction is empty
+    assert(TxStore.changesBetween(spark, root, 2L, 3L, Seq("k")).isEmpty)
+  }
+
+  test("snapshot diff emits the post-image even when an update nulls a field") {
+    val before = Seq((1L, "soja", "a"), (2L, "milho", "b")).toDF("k", "produto", "tag")
+    val after = Seq((1L, "soja", "a"), (2L, "milho", null.asInstanceOf[String]))
+      .toDF("k", "produto", "tag")
+    val diff = graft.store.Store.snapshotDiff(before, after, Seq("k"))
+      .as[(Long, String, Option[String], String)].collect().toSet
+    assert(diff == Set((2L, "milho", None, "update")))
+  }
 }
