@@ -166,4 +166,37 @@ object Graft {
     word.withColumn("route", lit("word"))
       .unionByName(char.withColumn("route", lit("char")))
   }
+
+  /** Per-document repetition quality stats —
+    * [[graft.ops.Curation.repetitionStats]].
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.ops.Curation.repetitionStats(docs, idCol, textCol)
+
+  /** Benchmark decontamination by verbatim n-gram overlap —
+    * [[graft.ops.Curation.decontaminate]].
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame =
+    graft.ops.Curation.decontaminate(corpus, bench, idCol, textCol, n)
+
+  /** Duplicated-span detection over corpus-wide k-gram repeats —
+    * [[graft.ops.Curation.duplicateSpans]].
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame =
+    graft.ops.Curation.duplicateSpans(docs, idCol, textCol, k)
+
+  /** CDC between two committed TxStore versions —
+    * [[graft.store.TxStore.changesBetween]].
+    */
+  def changesBetween(spark: SparkSession, root: String,
+      fromV: Long, toV: Long, pk: Seq[String]): DataFrame =
+    graft.store.TxStore.changesBetween(spark, root, fromV, toV, pk)
+
+  /** Endpoint diff of two arbitrary snapshots —
+    * [[graft.store.Store.snapshotDiff]].
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame =
+    graft.store.Store.snapshotDiff(before, after, pk)
 }

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators over a (doc_id, text) shape: repetition
+  * quality stats (Gopher/MassiveText rules), benchmark decontamination
+  * (n-gram overlap scrub), and duplicated-span detection (the
+  * substring-dedup shape of Lee et al. 2022 reduced to fixed k-grams).
+  * All tokenization is lower + `\s+` split (t03's convention); all
+  * gram pipelines are codegen higher-order functions (transform over
+  * sequence) — no UDFs, nothing leaves whole-stage codegen until the
+  * explode.
+  */
+object Curation {
+
+  /** Word n-grams of a text column as array<string> (empty when the
+    * document is shorter than n — NEVER a negative-bound sequence).
+    */
+  private def gramArray(ws: String, n: Int) =
+    when(size(col(ws)) >= n,
+      expr(s"transform(sequence(1, size($ws) - ${n - 1}), i -> concat_ws(' ', slice($ws, i, $n)))"))
+      .otherwise(array().cast("array<string>"))
+
+  /** (id, pos, g): 1-based positions of a document's word n-grams. */
+  def wordGramPositions(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("_ws"))
+      .select(col(idCol), posexplode(gramArray("_ws", n)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("g"))
+
+  /** Per-document repetition stats: `top_bigram_frac` = share of
+    * bigram occurrences held by the single most frequent bigram;
+    * `dup_trigram_frac` = share of trigram occurrences whose trigram
+    * repeats within the document. Documents shorter than 3 tokens drop
+    * out (no trigrams to judge). Two explode→count pipelines joined on
+    * the id — per-(doc, gram) counts combine map-side, and the join
+    * keys are the grouping keys, so no extra shuffle.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs
+      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("_ws"))
+    val bi = base.select(col(idCol), explode(gramArray("_ws", 2)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("topc"), sum(col("c")).as("tot2"))
+    val tri = base.select(col(idCol), explode(gramArray("_ws", 3)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupc"),
+        sum(col("c")).as("tot3"))
+    bi.join(tri, Seq(idCol))
+      .select(col(idCol),
+        (col("topc").cast("double") / col("tot2")).as("top_bigram_frac"),
+        (col("dupc").cast("double") / col("tot3")).as("dup_trigram_frac"))
+  }
+
+  /** Benchmark decontamination: corpus documents sharing any verbatim
+    * word n-gram with the benchmark set, with the count of distinct
+    * shared grams and the lowest implicated benchmark id. The
+    * benchmark gram set is tiny next to any training corpus, so it is
+    * broadcast — corpus grams stream through map-side and only hits
+    * reach the aggregation shuffle.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val benchGrams = wordGramPositions(bench, idCol, textCol, n)
+      .groupBy(col("g")).agg(min(col(idCol)).as("bench_doc"))
+    wordGramPositions(corpus, idCol, textCol, n)
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_shared_grams"),
+        min(col("bench_doc")).as("first_bench_hit"))
+  }
+
+  /** Duplicated-span detection: maximal contiguous runs of word
+    * k-grams occurring more than once corpus-wide, per document, as
+    * (span_start, span_end, n_grams) in 1-based token positions
+    * (span_end covers the last gram's full k tokens). The
+    * duplicated-gram filter is a self-aggregation on the gram; only
+    * duplicated positions — a small fraction of any real corpus —
+    * reach the per-document window (gaps-and-islands merge).
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val grams = wordGramPositions(docs, idCol, textCol, k)
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("g"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    grams.join(dup, Seq("g"))
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1).cast("long")).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("island")
+  }
+}

@@ -386,20 +386,6 @@ object DedupOps {
       WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.7
       ORDER BY id1, id2"""))
 
-  /** 1-based positions of a document's word n-grams: (doc_id, pos, g).
-    * Built with codegen higher-order functions (transform over
-    * sequence) — no UDF, stays inside whole-stage codegen until the
-    * explode.
-    */
-  private def wordGramPositions(docs: DataFrame, n: Int): DataFrame =
-    docs
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ws"))
-      .select(col("doc_id"), posexplode(when(size(col("ws")) >= n,
-        expr(s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
-        .otherwise(array().cast("array<string>"))))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("g"))
-
   /** Benchmark decontamination: flag training documents that share any
     * verbatim 8-gram with a held-out benchmark set (the n-gram-overlap
     * rule used to scrub eval sets out of pretraining corpora). The
@@ -426,13 +412,7 @@ object DedupOps {
         .select(col("doc_id"), concat(col("text"), lit(" "), col("snippet")).as("text"))
       val corpus = train.filter(pmod(col("doc_id"), lit(13)) =!= 0)
         .unionByName(planted)
-      val benchGrams = wordGramPositions(bench, 8)
-        .groupBy(col("g")).agg(min(col("doc_id")).as("bench_doc"))
-      wordGramPositions(corpus, 8)
-        .join(broadcast(benchGrams), Seq("g"))
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("g")).as("n_shared_grams"),
-          min(col("bench_doc")).as("first_bench_hit"))
+      graft.ops.Curation.decontaminate(corpus, bench, "doc_id", "text", n = 8)
         .orderBy(col("doc_id"))
     },
     Some("""
@@ -484,16 +464,8 @@ object DedupOps {
     */
   val d12 = Q("d12_duplicate_spans",
     (s, dir) => {
-      val grams = wordGramPositions(withNearDups(s, dir), 5)
-      val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).select(col("g"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      grams.join(dup, Seq("g"))
-        .withColumn("island", col("pos") - row_number().over(w))
-        .groupBy(col("doc_id"), col("island"))
-        .agg(min(col("pos")).as("span_start"),
-          (max(col("pos")) + 4).as("span_end"),
-          count(lit(1)).as("n_grams"))
+      graft.ops.Curation.duplicateSpans(withNearDups(s, dir),
+          "doc_id", "text", k = 5)
         .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
         .orderBy(col("doc_id"), col("span_start"))
     },

@@ -380,24 +380,11 @@ object TextAnalysis {
     */
   val t12 = Q("t12_repetition_stats",
     (s, dir) => {
-      val docs = load(s, dir, "documents")
-        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ws"))
-      def grams(n: Int) = when(size(col("ws")) >= n,
-        expr(s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
-        .otherwise(array().cast("array<string>"))
-      val bi = docs.select(col("doc_id"), explode(grams(2)).as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).as("topc"), sum(col("c")).as("tot2"))
-      val tri = docs.select(col("doc_id"), explode(grams(3)).as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupc"),
-          sum(col("c")).as("tot3"))
-      bi.join(tri, Seq("doc_id"))
+      graft.ops.Curation.repetitionStats(
+          load(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"),
-          round(col("topc").cast("double") / col("tot2"), 6).as("top_bigram_frac"),
-          round(col("dupc").cast("double") / col("tot3"), 6).as("dup_trigram_frac"))
+          round(col("top_bigram_frac"), 6).as("top_bigram_frac"),
+          round(col("dup_trigram_frac"), 6).as("dup_trigram_frac"))
         .orderBy(col("doc_id"))
     },
     Some("""

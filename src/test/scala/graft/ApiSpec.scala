@@ -142,6 +142,31 @@ class ApiSpec extends SparkSuite {
       s"expected one pair per script route, got $pairs")
   }
 
+  test("facade: curation verbs (repetition, decontaminate, spans)") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),                       // one bigram everywhere
+      (2L, "the quick brown fox jumps over the lazy dog now"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val rep = Graft.repetitionStats(docs, "doc_id", "text")
+      .select($"doc_id", $"top_bigram_frac").as[(Long, Double)].collect().toMap
+    assert(rep(1L) == 1.0)           // "spam spam" is all 4 bigram slots
+    assert(rep(2L) < 0.3 && rep(3L) < 0.3)
+
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val cont = Graft.decontaminate(docs, bench, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cont == Set((3L, 1L, 100L))) // doc 3 shares exactly one 8-gram
+
+    val corpus = docs.unionByName(
+      Seq((10L, "the quick brown fox jumps over the lazy dog not")).toDF("doc_id", "text"))
+    val spans = Graft.duplicateSpans(corpus, "doc_id", "text", k = 5)
+      .select($"doc_id", $"span_start", $"span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    // docs 2 and 10 share tokens 1..9 ("the ... dog"): 5-grams at pos 1..5
+    assert(spans == Set((2L, 1L, 9L), (10L, 1L, 9L)), s"got $spans")
+  }
+
   test("plan regression: events range predicates stay pushed down") {
     val q = graft.queries.QueryRegistry.byName("q02_filter_daterange")
       .fn(spark, "/root/testdata/sf0.001")
