@@ -75,6 +75,32 @@ object Curation {
         min(col("bench_doc")).as("first_bench_hit"))
   }
 
+  /** Remove token spans from documents: `spans` carries
+    * (id, span_start, span_end) in 1-based token positions (the
+    * [[duplicateSpans]] output shape — which spans to scrub is the
+    * caller's POLICY, e.g. only the non-canonical copies of each
+    * duplicate cluster). Spans are collected per document into one
+    * array and the scrub is a single index-lambda `filter` over the
+    * token array — pure codegen, no explode, no per-token shuffle; the
+    * only movement is the span groupBy and a join that AQE broadcasts
+    * when few documents are affected (the common case). Documents
+    * without spans pass through byte-identical.
+    */
+  def scrubSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spansByDoc = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
+    docs.join(spansByDoc, Seq(idCol), "left")
+      .withColumn("_ws", split(lower(trim(col(textCol))), "\\s+"))
+      .withColumn("_kept", when(col("_spans").isNull, col("_ws")).otherwise(
+        expr("""filter(_ws, (t, i) ->
+          !exists(_spans, sp -> i + 1 >= sp.span_start AND i + 1 <= sp.span_end))""")))
+      .select(col(idCol),
+        size(col("_ws")).cast("long").as("n_tokens_before"),
+        size(col("_kept")).cast("long").as("n_tokens_after"),
+        concat_ws(" ", col("_kept")).as("clean_text"))
+  }
+
   /** Duplicated-span detection: maximal contiguous runs of word
     * k-grams occurring more than once corpus-wide, per document, as
     * (span_start, span_end, n_grams) in 1-based token positions

@@ -493,5 +493,62 @@ object DedupOps {
       FROM isl GROUP BY doc_id, island
       ORDER BY doc_id, span_start"""))
 
-  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
+  /** Span SCRUB — the removal half of d12 (detect → remove): the
+    * duplicated spans found on the planted corpus, restricted to the
+    * COPIES (doc_id ≥ 20000 — keep-one-canonical policy: originals
+    * stay intact), are cut out of the token stream with one
+    * index-lambda filter ([[graft.ops.Curation.scrubSpans]] — pure
+    * codegen, no explode). Fully oracle-checked, including the
+    * fully-scrubbed-to-empty copies and the byte-identical pass-through
+    * of every untouched document.
+    */
+  val d13 = Q("d13_scrub_spans",
+    (s, dir) => {
+      val corpus = withNearDups(s, dir)
+      val spans = graft.ops.Curation.duplicateSpans(corpus, "doc_id", "text", k = 5)
+        .filter(col("doc_id") >= 20000)
+      graft.ops.Curation.scrubSpans(corpus, spans, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 20000, concat(text, ' graft appended marker tokens')
+        FROM documents WHERE doc_id % 11 = 0),
+      t AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        FROM all_docs),
+      g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+        FROM t, UNNEST(generate_series(1, greatest(len(ws) - 4, 0))) AS u(i)),
+      dup AS (SELECT g FROM (SELECT g, COUNT(*) AS c FROM g GROUP BY 1) d WHERE c > 1),
+      h AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+      isl AS (
+        SELECT doc_id, pos,
+          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM h),
+      spans AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+        FROM isl GROUP BY doc_id, island),
+      sp AS (SELECT * FROM spans WHERE doc_id >= 20000),
+      toks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS tok
+        FROM t, UNNEST(generate_series(1, len(ws))) AS u(i)),
+      kept AS (
+        SELECT doc_id, pos, tok FROM toks k
+        WHERE NOT EXISTS (SELECT 1 FROM sp
+          WHERE sp.doc_id = k.doc_id AND k.pos BETWEEN sp.s AND sp.e)),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_after,
+               string_agg(tok, ' ' ORDER BY pos) AS clean
+        FROM kept GROUP BY 1)
+      SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens_before,
+        COALESCE(a.n_after, 0) AS n_tokens_after,
+        COALESCE(a.clean, '') AS clean_text
+      FROM t LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13)
 }
