@@ -266,6 +266,11 @@ object VectorSearch {
       val scored = base
         .withColumn("codes", V.pqEncode(col("nv"), books))
         .withColumn("adc", round(V.pqScore(col("codes"), lut), 6))
+        // read twice (shortlist + re-rank join): computing the encode
+        // once matters less for the rows than for the CODEGEN — the
+        // inlined-codebook kernel is expensive to compile, and an
+        // uncached reuse compiles it twice (measured ~1.5 s at sf0.1)
+        .cache()
       val cand = V.batchTopK(scored.select(lit(0L).as("qid"),
           col("vec_id"), col("adc")), "qid", "vec_id", "adc", k = 50)
         .select(col("vec_id"))
