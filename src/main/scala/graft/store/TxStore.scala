@@ -343,6 +343,41 @@ object TxStore {
     Store.snapshotDiff(a, b, pk)
   }
 
+  /** OPTIMIZE ZORDER as a commit: rewrite the committed snapshot
+    * z-order-clustered on two columns (Morton-code range partitioning
+    * + in-file sort, [[Skipping.writeZOrdered]]) with a fresh min/max
+    * stats sidecar INSIDE the new version directory — data-identical,
+    * pure layout change, same all-or-nothing pointer flip. Prior
+    * versions keep their own layout and stats; readers mid-scan of the
+    * old version are untouched. This is the recurring maintenance
+    * command of a 100 TB fact table: re-cluster after a week of
+    * appends so range predicates on EITHER column go back to pruning
+    * most files.
+    */
+  def commitZorder(spark: SparkSession, root: String, colA: String,
+      colB: String, numFiles: Int, expectedVersion: Option[Long] = None): Long = {
+    val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val base = spark.read.parquet(versionDir(root, expected))
+    val next = expected + 1
+    val nextDir = versionDir(root, next)
+    if (Files.exists(Paths.get(nextDir)))
+      throw new ConcurrentCommitException(
+        s"snapshot v$next already exists at $root (concurrent writer)")
+    try {
+      Skipping.writeZOrdered(base, nextDir, colA, colB, numFiles)
+      Skipping.writeStats(spark, nextDir, Seq(colA, colB))
+    } catch { case e: Throwable => deleteRecursively(Paths.get(nextDir)); throw e }
+    if (currentVersion(root) != Some(expected)) {
+      deleteRecursively(Paths.get(nextDir))
+      throw new ConcurrentCommitException(
+        s"table at $root moved past v$expected; retry on the new snapshot")
+    }
+    writeManifest(root, next, "zorder", Some(expected))
+    flipPointer(root, Some(expected), next)
+    next
+  }
+
   /** Partition-evolution commit: rewrite the committed snapshot
     * PARTITIONED BY a (new) column as the next version — data-identical,
     * pure layout change, same all-or-nothing pointer flip. Because

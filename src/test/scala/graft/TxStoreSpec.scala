@@ -343,6 +343,61 @@ class TxStoreSpec extends SparkSuite {
     assert(TxStore.changesBetween(spark, root, 2L, 3L, Seq("k")).isEmpty)
   }
 
+  test("zorder commit: identical data, both-column pruning, prior layout intact") {
+    val root = freshRoot()
+    // adversarial layout: ranged by k, so a range on g (uncorrelated
+    // with k) prunes nothing until the z-order re-cluster
+    val base = (1L to 2000L).map(k => (k, (k * 2654435761L) % 1000L, s"p${k % 7}"))
+      .toDF("k", "g", "produto")
+    TxStore.init(base.repartitionByRange(8, col("k")), root)
+    assert(TxStore.commitZorder(spark, root, "k", "g", numFiles = 8) == 2L)
+    // data identical, manifest records the layout action
+    assert(TxStore.read(spark, root).as[(Long, Long, String)].collect().toSet
+      == base.as[(Long, Long, String)].collect().toSet)
+    val hist = TxStore.history(spark, root)
+      .select("version", "action").as[(Long, String)].collect().toMap
+    assert(hist(2L) == "zorder")
+    // the new version's own stats sidecar prunes on BOTH columns
+    val v2 = TxStore.versionDir(root, 2L)
+    val (keptK, totalK) = graft.store.Skipping.pruneFiles(spark, v2, "k", lit(1L), lit(100L))
+    val (keptG, totalG) = graft.store.Skipping.pruneFiles(spark, v2, "g", lit(0L), lit(100L))
+    assert(totalK == 8 && keptK.size < totalK, s"k pruning: ${keptK.size}/$totalK")
+    assert(totalG == 8 && keptG.size < totalG, s"g pruning: ${keptG.size}/$totalG")
+    // range read over the committed (z-ordered) snapshot stays correct
+    val got = TxStore.readRange(spark, root, "g", lit(0L), lit(100L))
+      .as[(Long, Long, String)].collect().toSet
+    val want = base.filter($"g".between(0L, 100L)).as[(Long, Long, String)]
+      .collect().toSet
+    assert(got == want)
+    // v1 keeps its k-ranged layout and full content
+    assert(TxStore.readVersion(spark, root, 1L).count() == 2000)
+  }
+
+  test("incremental CDC consumption: per-commit high-water-mark sync reaches the snapshot") {
+    val root = freshRoot()
+    TxStore.init(Seq((1L, "soja", 100.0)).toDF("k", "produto", "v"), root)
+    TxStore.commitUpsert(spark, root,
+      Seq((2L, "milho", 50.0)).toDF("k", "produto", "v"), Seq("k"))
+    TxStore.commitUpsert(spark, root,
+      Seq((1L, "soja", 110.0), (3L, "trigo", 30.0)).toDF("k", "produto", "v"), Seq("k"))
+    TxStore.commitDelete(spark, root, col("k") === 2L)
+    // a consumer that applies each commit's diff onto its own copy
+    var mirror = TxStore.readVersion(spark, root, 1L)
+      .as[(Long, String, Double)].collect().toSet
+    var hwm = 1L
+    val cur = TxStore.currentVersion(root).get
+    while (hwm < cur) {
+      val delta = TxStore.changesBetween(spark, root, hwm, hwm + 1, Seq("k"))
+        .as[(Long, String, Double, String)].collect()
+      delta.foreach { case (k, p, v, ct) =>
+        mirror = mirror.filterNot(_._1 == k)
+        if (ct != "delete") mirror += ((k, p, v))
+      }
+      hwm += 1
+    }
+    assert(mirror == rows(root))
+  }
+
   test("snapshot diff emits the post-image even when an update nulls a field") {
     val before = Seq((1L, "soja", "a"), (2L, "milho", "b")).toDF("k", "produto", "tag")
     val after = Seq((1L, "soja", "a"), (2L, "milho", null.asInstanceOf[String]))
