@@ -199,4 +199,17 @@ object Graft {
     */
   def snapshotDiff(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame =
     graft.store.Store.snapshotDiff(before, after, pk)
+
+  /** Shard a media table's binary payloads into fixed-size chunks for
+    * parallel decode — [[graft.ops.Multimodal.chunkPayload]]; exactly
+    * inverted by [[reassemblePayloads]].
+    */
+  def chunkPayloads(media: DataFrame, chunkBytes: Int): DataFrame =
+    graft.ops.Multimodal.chunkPayload(media, chunkBytes)
+
+  /** Rebuild payloads from their chunks, byte-identically —
+    * [[graft.ops.Multimodal.reassemble]].
+    */
+  def reassemblePayloads(chunks: DataFrame): DataFrame =
+    graft.ops.Multimodal.reassemble(chunks)
 }

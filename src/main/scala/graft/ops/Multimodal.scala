@@ -83,4 +83,34 @@ object Multimodal {
       }
     }
   }
+
+  /** Contiguous fixed-size chunking of the binary payload — the shard
+    * plan for parallel decode of LARGE media (one blob too big for one
+    * task → its chunks decode on many): pure column HOFs (sequence →
+    * transform → binary substring), no mapPartitions, so the fan-out
+    * stays inside whole-stage codegen. 1-based chunk offsets; the last
+    * chunk is short. [[reassemble]] inverts it exactly (spec-proven
+    * byte-identity), which is what makes chunked storage safe.
+    */
+  def chunkPayload(media: DataFrame, chunkBytes: Int): DataFrame =
+    media.select(col("doc_id"), col("format"),
+        posexplode(expr(
+          s"""transform(
+                sequence(0, cast(ceil(length(payload) / ${chunkBytes}.0d) as int) - 1),
+                i -> substring(payload, i * $chunkBytes + 1, $chunkBytes))"""))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("format"), col("chunk_idx").cast("int").as("chunk_idx"),
+        (col("chunk_idx").cast("long") * chunkBytes + 1).as("offset"),
+        length(col("chunk")).cast("int").as("n_bytes"), col("chunk"))
+
+  /** Inverse of [[chunkPayload]]: order each document's chunks by index
+    * and concatenate — one aggregation, array_sort on (idx, chunk)
+    * structs so the rebuild is deterministic regardless of partitioning.
+    */
+  def reassemble(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("doc_id"), col("format"))
+      .agg(aggregate(
+        expr("array_sort(collect_list(struct(chunk_idx, chunk)))"),
+        lit(Array.empty[Byte]),
+        (acc, x) => concat(acc, x.getField("chunk"))).as("payload"))
 }

@@ -73,5 +73,32 @@ object MultimodalOps {
         CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
       FROM documents GROUP BY 1 ORDER BY format"""))
 
-  def qs: Seq[Q] = Seq(m01, m02, m03)
+  /** Contiguous payload chunking — the shard plan for parallel decode
+    * of large media ([[graft.ops.Multimodal.chunkPayload]]: HOF
+    * sequence→transform→binary substring, no mapPartitions). The
+    * oracle checks the full shard plan arithmetic (index, 1-based byte
+    * offset, short last chunk); chunk CONTENT is pinned by the
+    * MultimodalSpec roundtrip — reassemble(chunk(x)) is byte-identical
+    * to x, which is what makes chunked storage safe.
+    */
+  val m04 = Q("m04_payload_chunking",
+    (s, dir) => {
+      val media = Multimodal.asMedia(load(s, dir, "documents"), "doc_id", "text")
+      Multimodal.chunkPayload(media.toDF(), chunkBytes = 512)
+        .select(col("doc_id"), col("format"), col("chunk_idx"),
+          col("offset").as("byte_offset"), col("n_bytes"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""
+      SELECT doc_id,
+        (['png','jpeg','wav'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+        CAST(i AS INT) AS chunk_idx,
+        CAST(i * 512 + 1 AS BIGINT) AS byte_offset,
+        CAST(LEAST(512, octet_length(encode(text)) - i * 512) AS INT) AS n_bytes
+      FROM documents,
+        UNNEST(generate_series(0,
+          CAST(CEIL(octet_length(encode(text)) / 512.0) AS BIGINT) - 1)) t(i)
+      ORDER BY doc_id, chunk_idx"""))
+
+  def qs: Seq[Q] = Seq(m01, m02, m03, m04)
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+
+/** Binary-payload chunking: the shard plan must be exactly invertible —
+  * reassembling a document's chunks in index order reproduces the
+  * original payload byte for byte, including multi-byte UTF-8 payloads
+  * whose chunk boundaries fall INSIDE a code point (chunks are octet
+  * ranges, not character ranges).
+  */
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("chunk -> reassemble is byte-identical, boundaries mid-code-point included") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.asMedia(docs, "doc_id", "text").toDF().cache()
+    val zh = docs.filter($"lang" === "zh").count()
+    assert(zh > 0, "corpus must include multi-byte UTF-8 docs for this test to bite")
+
+    val chunks = Multimodal.chunkPayload(media, chunkBytes = 64).cache()
+    // shard plan sanity: 1-based contiguous offsets...
+    assert(chunks.filter($"offset" =!= $"chunk_idx".cast("long") * 64 + 1).count() == 0)
+    // ...chunks jointly cover the payload exactly, and only the final
+    // chunk may be short
+    val cover = chunks.groupBy($"doc_id")
+      .agg(sum($"n_bytes").as("covered"),
+        sum(when($"n_bytes" < 64, 1).otherwise(0)).as("n_short"))
+      .join(media.select($"doc_id", length($"payload").as("total")), Seq("doc_id"))
+    assert(cover.filter($"covered" =!= $"total" || $"n_short" > 1).count() == 0)
+
+    val rebuilt = Multimodal.reassemble(chunks)
+    val diff = media.alias("a").join(rebuilt.alias("b"), Seq("doc_id", "format"))
+      .filter(sha2(col("a.payload"), 256) =!= sha2(col("b.payload"), 256) ||
+        length(col("a.payload")) =!= length(col("b.payload")))
+      .count()
+    assert(diff == 0, "reassembled payloads must be byte-identical")
+    assert(rebuilt.count() == media.count())
+  }
+}
