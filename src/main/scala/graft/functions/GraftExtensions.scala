@@ -41,5 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (e: Seq[Expression]) => Winnow(e.head, 8, 4)))
     ext.injectFunction((FunctionIdentifier("hyperplane_lsh"), info("hyperplane_lsh"),
       (e: Seq[Expression]) => HyperplaneLsh(e.head, 16, 42L)))
+    ext.injectFunction((FunctionIdentifier("mg_topk"), info("mg_topk"),
+      (e: Seq[Expression]) => MisraGriesTopK(e(0),
+        e(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -55,6 +55,13 @@ object GraftFunctions {
   def tickerYear(col: Column): Column =
     (lit(2000) + regexp_extract(col, "([0-9]{2})$", 1).cast("int")).cast("int")
 
+  /** Misra-Gries heavy-hitter candidates as a native mergeable
+    * aggregate ([[MisraGriesTopK]]): bounded state, map-side
+    * combinable, usable per GROUP — `array<struct<item, est_count>>`.
+    */
+  def mgTopK(col: Column, k: Int): Column =
+    c(MisraGriesTopK(e(col), k).toAggregateExpression())
+
   // ---- sketches (dedup / similarity) ----
   def hash64(col: Column, seed: Long = 0L): Column = c(Hash64(e(col), seed))
   def simhash64(col: Column): Column = c(SimHash64(e(col)))
@@ -155,5 +162,9 @@ object GraftFunctions {
       exprs => Winnow(exprs.head, 8, 4), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_lsh",
       exprs => HyperplaneLsh(exprs.head, 16, 42L), "built-in")
+    // aggregate: the analyzer wraps a bare AggregateFunction builder
+    reg.createOrReplaceTempFunction("mg_topk",
+      exprs => MisraGriesTopK(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

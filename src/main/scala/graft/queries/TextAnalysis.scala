@@ -409,5 +409,46 @@ object TextAnalysis {
         ROUND(CAST(dupc AS DOUBLE) / tot3, 6) AS dup_trigram_frac
       FROM b JOIN tr USING (doc_id) ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
+  /** Per-GROUP heavy hitters through the native mergeable aggregate
+    * ([[graft.functions.MisraGriesTopK]] — t08's Misra-Gries, but as a
+    * real TypedImperativeAggregate the optimizer treats like `sum`:
+    * bounded state per partial, map-side combine, one per grouping
+    * key). Candidates (k=200 ≫ 5, so the n/(k+1) bound keeps every
+    * true top-5 token in the summary) are recounted EXACTLY and
+    * row_number'd to the top 5 per language — the result is exact, so
+    * the plain window oracle hash-matches; the sketch only bounded the
+    * recount's input.
+    */
+  val t13 = Q("t13_group_heavy_hitters",
+    (s, dir) => {
+      val toks = load(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      val cand = toks.groupBy(col("lang"))
+        .agg(G.mgTopK(col("token"), 200).as("cands"))
+        .select(col("lang"), explode(col("cands")).as("c"))
+        .select(col("lang"), col("c.item").as("token"))
+      val counts = toks.join(broadcast(cand), Seq("lang", "token"))
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("freq"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("freq").desc, col("token"))
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("token"), col("freq"))
+        .orderBy(col("lang"), col("rank"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        FROM documents),
+      counts AS (SELECT lang, token, COUNT(*) AS freq FROM toks GROUP BY 1, 2),
+      ranked AS (
+        SELECT lang, token, freq,
+          CAST(ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY freq DESC, token) AS INT) AS rank
+        FROM counts)
+      SELECT lang, rank, token, freq FROM ranked
+      WHERE rank <= 5 ORDER BY lang, rank"""))
+
+  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }
