@@ -224,6 +224,25 @@ object VectorSearch {
       .withColumn("cell", nearestCell(col(vecCol), cents))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Incremental index maintenance: assign a NEW batch of vectors to
+    * their cells under the EXISTING coarse quantizer and append to the
+    * index's cell partitions — no rebuild, no touch of resident data;
+    * probes see the union immediately (dynamic partition append only
+    * creates/extends the batch's own cells). This is how a live ANN
+    * index absorbs a day's embeddings at 100 TB — quantizer retraining
+    * is a separate, rarer event (and would be a new index directory, a
+    * TxStore-style versioned swap). Centroids MUST be the ones the
+    * index was built with, or resident and new vectors would disagree
+    * on cell geometry — pass the persisted quantizer, never retrain ad
+    * hoc (IvfIndexSpec proves append ≡ full rebuild under the same
+    * centroids).
+    */
+  def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Seq[Float]], path: String): Unit =
+    batch
+      .withColumn("cell", nearestCell(col(vecCol), cents))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Probe the persisted index: the query's nprobe nearest cells are
     * computed driver-side from the (tiny) centroid array, and the scan
     * carries `cell IN (...)` — a PARTITION filter, so only the probed

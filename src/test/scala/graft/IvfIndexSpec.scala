@@ -47,4 +47,29 @@ class IvfIndexSpec extends SparkSuite {
       .select("vec_id", "sim").as[(Long, Double)].collect().toSet
     assert(full == brute)
   }
+
+  test("incremental append under the same quantizer == full rebuild") {
+    // day 0: index over the first half; day 1: append the rest
+    val day0 = base.filter($"vec_id" % 2 === 0)
+    val day1 = base.filter($"vec_id" % 2 =!= 0)
+    val inc = java.nio.file.Files.createTempDirectory("graft_ivfinc")
+      .resolve("index").toString
+    V.buildIvfIndex(day0, "vec_id", "embedding", cents, inc)
+    val before = V.probeIvfIndex(spark, inc, query, "embedding", cents, 3)
+      .select("vec_id").as[Long].collect().toSet
+    V.appendToIvfIndex(day1, "vec_id", "embedding", cents, inc)
+
+    val appended = V.probeIvfIndex(spark, inc, query, "embedding", cents, 3)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSet
+    val rebuilt = V.probeIvfIndex(spark, idx, query, "embedding", cents, 3)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSet
+    assert(appended == rebuilt,
+      "append must land each new vector in the same cell a rebuild would")
+    // resident vectors were never rewritten, only extended
+    assert(before.subsetOf(appended.map(_._1)))
+    // probes stay partition-pruned after the append
+    val plan = V.probeIvfIndex(spark, inc, query, "embedding", cents, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#"))
+  }
 }
