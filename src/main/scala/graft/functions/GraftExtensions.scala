@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     one("strip_accents", StripAccents)
     one("normalize_ws", NormalizeWs)
+    one("nfc_normalize", NfcNormalize)
     one("title_case_pt", TitleCasePt)
     one("parse_br_decimal", ParseBrDecimal)
     one("safra_of", SafraOf)

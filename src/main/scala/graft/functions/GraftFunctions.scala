@@ -16,6 +16,7 @@ object GraftFunctions {
   // ---- scalar ag-domain functions (SURVEY §2.7) ----
   def stripAccents(col: Column): Column = c(StripAccents(e(col)))
   def normalizeWs(col: Column): Column = c(NormalizeWs(e(col)))
+  def nfcNormalize(col: Column): Column = c(NfcNormalize(e(col)))
   def titleCasePt(col: Column): Column = c(TitleCasePt(e(col)))
   def parseBrDecimal(col: Column): Column = c(ParseBrDecimal(e(col)))
   def safraOf(col: Column): Column = c(SafraOf(e(col)))
@@ -145,6 +146,7 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(name, exprs => f(exprs.head), "built-in")
     one("strip_accents", StripAccents)
     one("normalize_ws", NormalizeWs)
+    one("nfc_normalize", NfcNormalize)
     one("title_case_pt", TitleCasePt)
     one("parse_br_decimal", ParseBrDecimal)
     one("safra_of", SafraOf)

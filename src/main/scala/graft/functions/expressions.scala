@@ -23,6 +23,20 @@ case class StripAccents(child: Expression) extends UnaryExpression {
   override def prettyName: String = "strip_accents"
 }
 
+/** Unicode NFC composition (dedup preprocessing — composed and
+  * decomposed spellings must fingerprint identically).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextOps.nfcNormalize(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** Canonical whitespace/lowercase normalization (dedup preprocessing). */
 case class NormalizeWs(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true

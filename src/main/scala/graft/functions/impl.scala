@@ -18,6 +18,23 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextOps {
 
+  /** Unicode NFC canonical composition — the dedup-preprocessing twin
+    * of [[stripAccents]] that KEEPS the accents: visually identical
+    * strings with composed vs decomposed code points must fingerprint
+    * identically, or every exact-dedup and n-gram pipeline silently
+    * treats them as distinct documents. ASCII fast path skips the
+    * normalizer entirely (the overwhelmingly common case).
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var needs = false
+    var i = 0
+    while (i < str.length && !needs) { if (str.charAt(i) >= 0x80) needs = true; i += 1 }
+    if (!needs) return s
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+
   /** NFKD-normalize and drop combining marks (reference:
     * `normalize/crops.py:6-8`, `normalize/regions.py:78-80`).
     */

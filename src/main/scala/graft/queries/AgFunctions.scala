@@ -210,5 +210,49 @@ object AgFunctions {
         CAST(MONTH(o_orderdate) AS BIGINT) AS mes
       FROM orders ORDER BY o_orderkey"""))
 
-  def qs: Seq[Q] = Seq(f01, f02, f03, f04, f05, f06, f07)
+  /** Unicode NFC composition ([[graft.functions.NfcNormalize]]):
+    * decomposed accents (base letter + combining mark, U+0301 etc.) are
+    * planted onto every 5th doc; after normalization the composed and
+    * decomposed spellings must be byte-identical — the invariant that
+    * keeps visually-equal strings in one dedup cluster. DuckDB's
+    * `nfc_normalize` (utf8proc) is the independent oracle for the Java
+    * normalizer; lengths are code-point counts in both engines, so the
+    * 2-combining-char contraction is visible in the hash.
+    */
+  val f08 = Q("f08_nfc_normalize",
+    (s, dir) => {
+      // "cafe" + combining acute, "Sa" + combining tilde + "o" — NFC
+      // composes both; docs not divisible by 5 pass through untouched
+      val planted = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(col("text"), lit(" café São')")))
+        .otherwise(col("text"))
+      load(s, dir, "documents")
+        .select(col("doc_id"), planted.as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("len_raw"),
+          length(G.nfcNormalize(col("raw"))).cast("long").as("len_nfc"),
+          col("raw").contains(lit("café")).as("raw_has_composed"),
+          G.nfcNormalize(col("raw")).contains(lit("café"))
+            .as("nfc_has_composed"),
+          substring(G.nfcNormalize(col("raw")), -12, 12).as("tail_nfc"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH planted AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0
+               THEN text || ' cafe' || chr(769) || ' Sa' || chr(771) || 'o'')'
+               ELSE text END AS raw
+        FROM documents)
+      SELECT doc_id,
+        CAST(length(raw) AS BIGINT) AS len_raw,
+        CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+        contains(raw, 'caf' || chr(233)) AS raw_has_composed,
+        contains(nfc_normalize(raw), 'caf' || chr(233)) AS nfc_has_composed,
+        CASE WHEN length(nfc_normalize(raw)) >= 12
+             THEN substring(nfc_normalize(raw), length(nfc_normalize(raw)) - 11, 12)
+             ELSE nfc_normalize(raw) END AS tail_nfc
+      FROM planted ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(f01, f02, f03, f04, f05, f06, f07, f08)
 }

@@ -394,5 +394,55 @@ object Validation {
         CAST(MAX(diff) AS DOUBLE) AS max_abs_diff
       FROM j"""))
 
-  def qs: Seq[Q] = Seq(v01, v02, v03, v04, v05, v07, v08, v09, v10, v11)
+  /** Robust outlier audit: per event type, median and MAD (median
+    * absolute deviation) of the value column — the estimators that
+    * survive the very outliers they hunt, where mean/stddev get
+    * dragged (v03's fixed sanity bounds, made data-calibrated). Two
+    * exact-percentile passes (group medians broadcast back for the
+    * deviation pass), then a count of |x − med| > 3·MAD. Medians are
+    * 6-dp-rounded before the deviation/threshold arithmetic so both
+    * engines run the identical comparison on identical operands. At
+    * 100 TB the same shape runs on `percentile_approx` with a declared
+    * rank-error (t09's stance); the exact form here is what makes the
+    * oracle byte-checkable.
+    */
+  val v12 = Q("v12_robust_outliers",
+    (s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), first(col("med")).as("med"),
+          round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+      dev.join(broadcast(mad.select(col("event_type"), col("mad"))),
+          Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+        .join(mad, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("med"), col("mad"),
+          col("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH med AS (
+        SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY 1),
+      dev AS (
+        SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+        FROM events e JOIN med m USING (event_type)),
+      mad AS (
+        SELECT event_type, COUNT(*) AS n, MIN(med) AS med,
+               ROUND(quantile_cont(adev, 0.5), 6) AS mad
+        FROM dev GROUP BY 1)
+      SELECT d.event_type, m.n, m.med, m.mad,
+        CAST(SUM(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers
+      FROM dev d JOIN mad m USING (event_type)
+      GROUP BY 1, 2, 3, 4 ORDER BY d.event_type"""))
+
+  def qs: Seq[Q] = Seq(v01, v02, v03, v04, v05, v07, v08, v09, v10, v11, v12)
 }

@@ -88,6 +88,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(TextOps.normalizeWs(u("  A   b\t c \n")).toString == "a b c")
   }
 
+  test("nfc_normalize: composed == decomposed, idempotent, ascii identity") {
+    def nfc(s: String) = TextOps.nfcNormalize(u(s)).toString
+    val decomposed = "cafe\u0301 Sa\u0303o" // e/a + combining marks
+    val composed = "caf\u00e9 S\u00e3o"     // single code points
+    assert(nfc(decomposed) == composed)
+    assert(nfc(composed) == composed)                 // already-NFC fast path
+    assert(nfc(nfc(decomposed)) == nfc(decomposed))   // idempotent
+    assert(nfc("plain ascii") == "plain ascii")
+    // the dedup invariant: both spellings share one fingerprint after NFC
+    assert(SketchOps.hash64(TextOps.nfcNormalize(u(decomposed)), 0L)
+      == SketchOps.hash64(TextOps.nfcNormalize(u(composed)), 0L))
+  }
+
   test("sketches: deterministic and near-dup sensitive") {
     val a = u("the quick brown fox jumps over the lazy dog again and again")
     val b = u("the quick brown fox jumps over the lazy dog again and again extra")
