@@ -200,6 +200,14 @@ object Graft {
   def snapshotDiff(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame =
     graft.store.Store.snapshotDiff(before, after, pk)
 
+  /** Asymmetric containment join (excerpt/quote detection) —
+    * [[graft.ops.Dedup.containmentJoin]].
+    */
+  def containmentJoin(corpus: DataFrame, probes: DataFrame,
+      idCol: org.apache.spark.sql.Column, textCol: org.apache.spark.sql.Column,
+      k: Int = 3, tau: Double = 0.8): DataFrame =
+    graft.ops.Dedup.containmentJoin(corpus, probes, idCol, textCol, k, tau)
+
   /** Shard a media table's binary payloads into fixed-size chunks for
     * parallel decode — [[graft.ops.Multimodal.chunkPayload]]; exactly
     * inverted by [[reassemblePayloads]].

@@ -219,6 +219,35 @@ object Dedup {
           batch.select(idCol.as("doc_id"), textCol.as("text")).withColumn("side", lit(1))),
       k, tau, cross = true)
 
+  /** ASYMMETRIC containment join — |sh(small) ∩ sh(big)| / |sh(small)|
+    * ≥ tau: finds probes quoted/excerpted INSIDE corpus documents,
+    * which symmetric Jaccard misses completely (a 15-token excerpt of
+    * a 100-token doc has J ≈ 0.13 but containment 1.0). The probe side
+    * is small by contract (a batch of suspected excerpts, an eval set)
+    * and broadcasts; corpus shingles stream map-side through the hash
+    * join, and only co-occurring (probe, doc) pairs reach the count
+    * shuffle. Exact — every shared shingle counts, so the oracle
+    * brute-force matches (d14). At 100 TB with a LARGE probe side,
+    * shard the probes and run the same join per shard.
+    */
+  def containmentJoin(corpus: DataFrame, probes: DataFrame, idCol: Column,
+      textCol: Column, k: Int = 3, tau: Double = 0.8): DataFrame = {
+    val c = corpus.select(idCol.as("id_big"),
+        explode(transform(shingles(textCol, k), x => xxhash64(x))).as("h"))
+    val pFlat = probes.select(idCol.as("id_small"),
+        transform(shingles(textCol, k), x => xxhash64(x)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id_small"), size(col("sh")).as("n_small"),
+        explode(col("sh")).as("h"))
+    c.join(broadcast(pFlat), Seq("h"))
+      .filter(col("id_big") =!= col("id_small"))
+      .groupBy(col("id_small"), col("id_big"), col("n_small"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= ceil(lit(tau) * col("n_small") - lit(1e-9)))
+      .select(col("id_small"), col("id_big"), col("shared"),
+        round(col("shared").cast("double") / col("n_small"), 4).as("containment"))
+  }
+
   private def ppJoin(tagged: DataFrame, k: Int, tau: Double,
       cross: Boolean, shingler: Column => Column = null): DataFrame = {
     val makeShingles: Column => Column =

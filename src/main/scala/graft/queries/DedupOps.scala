@@ -550,5 +550,54 @@ object DedupOps {
       FROM t LEFT JOIN agg a USING (doc_id)
       ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13)
+  /** Asymmetric containment join ([[graft.ops.Dedup.containmentJoin]]):
+    * every 17th doc gets a planted 15-token EXCERPT (id+60000) — a
+    * probe whose shingles sit entirely inside its source, invisible to
+    * symmetric Jaccard (J ≈ 0.15 for a 100-token source) but
+    * containment 1.0. The join must recover each excerpt's source at
+    * tau = 0.8; exact, so fully oracle-checked (brute-force shared
+    * shingle counts in DuckDB).
+    */
+  val d14 = Q("d14_containment_join",
+    (s, dir) => {
+      val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probes = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + 60000).as("doc_id"),
+          concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 15)).as("text"))
+      Dedup.containmentJoin(docs, probes, col("doc_id"), col("text"),
+          k = 3, tau = 0.8)
+        .orderBy(col("id_small"), col("id_big"))
+    },
+    Some("""
+      WITH probes AS (
+        SELECT doc_id + 60000 AS doc_id,
+          array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:15], ' ') AS text
+        FROM documents WHERE doc_id % 17 = 0),
+      norm_c AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      norm_p AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM probes),
+      sh_c AS (
+        SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM norm_c, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)),
+      sh_p AS (
+        SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM norm_p, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)),
+      np AS (SELECT doc_id, COUNT(*) AS n FROM sh_p GROUP BY 1),
+      common AS (
+        SELECT p.doc_id AS id_small, c.doc_id AS id_big, COUNT(*) AS shared
+        FROM sh_p p JOIN sh_c c USING (s)
+        WHERE p.doc_id != c.doc_id
+        GROUP BY 1, 2)
+      SELECT id_small, id_big, shared,
+             ROUND(shared * 1.0 / np.n, 4) AS containment
+      FROM common JOIN np ON np.doc_id = id_small
+      WHERE shared >= CEIL(0.8 * np.n - 1e-9)
+      ORDER BY id_small, id_big"""))
+
+  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14)
 }

@@ -450,5 +450,49 @@ object TextAnalysis {
       SELECT lang, rank, token, freq FROM ranked
       WHERE rank <= 5 ORDER BY lang, rank"""))
 
-  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
+  /** Script detection from text content (no metadata): per-document
+    * share of Latin / CJK / Cyrillic / digit code points, and the
+    * dominant-script verdict that drives shingling strategy
+    * ([[graft.api.Graft.nearDupPairsByScript]] routes on a lang
+    * column; this computes the route when no such column exists —
+    * the real-corpus case). Pure regexp_replace length arithmetic,
+    * identical rules in the oracle; deterministic tie-break latin >
+    * cjk > cyrillic.
+    */
+  val t14 = Q("t14_script_detect",
+    (s, dir) => {
+      val txt = col("text")
+      val total = length(txt).cast("double")
+      def share(pattern: String) =
+        (length(txt) - length(regexp_replace(txt, pattern, ""))).cast("double") / total
+      val latin = share("[A-Za-z\\u00C0-\\u024F]")
+      val cjk = share("[\\u4E00-\\u9FFF\\u3040-\\u30FF]")
+      val cyr = share("[\\u0400-\\u04FF]")
+      load(s, dir, "documents")
+        .filter(total > 0)
+        .select(col("doc_id"), col("lang"),
+          round(latin, 6).as("latin_share"),
+          round(cjk, 6).as("cjk_share"),
+          round(cyr, 6).as("cyrillic_share"),
+          when(latin >= cjk && latin >= cyr, "latin")
+            .when(cjk >= cyr, "cjk").otherwise("cyrillic").as("script"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, lang,
+        ROUND(latin, 6) AS latin_share,
+        ROUND(cjk, 6) AS cjk_share,
+        ROUND(cyr, 6) AS cyrillic_share,
+        CASE WHEN latin >= cjk AND latin >= cyr THEN 'latin'
+             WHEN cjk >= cyr THEN 'cjk'
+             ELSE 'cyrillic' END AS script
+      FROM (
+        SELECT doc_id, lang,
+          CAST(length(text) - length(regexp_replace(text, '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS DOUBLE) / length(text) AS latin,
+          CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS DOUBLE) / length(text) AS cjk,
+          CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS DOUBLE) / length(text) AS cyr
+        FROM documents WHERE length(text) > 0) t
+      ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
 }

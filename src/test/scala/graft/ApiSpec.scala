@@ -167,6 +167,31 @@ class ApiSpec extends SparkSuite {
     assert(spans == Set((2L, 1L, 9L), (10L, 1L, 9L)), s"got $spans")
   }
 
+  test("scrubbing every detected span removes every duplicated gram from the corpus") {
+    // real corpus + planted near-dups: detect all duplicated 5-gram
+    // spans, scrub them from EVERY doc, and no originally-duplicated
+    // gram may survive anywhere (each duplicated position is inside a
+    // span by construction)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val planted = docs.filter($"doc_id" % 9 === 0)
+      .select(($"doc_id" + 50000).as("doc_id"), $"text")
+    val corpus = docs.unionByName(planted)
+    val spans = graft.ops.Curation.duplicateSpans(corpus, "doc_id", "text", k = 5)
+    val dupGrams = graft.ops.Curation
+      .wordGramPositions(corpus, "doc_id", "text", 5)
+      .groupBy($"g").agg(count(lit(1)).as("c")).filter($"c" > 1)
+      .select($"g").as[String].collect().toSet
+    assert(dupGrams.nonEmpty, "planted copies must produce duplicated grams")
+    val scrubbed = graft.ops.Curation.scrubSpans(corpus, spans, "doc_id", "text")
+      .select($"doc_id", $"clean_text".as("text"))
+    val surviving = graft.ops.Curation
+      .wordGramPositions(scrubbed.filter(length($"text") > 0), "doc_id", "text", 5)
+      .filter($"g".isin(dupGrams.toSeq: _*))
+      .count()
+    assert(surviving == 0, s"$surviving duplicated grams survived the scrub")
+  }
+
   test("plan regression: events range predicates stay pushed down") {
     val q = graft.queries.QueryRegistry.byName("q02_filter_daterange")
       .fn(spark, "/root/testdata/sf0.001")
