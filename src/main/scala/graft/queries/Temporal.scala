@@ -216,5 +216,40 @@ object Temporal {
         ON e.user_id = b.user_id AND e.ts >= b.ts
       ORDER BY e.event_id"""))
 
-  def qs: Seq[Q] = Seq(q30, q31, q41, q42, q48, q53)
+  /** Exponentially-weighted moving average per user — the recursive
+    * smoother (x_t = α·v_t + (1−α)·x_{t−1}) that NO window frame
+    * expresses: it needs an ordered FOLD, here `aggregate` over the
+    * time-sorted value array (codegen lambda, no UDF). Both engines
+    * fold left in the identical order with identical double ops
+    * (DuckDB `list_reduce` seeds with the first element; the Spark
+    * fold mirrors that exactly), so the result is bit-reproducible and
+    * fully oracle-checked. Per-user state is one bounded array —
+    * sessionization's memory contract; at 100 TB this shape holds as
+    * long as per-key series stay bounded (they do: ≤ ~100 events/user
+    * here), the same caveat the streaming twin documents.
+    */
+  val q55 = Q("q55_ewma",
+    (s, dir) => {
+      load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+        .select(col("user_id"),
+          size(col("seq")).cast("long").as("n_events"),
+          transform(col("seq"), x => x.getField("value")).as("vals"))
+        .select(col("user_id"), col("n_events"),
+          round(aggregate(
+            expr("slice(vals, 2, size(vals) - 1)"),
+            element_at(col("vals"), 1),
+            (acc, x) => lit(0.3) * x + lit(0.7) * acc), 6).as("ewma"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+        ROUND(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+      FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+            FROM events GROUP BY 1) t
+      ORDER BY user_id"""))
+
+  def qs: Seq[Q] = Seq(q30, q31, q41, q42, q48, q53, q55)
 }
