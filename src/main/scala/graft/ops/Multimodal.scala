@@ -94,10 +94,13 @@ object Multimodal {
     */
   def chunkPayload(media: DataFrame, chunkBytes: Int): DataFrame =
     media.select(col("doc_id"), col("format"),
-        posexplode(expr(
-          s"""transform(
-                sequence(0, cast(ceil(length(payload) / ${chunkBytes}.0d) as int) - 1),
-                i -> substring(payload, i * $chunkBytes + 1, $chunkBytes))"""))
+        // empty-payload guard: sequence(0, -1) would yield a DESCENDING
+        // [0, -1], not an empty list — same trap as the gram builders
+        posexplode(when(length(col("payload")) === 0, array().cast("array<binary>"))
+          .otherwise(expr(
+            s"""transform(
+                  sequence(0, cast(ceil(length(payload) / ${chunkBytes}.0d) as int) - 1),
+                  i -> substring(payload, i * $chunkBytes + 1, $chunkBytes))""")))
           .as(Seq("chunk_idx", "chunk")))
       .select(col("doc_id"), col("format"), col("chunk_idx").cast("int").as("chunk_idx"),
         (col("chunk_idx").cast("long") * chunkBytes + 1).as("offset"),

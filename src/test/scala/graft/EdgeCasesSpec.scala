@@ -59,4 +59,49 @@ class EdgeCasesSpec extends SparkSuite {
     assert(TxStore.expireVersions(root, 10).isEmpty) // nothing old enough
     assert(TxStore.read(spark, root).count() == 1)
   }
+
+  test("curation ops: short/empty docs pass through, never crash") {
+    import graft.ops.Curation
+    val docs = Seq(
+      (1L, ""),                       // empty
+      (2L, "single"),                 // below every gram size
+      (3L, "two tokens"),             // bigrams only
+      (4L, "alpha beta gamma delta echo fox golf hotel"),
+      (5L, "alpha beta gamma delta echo fox golf hotel")) // exact dup of 4
+      .toDF("doc_id", "text")
+    // repetition: docs with < 3 tokens drop (no trigram to judge)
+    val rep = Curation.repetitionStats(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(rep == Set(4L, 5L))
+    // spans: only the 4/5 pair duplicates; whole-doc span on both
+    val spans = Curation.duplicateSpans(docs, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((4L, 1L, 8L, 4L), (5L, 1L, 8L, 4L)))
+    // scrubbing everything leaves structurally valid empty docs
+    val scrubbed = Curation.scrubSpans(docs, Curation.duplicateSpans(
+        docs, "doc_id", "text", k = 5), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(scrubbed(4L) == "" && scrubbed(5L) == "")
+    assert(scrubbed(3L) == "two tokens")
+    // decontamination with an EMPTY benchmark flags nothing
+    val bench = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.decontaminate(docs, bench, "doc_id", "text").count() == 0)
+    // containment with empty probes is empty, not an error
+    assert(Dedup.containmentJoin(docs, bench, col("doc_id"), col("text"))
+      .count() == 0)
+  }
+
+  test("payload chunking: empty payload yields no chunks, reassembly skips it") {
+    import graft.ops.Multimodal
+    val media = Seq((1L, "png", Array[Byte]()), (2L, "png", "abcdef".getBytes("UTF-8")))
+      .toDF("doc_id", "format", "payload")
+    val chunks = Multimodal.chunkPayload(media, chunkBytes = 4)
+    val byDoc = chunks.groupBy($"doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(!byDoc.contains(1L) && byDoc(2L) == 2L) // 4 + 2 bytes
+    val rebuilt = Multimodal.reassemble(chunks)
+      .select($"doc_id", $"payload").as[(Long, Array[Byte])].collect().toMap
+    assert(new String(rebuilt(2L), "UTF-8") == "abcdef")
+  }
 }
