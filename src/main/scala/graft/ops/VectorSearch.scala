@@ -222,6 +222,9 @@ object VectorSearch {
       cents: Array[Seq[Float]], path: String): Unit =
     vectors
       .withColumn("cell", nearestCell(col(vecCol), cents))
+      // one write task per cell, not every task split across every cell
+      // (C × tasks tiny files otherwise — see buildIvfPqIndex)
+      .repartition(cents.length, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Incremental index maintenance: assign a NEW batch of vectors to
@@ -444,8 +447,14 @@ object VectorSearch {
         nearestCell(col(vecCol), cents).as("cell"))
       .withColumn("codes", pqEncode(col("_nv"), books))
       .select(col(idCol), col("cell"), col("codes"))
+      // co-locate each cell before the partitioned write: without this
+      // every write task splits across every cell — C × tasks tiny
+      // files, whose open/list cost dominates both the build and every
+      // later probe (the small-files problem at index scale)
+      .repartition(cents.length, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     normed.select(col(idCol), col("_nv").as("nv"))
+      .coalesce(math.max(1, cents.length / 2))
       .write.mode("overwrite").parquet(s"$path/vectors")
   }
 
