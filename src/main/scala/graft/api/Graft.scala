@@ -200,6 +200,14 @@ object Graft {
   def snapshotDiff(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame =
     graft.store.Store.snapshotDiff(before, after, pk)
 
+  /** Always-on corpus curation: each microbatch deduped against the
+    * persisted corpus before being MERGE-committed —
+    * [[graft.streaming.Streaming.curationSink]].
+    */
+  def curationSink(docs: DataFrame, root: String, tau: Double,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.Streaming.curationSink(docs, root, tau, checkpoint)
+
   /** Asymmetric containment join (excerpt/quote detection) —
     * [[graft.ops.Dedup.containmentJoin]].
     */

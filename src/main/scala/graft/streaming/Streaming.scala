@@ -73,6 +73,53 @@ object Streaming {
       .start()
   }
 
+  /** Continuous corpus curation: each microbatch of documents is
+    * exact-similarity-joined against the PERSISTED corpus
+    * ([[graft.ops.Dedup.ngramJaccardJoin]] — the d09 incremental shape)
+    * AND against itself (within-batch dups), and only novel documents
+    * are MERGE-committed — the corpus table never admits a near-dup,
+    * every admission is a time-travelable TxStore version, and replays
+    * are dropped by the batch-id high-water mark. This is the always-on
+    * form of the one-shot dedup pipelines: at 100 TB the corpus side of
+    * the prefix index is the maintained signature table (d05's stance),
+    * not a re-shingle of the whole corpus per batch.
+    *
+    * First batch initializes the table (self-dedup only). Within-batch
+    * duplicate pairs keep the LOWEST id (deterministic canonical).
+    */
+  def curationSink(docs: DataFrame, root: String, tau: Double,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val commit: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, id) => {
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        if (!b.isEmpty) {
+          // within-batch dedup: drop the higher id of every dup pair
+          val selfDups = graft.ops.Dedup
+            .ngramJaccardPairs(b, col("doc_id"), col("text"), k = 3, tau = tau)
+            .select(col("id2").as("doc_id")).distinct()
+          val selfClean = b.join(selfDups, Seq("doc_id"), "left_anti")
+          val novel =
+            if (graft.store.TxStore.currentVersion(root).isEmpty) selfClean
+            else {
+              val corpus = graft.store.TxStore.read(spark, root)
+              val dupIds = graft.ops.Dedup.ngramJaccardJoin(
+                  corpus, selfClean, col("doc_id"), col("text"),
+                  k = 3, tau = tau)
+                .select(col("id2").as("doc_id")).distinct()
+              selfClean.join(dupIds, Seq("doc_id"), "left_anti")
+            }
+          graft.store.TxStore.commitBatch(spark, root, novel,
+            Seq("doc_id"), id)
+        }
+        ()
+      }
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(commit)
+      .start()
+  }
+
   /** Continuously-maintained MATERIALIZED VIEW: a streaming
     * aggregation in update mode, each microbatch's changed rows
     * MERGEd into the transactional store by aggregate key. Update-mode

@@ -135,6 +135,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("curation sink: corpus never admits a near-dup, per-batch versions") {
+    import graft.store.TxStore
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_cur").resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_curckpt").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b = "one two three four five six seven eight nine ten eleven twelve"
+    val c = "red orange yellow green blue indigo violet cyan magenta umber ochre teal"
+    val e = "north south east west up down left right forward backward inward outward"
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.curationSink(in.toDF().toDF("doc_id", "text"),
+      root, tau = 0.6, checkpoint = ckpt)
+    try {
+      // batch 1: three novel docs + a within-batch near-dup of doc 1
+      in.addData((1L, a), (2L, b), (3L, c), (4L, a + " tail"))
+      q.processAllAvailable()
+      assert(TxStore.read(spark, root).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 2L, 3L))
+      // batch 2: one novel + one near-dup of the PERSISTED doc 2
+      in.addData((5L, e), (6L, b + " tail"))
+      q.processAllAvailable()
+      assert(TxStore.read(spark, root).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 2L, 3L, 5L))
+      // every admission is a version; dup-only batches add no documents
+      assert(TxStore.currentVersion(root).exists(_ >= 2L))
+      in.addData((7L, c + " tail"))
+      q.processAllAvailable()
+      assert(TxStore.read(spark, root).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 2L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: hot items survive MG state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
