@@ -108,5 +108,44 @@ object Analytics {
         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       FROM hits GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  def qs: Seq[Q] = Seq(q43, q44, q45)
+  /** Winsorization: clip each group's values to its own exact
+    * [p05, p95] band — the outlier treatment that keeps every row
+    * (unlike v12's flagging) while bounding the damage any single
+    * value can do to a mean; the standard numeric-feature step before
+    * training. Percentile bounds are 6-dp-rounded before clipping so
+    * both engines clamp with identical operands, and the clipped sum
+    * goes through the exact-decimal path. One percentile pass, bounds
+    * broadcast back, one clipped aggregation.
+    */
+  val q56 = Q("q56_winsorize",
+    (s, dir) => {
+      val ev = load(s, dir, "events").select(col("event_type"), col("value"))
+      val bounds = ev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.05)"), 6).as("lo"),
+          round(expr("percentile(value, 0.95)"), 6).as("hi"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .withColumn("w", least(greatest(col("value"), col("lo")), col("hi")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+          dsum(col("w")).as("winsorized_sum"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH bounds AS (
+        SELECT event_type,
+          ROUND(quantile_cont(value, 0.05), 6) AS lo,
+          ROUND(quantile_cont(value, 0.95), 6) AS hi
+        FROM events GROUP BY 1)
+      SELECT e.event_type, COUNT(*) AS n, MIN(b.lo) AS lo, MIN(b.hi) AS hi,
+        CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+        CAST(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi) AS DECIMAL(18,4))) AS DOUBLE)
+          AS winsorized_sum
+      FROM events e JOIN bounds b USING (event_type)
+      GROUP BY 1 ORDER BY 1"""))
+
+  def qs: Seq[Q] = Seq(q43, q44, q45, q56)
 }

@@ -358,5 +358,64 @@ object VectorSearch {
     },
     None)
 
-  def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12)
+  /** Per-dimension z-standardization of the embedding corpus (a09's
+    * stats applied): each dimension centered on its corpus mean and
+    * scaled by its corpus sd — the whitening-lite step run before
+    * indexing so no dimension dominates distances. Stats flow through
+    * the exact-decimal path and are 6-dp-rounded before the (x−μ)/σ
+    * arithmetic, and each vector's z-values re-aggregate through
+    * DECIMAL — so the per-vector checksum hash-matches the oracle
+    * despite double division. Two passes (stats, standardize), stats
+    * broadcast; per-vector output is a checksum + extrema, not the
+    * full array (the array lands in the index, not in a result set).
+    */
+  val a13 = Q("a13_embedding_standardize",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+      val vals = e.select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          round(col("x"), 6).as("y"))
+      val dt = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)
+      val dt2 = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)
+      val stats = vals.groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y").cast(dt)).cast("double").as("s"),
+          sum((col("y") * col("y")).cast(dt2)).cast("double").as("ssq"))
+        .select(col("pos"),
+          round(col("s") / col("n"), 6).as("mu"),
+          round(sqrt(col("ssq") / col("n") -
+            (col("s") / col("n")) * (col("s") / col("n"))), 6).as("sd"))
+      vals.join(broadcast(stats), Seq("pos"))
+        .withColumn("z", round((col("y") - col("mu")) / col("sd"), 6))
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("dims"),
+          sum(col("z").cast(dt)).cast("double").as("z_sum"),
+          round(min(col("z")), 6).as("z_min"),
+          round(max(col("z")), 6).as("z_max"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH vals AS (
+        SELECT vec_id, CAST(s.i - 1 AS BIGINT) AS pos, ROUND(s.x, 6) AS y
+        FROM (
+          SELECT vec_id, unnest(list_transform(CAST(embedding AS DOUBLE[]),
+            (x, i) -> {'i': i, 'x': x})) AS s
+          FROM embeddings) t),
+      stats AS (
+        SELECT pos,
+          ROUND(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mu,
+          ROUND(SQRT(CAST(SUM(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+            - (CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+              * (CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))), 6) AS sd
+        FROM vals GROUP BY 1),
+      z AS (
+        SELECT v.vec_id, ROUND((v.y - st.mu) / st.sd, 6) AS z
+        FROM vals v JOIN stats st USING (pos))
+      SELECT vec_id, COUNT(*) AS dims,
+        CAST(SUM(CAST(z AS DECIMAL(18,6))) AS DOUBLE) AS z_sum,
+        ROUND(MIN(z), 6) AS z_min, ROUND(MAX(z), 6) AS z_max
+      FROM z GROUP BY 1 ORDER BY vec_id"""))
+
+  def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13)
 }
