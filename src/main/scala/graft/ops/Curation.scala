@@ -83,15 +83,18 @@ object Curation {
     * array and the scrub is a single index-lambda `filter` over the
     * token array — pure codegen, no explode, no per-token shuffle; the
     * only movement is the span groupBy and a join that AQE broadcasts
-    * when few documents are affected (the common case). Documents
-    * without spans pass through byte-identical.
+    * when few documents are affected (the common case). Tokens keep
+    * their ORIGINAL case (case-folding belongs to detection, not to
+    * the surviving text — positions line up because lowercasing never
+    * moves a whitespace boundary); the rebuild joins tokens with
+    * single spaces, so original inter-token whitespace is normalized.
     */
   def scrubSpans(docs: DataFrame, spans: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val spansByDoc = spans.groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
     docs.join(spansByDoc, Seq(idCol), "left")
-      .withColumn("_ws", split(lower(trim(col(textCol))), "\\s+"))
+      .withColumn("_ws", split(trim(col(textCol)), "\\s+"))
       .withColumn("_kept", when(col("_spans").isNull, col("_ws")).otherwise(
         expr("""filter(_ws, (t, i) ->
           !exists(_spans, sp -> i + 1 >= sp.span_start AND i + 1 <= sp.span_end))""")))

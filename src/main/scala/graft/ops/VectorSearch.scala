@@ -244,6 +244,10 @@ object VectorSearch {
       cents: Array[Seq[Float]], path: String): Unit =
     batch
       .withColumn("cell", nearestCell(col(vecCol), cents))
+      // same cell co-location as the build: an un-repartitioned append
+      // adds tasks × cells tiny files per day, exactly the layout rot
+      // the build-side fix removed
+      .repartition(cents.length, col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
 
   /** Probe the persisted index: the query's nprobe nearest cells are

@@ -224,15 +224,15 @@ object AgFunctions {
       // "cafe" + combining acute, "Sa" + combining tilde + "o" — NFC
       // composes both; docs not divisible by 5 pass through untouched
       val planted = when(pmod(col("doc_id"), lit(5)) === 0,
-        concat(col("text"), lit(" café São')")))
+        concat(col("text"), lit(" cafe\u0301 Sa\u0303o')")))
         .otherwise(col("text"))
       load(s, dir, "documents")
         .select(col("doc_id"), planted.as("raw"))
         .select(col("doc_id"),
           length(col("raw")).cast("long").as("len_raw"),
           length(G.nfcNormalize(col("raw"))).cast("long").as("len_nfc"),
-          col("raw").contains(lit("café")).as("raw_has_composed"),
-          G.nfcNormalize(col("raw")).contains(lit("café"))
+          col("raw").contains(lit("caf\u00e9")).as("raw_has_composed"),
+          G.nfcNormalize(col("raw")).contains(lit("caf\u00e9"))
             .as("nfc_has_composed"),
           substring(G.nfcNormalize(col("raw")), -12, 12).as("tail_nfc"))
         .orderBy(col("doc_id"))

@@ -499,8 +499,8 @@ object DedupOps {
     * stay intact), are cut out of the token stream with one
     * index-lambda filter ([[graft.ops.Curation.scrubSpans]] — pure
     * codegen, no explode). Fully oracle-checked, including the
-    * fully-scrubbed-to-empty copies and the byte-identical pass-through
-    * of every untouched document.
+    * fully-scrubbed-to-empty copies and the token-exact (original
+    * case) pass-through of every untouched document.
     */
   val d13 = Q("d13_scrub_spans",
     (s, dir) => {
@@ -517,7 +517,8 @@ object DedupOps {
         SELECT doc_id + 20000, concat(text, ' graft appended marker tokens')
         FROM documents WHERE doc_id % 11 = 0),
       t AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws,
+               regexp_split_to_array(trim(text), '\s+') AS wr
         FROM all_docs),
       g AS (
         SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -534,8 +535,8 @@ object DedupOps {
         FROM isl GROUP BY doc_id, island),
       sp AS (SELECT * FROM spans WHERE doc_id >= 20000),
       toks AS (
-        SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS tok
-        FROM t, UNNEST(generate_series(1, len(ws))) AS u(i)),
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, wr[i] AS tok
+        FROM t, UNNEST(generate_series(1, len(wr))) AS u(i)),
       kept AS (
         SELECT doc_id, pos, tok FROM toks k
         WHERE NOT EXISTS (SELECT 1 FROM sp
@@ -544,7 +545,7 @@ object DedupOps {
         SELECT doc_id, COUNT(*) AS n_after,
                string_agg(tok, ' ' ORDER BY pos) AS clean
         FROM kept GROUP BY 1)
-      SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens_before,
+      SELECT t.doc_id, CAST(len(wr) AS BIGINT) AS n_tokens_before,
         COALESCE(a.n_after, 0) AS n_tokens_after,
         COALESCE(a.clean, '') AS clean_text
       FROM t LEFT JOIN agg a USING (doc_id)

@@ -413,11 +413,14 @@ object TextAnalysis {
     * ([[graft.functions.MisraGriesTopK]] — t08's Misra-Gries, but as a
     * real TypedImperativeAggregate the optimizer treats like `sum`:
     * bounded state per partial, map-side combine, one per grouping
-    * key). Candidates (k=200 ≫ 5, so the n/(k+1) bound keeps every
-    * true top-5 token in the summary) are recounted EXACTLY and
-    * row_number'd to the top 5 per language — the result is exact, so
-    * the plain window oracle hash-matches; the sketch only bounded the
-    * recount's input.
+    * key). Candidates are recounted EXACTLY and row_number'd to the
+    * top 5 per language — so IF the candidate set covers the true
+    * top-5, the result is exact and the plain window oracle
+    * hash-matches. MG only GUARANTEES presence above n/(k+1) (~0.5%
+    * of a group's tokens at k=200); on this corpus every top-5 token
+    * clears that bar by an order of magnitude (which the oracle
+    * verifies), but on a flatter distribution k must grow with
+    * 1/freq(top-5) — the k-vs-tail trade every MG deployment sizes.
     */
   val t13 = Q("t13_group_heavy_hitters",
     (s, dir) => {

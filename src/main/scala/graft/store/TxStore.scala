@@ -274,8 +274,11 @@ object TxStore {
       expectedVersion: Option[Long] = None): Long = {
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
+    // SQL DELETE semantics: only rows where the predicate is TRUE go;
+    // a NULL predicate keeps the row (bare !predicate would drop it)
     val remaining = spark.read.parquet(versionDir(root, expected))
-      .filter(!predicate)
+      .filter(!org.apache.spark.sql.functions.coalesce(predicate,
+        org.apache.spark.sql.functions.lit(false)))
     val next = expected + 1
     writeVersion(remaining, root, next)
     if (currentVersion(root) != Some(expected)) {
@@ -310,19 +313,33 @@ object TxStore {
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val base = spark.read.parquet(versionDir(root, expected))
-    val merged = Store.upsert(base, updates, pk)
-    val cs = checks.toSeq
-    val row = merged.agg(
-      org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.when(!cs.head._2, 1L).otherwise(0L)),
-      cs.tail.map { case (_, p) =>
+    // the gate aggregate materializes the merge; cache it so the
+    // snapshot write reuses it instead of recomputing the full
+    // base-scan + merge shuffle a second time
+    val merged = Store.upsert(base, updates, pk).cache()
+    try {
+      val cs = checks.toSeq
+      val row = merged.agg(
         org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.when(!p, 1L).otherwise(0L))
-      }: _*).head()
-    val counts = cs.indices.map(i => cs(i)._1 -> row.getLong(i)).toMap
-    val bad = counts.filter(_._2 > 0)
-    if (bad.nonEmpty) throw new ContractViolationException(bad)
-    commitUpsert(spark, root, updates, pk, Some(expected))
+          org.apache.spark.sql.functions.when(!cs.head._2, 1L).otherwise(0L)),
+        cs.tail.map { case (_, p) =>
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when(!p, 1L).otherwise(0L))
+        }: _*).head()
+      val counts = cs.indices.map(i => cs(i)._1 -> row.getLong(i)).toMap
+      val bad = counts.filter(_._2 > 0)
+      if (bad.nonEmpty) throw new ContractViolationException(bad)
+      val next = expected + 1
+      writeVersion(merged, root, next)
+      if (currentVersion(root) != Some(expected)) {
+        deleteRecursively(Paths.get(versionDir(root, next)))
+        throw new ConcurrentCommitException(
+          s"table at $root moved past v$expected; retry on the new snapshot")
+      }
+      writeManifest(root, next, "upsert", Some(expected))
+      flipPointer(root, Some(expected), next)
+      next
+    } finally merged.unpersist()
   }
 
   /** CDC between two committed versions: the endpoint diff keyed on

@@ -111,6 +111,10 @@ object Streaming {
             }
           graft.store.TxStore.commitBatch(spark, root, novel,
             Seq("doc_id"), id)
+          // the similarity joins cache their shingle frames for the
+          // duration of the batch; an always-on sink must release them
+          // or storage-memory entries accumulate one per batch forever
+          spark.catalog.clearCache()
         }
         ()
       }

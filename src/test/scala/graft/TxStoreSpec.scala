@@ -291,6 +291,16 @@ class TxStoreSpec extends SparkSuite {
     assert(total >= 1 && kept.nonEmpty)
   }
 
+  test("delete commit: NULL predicate keeps the row (SQL DELETE semantics)") {
+    val root = freshRoot()
+    TxStore.init(Seq((1L, "soja", Some(100.0)), (2L, "milho", None),
+      (3L, "trigo", Some(30.0))).toDF("k", "produto", "v"), root)
+    // DELETE WHERE v > 50: row 2's predicate is NULL -> must survive
+    TxStore.commitDelete(spark, root, col("v") > 50.0)
+    assert(TxStore.read(spark, root).select("k").as[Long].collect().toSet
+      == Set(2L, 3L))
+  }
+
   test("delete commit removes matching rows; prior versions keep them") {
     val root = freshRoot()
     TxStore.init(Seq((1L, "soja", 100.0), (2L, "milho", 50.0), (3L, "trigo", 30.0))
