@@ -331,5 +331,44 @@ object Relational3 {
           (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_qty_price
       FROM m ORDER BY l_returnflag"""))
 
-  def qs: Seq[Q] = Seq(q25, q26, q27, q28, q29, q32, q33, q34, q46, q47, q52, q54)
+  /** Grouped least-squares regression (q54's sibling): slope and
+    * intercept of extendedprice on quantity per return flag, through
+    * the same exact decimal moment sums — the `regr_slope`/
+    * `regr_intercept` family, but deterministic across engines (the
+    * built-ins accumulate in float). Same one-scan, one-shuffle plan.
+    */
+  val q57 = Q("q57_group_regression",
+    (s, dir) => {
+      val li = load(s, dir, "lineitem")
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("nd"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(x * y).cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("nd").cast("long").as("n"),
+          round((col("nd") * col("sxy") - col("sx") * col("sy")) /
+            (col("nd") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") - ((col("nd") * col("sxy") - col("sx") * col("sy")) /
+            (col("nd") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+            col("nd"), 6).as("intercept"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag,
+          CAST(COUNT(*) AS DOUBLE) AS nd,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, CAST(nd AS BIGINT) AS n,
+        ROUND((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6) AS slope,
+        ROUND((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd, 6)
+          AS intercept
+      FROM m ORDER BY l_returnflag"""))
+
+  def qs: Seq[Q] = Seq(q25, q26, q27, q28, q29, q32, q33, q34, q46, q47, q52, q54, q57)
 }

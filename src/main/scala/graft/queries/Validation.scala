@@ -444,5 +444,33 @@ object Validation {
       FROM dev d JOIN mad m USING (event_type)
       GROUP BY 1, 2, 3, 4 ORDER BY d.event_type"""))
 
-  def qs: Seq[Q] = Seq(v01, v02, v03, v04, v05, v07, v08, v09, v10, v11, v12)
+  /** Freshness audit: per event type, the high-water mark and how many
+    * whole hours it trails a fixed reference instant (deterministic
+    * twin of `now()` — the reference's TTL/staleness policies in
+    * `store/Policies.scala` are the same arithmetic against the real
+    * clock). Millisecond-epoch integer arithmetic on both sides: no
+    * timezone, no fractional-second divergence, no datediff
+    * boundary-counting ambiguity.
+    */
+  val v13 = Q("v13_freshness_audit",
+    (s, dir) => {
+      val refMs = java.time.Instant.parse("1997-01-01T00:00:00Z").toEpochMilli
+      load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"))
+        .select(col("event_type"), col("n"), col("max_ts"),
+          ((lit(refMs) - unix_millis(col("max_ts"))) / lit(3600000L))
+            .cast("long").as("hours_behind"))
+        .withColumn("is_stale", col("hours_behind") > 24 * 30)
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n, MAX(ts) AS max_ts,
+        (epoch_ms(TIMESTAMP '1997-01-01 00:00:00') - epoch_ms(MAX(ts))) // 3600000
+          AS hours_behind,
+        ((epoch_ms(TIMESTAMP '1997-01-01 00:00:00') - epoch_ms(MAX(ts))) // 3600000)
+          > 720 AS is_stale
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  def qs: Seq[Q] = Seq(v01, v02, v03, v04, v05, v07, v08, v09, v10, v11, v12, v13)
 }
