@@ -237,6 +237,40 @@ object TxStore {
     } finally s.close()
   }
 
+  /** RESTORE as a commit (Delta's RESTORE TABLE ... TO VERSION): the
+    * next version's content IS a retained older version's, hard-linked
+    * file for file — no data movement, the rollback of a bad load is
+    * O(metadata). History is append-only: the bad versions stay
+    * readable (audit), the restore is itself a time-travelable commit,
+    * and retention eventually expires the bad lineage. Fails cleanly if
+    * the target version has been expired.
+    */
+  def commitRestore(spark: SparkSession, root: String, toVersion: Long,
+      expectedVersion: Option[Long] = None): Long = {
+    val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    require(toVersion >= 1 && toVersion <= expected,
+      s"version v$toVersion not committed (current: v$expected)")
+    val fromDir = Paths.get(versionDir(root, toVersion))
+    require(Files.exists(fromDir),
+      s"version v$toVersion expired by retention; cannot restore")
+    val next = expected + 1
+    val nextDir = Paths.get(versionDir(root, next))
+    if (Files.exists(nextDir))
+      throw new ConcurrentCommitException(
+        s"snapshot v$next already exists at $root (concurrent writer)")
+    try linkTree(fromDir, nextDir)
+    catch { case e: Throwable => deleteRecursively(nextDir); throw e }
+    if (currentVersion(root) != Some(expected)) {
+      deleteRecursively(nextDir)
+      throw new ConcurrentCommitException(
+        s"table at $root moved past v$expected; retry on the new snapshot")
+    }
+    writeManifest(root, next, "restore", Some(expected))
+    flipPointer(root, Some(expected), next)
+    next
+  }
+
   /** Compaction commit: rewrite the committed snapshot into `numFiles`
     * files as a NEW version — data-identical, pure file-layout change,
     * same all-or-nothing pointer flip, and every prior version stays

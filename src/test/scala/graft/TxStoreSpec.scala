@@ -408,6 +408,33 @@ class TxStoreSpec extends SparkSuite {
     assert(mirror == rows(root))
   }
 
+  test("restore commit: rollback is a hard-linked commit, bad lineage stays auditable") {
+    val root = freshRoot()
+    TxStore.init(Seq((1L, "soja", 100.0), (2L, "milho", 50.0)).toDF("k", "produto", "v"), root)
+    val good = rows(root)
+    // a bad load: corrupting update + a spurious delete
+    TxStore.commitUpsert(spark, root,
+      Seq((1L, "soja", -999.0)).toDF("k", "produto", "v"), Seq("k"))
+    TxStore.commitDelete(spark, root, col("k") === 2L)
+    assert(rows(root) != good)
+    // rollback to v1 as v4
+    assert(TxStore.commitRestore(spark, root, 1L) == 4L)
+    assert(rows(root) == good)
+    // audit trail intact: the bad versions still read, history says restore
+    assert(TxStore.readVersion(spark, root, 3L).count() == 1)
+    val hist = TxStore.history(spark, root)
+      .select("version", "action").as[(Long, String)].collect().toMap
+    assert(hist(4L) == "restore")
+    // CDC across the whole arc is empty: endpoint v1 == endpoint v4
+    assert(TxStore.changesBetween(spark, root, 1L, 4L, Seq("k")).isEmpty)
+    // restoring an expired version fails cleanly
+    TxStore.expireVersions(root, keepLast = 2)
+    val e = intercept[IllegalArgumentException] {
+      TxStore.commitRestore(spark, root, 2L)
+    }
+    assert(e.getMessage.contains("expired"))
+  }
+
   test("snapshot diff emits the post-image even when an update nulls a field") {
     val before = Seq((1L, "soja", "a"), (2L, "milho", "b")).toDF("k", "produto", "tag")
     val after = Seq((1L, "soja", "a"), (2L, "milho", null.asInstanceOf[String]))
