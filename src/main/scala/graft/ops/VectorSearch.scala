@@ -65,6 +65,68 @@ object VectorSearch {
       struct(lit(i).as("cid"), typedlit(cv).as("c"))
     }: _*)
 
+  /** Centroid count above which per-row cell assignment switches from
+    * the centroid-literal argmax ([[nearestCell]]) to the broadcast-join
+    * argmax ([[assignCellsJoin]]). The literal form inlines all C
+    * centroids into the expression tree: past toy C the generated/
+    * interpreted kernel grows with C (and recompiles per plan), while
+    * the join form keeps the plan constant-size — C lives in a C-row
+    * broadcast relation, not in the code. The literal stays the small-C
+    * fast path because it adds ZERO shuffles; the join path pays one
+    * bounded (n-row, map-side-combined) shuffle to stay viable at
+    * production C (thousands of cells).
+    */
+  private[graft] val LiteralMaxCells = 64
+
+  /** Cell assignment as data, not code: every vector meets the C-row
+    * broadcast centroid relation on a constant equi-key (a
+    * BroadcastHashJoin, not a nested-loop product), scores ride through
+    * codegen'd [[graft.functions.GraftFunctions.cosineSim]], and
+    * `max_by` takes the per-vector argmax with the SAME tie-break as
+    * [[nearestCell]] (highest sim, then lowest cid). Partial
+    * aggregation collapses the n×C fan-out back to n rows map-side, so
+    * the shuffle carries one row per vector. All non-id columns are
+    * carried with `first` (the C duplicates are identical). This is the
+    * shape [[trainCentroids]] already uses for training assignment,
+    * applied to the build/append/encode paths.
+    */
+  private[graft] def assignCellsJoin(vectors: DataFrame, idCol: String,
+      vecCol: String, cents: Array[Seq[Float]], l2: Boolean = false): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val carried = vectors.columns.filterNot(_ == idCol)
+      .map(cn => first(col(cn)).as(cn))
+    // the join key is a degenerate (single-valued) hash of the id, NOT a
+    // literal: a foldable constant key gets constant-folded into a cross
+    // product (BroadcastNestedLoopJoin); a non-foldable key keeps the
+    // hashed-relation BroadcastHashJoin
+    val centDf = broadcast(cents.toSeq.zipWithIndex
+      .map { case (cv, i) => (i, cv, 0) }.toDF("_cid", "_cv", "_one"))
+    val score =
+      if (l2) aggregate(zip_with(col(vecCol), col("_cv"),
+        (a, b) => (a - b) * (a - b)), lit(0.0d), (s, x) => s + x)
+      else G.cosineSim(col(vecCol), col("_cv"))
+    val argmax =
+      if (l2) min_by(col("_cid"), struct(col("_score"), col("_cid")))
+      else max_by(col("_cid"), struct(col("_score"), -col("_cid")))
+    vectors.withColumn("_one", pmod(xxhash64(col(idCol)), lit(1)).cast("int"))
+      .join(centDf, Seq("_one"))
+      .withColumn("_score", score)
+      .groupBy(col(idCol))
+      .agg(argmax.as("cell"), carried.toSeq: _*)
+  }
+
+  /** Adds the Voronoi `cell` column: centroid-literal argmax under
+    * [[LiteralMaxCells]] (zero extra shuffle), broadcast-join argmax
+    * above it (constant-size plan at any C). Both paths produce
+    * identical assignments (spec-asserted at the boundary).
+    */
+  def withNearestCell(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Seq[Float]]): DataFrame =
+    if (cents.length <= LiteralMaxCells)
+      vectors.withColumn("cell", nearestCell(col(vecCol), cents))
+    else assignCellsJoin(vectors, idCol, vecCol, cents)
+
   /** Voronoi cell of a vector: argmax cosine over the centroid literal,
     * one pass per row via `aggregate` — no explode, no shuffle, stays
     * inside whole-stage codegen.
@@ -142,10 +204,14 @@ object VectorSearch {
   /** @param queryIdCol when set, that column of `query` rides along as
     *   `query_id` — the batch shape (a query SET against the corpus in
     *   one probe-join, not a per-query loop).
+    * @param idCol when set, corpus cell assignment routes through
+    *   [[withNearestCell]] — required for the broadcast-join regime at
+    *   production C (without an id the assignment stays literal).
     */
   def ivfCandidates(vectors: DataFrame, query: DataFrame, vecCol: String,
       cents: Array[Seq[Float]], nprobe: Int,
-      queryIdCol: Option[String] = None): DataFrame = {
+      queryIdCol: Option[String] = None,
+      idCol: Option[String] = None): DataFrame = {
     val sims = transform(centroidArray(cents),
       e => struct(G.cosineSim(col("q_vec"), e.getField("c")).as("sim"),
         e.getField("cid").as("cid")))
@@ -155,7 +221,11 @@ object VectorSearch {
       queryIdCol.map(c => col(c).as("query_id")).toSeq
     val qb = broadcast(query.select(qcols: _*)
       .withColumn("cell", explode(probes)))
-    vectors.withColumn("cell", nearestCell(col(vecCol), cents))
+    val assigned = idCol match {
+      case Some(ic) => withNearestCell(vectors, ic, vecCol, cents)
+      case None => vectors.withColumn("cell", nearestCell(col(vecCol), cents))
+    }
+    assigned
       .join(qb, Seq("cell"))
       .withColumn("sim", round(G.cosineSim(col(vecCol), col("q_vec")), 6))
       .drop("q_vec", "cell")
@@ -220,8 +290,7 @@ object VectorSearch {
     */
   def buildIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
       cents: Array[Seq[Float]], path: String): Unit =
-    vectors
-      .withColumn("cell", nearestCell(col(vecCol), cents))
+    withNearestCell(vectors, idCol, vecCol, cents)
       // one write task per cell, not every task split across every cell
       // (C × tasks tiny files otherwise — see buildIvfPqIndex)
       .repartition(cents.length, col("cell"))
@@ -242,8 +311,7 @@ object VectorSearch {
     */
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
       cents: Array[Seq[Float]], path: String): Unit =
-    batch
-      .withColumn("cell", nearestCell(col(vecCol), cents))
+    withNearestCell(batch, idCol, vecCol, cents)
       // same cell co-location as the build: an un-repartitioned append
       // adds tasks × cells tiny files per day, exactly the layout rot
       // the build-side fix removed
@@ -418,6 +486,57 @@ object VectorSearch {
     }: _*)
   }
 
+  /** Total codebook entries (m·c) above which PQ encoding switches from
+    * the codebook-literal [[pqEncode]] to the broadcast-join form —
+    * same rationale as [[LiteralMaxCells]]: codebooks are data, and
+    * past toy c they must not live in the expression tree.
+    */
+  private[graft] val LiteralMaxCodebook = 256
+
+  /** PQ encoding as a broadcast join: each vector explodes into its m
+    * subvectors, meets the m·c-row codebook relation on the REAL
+    * equi-key `sub` (a BroadcastHashJoin), and `min_by` takes the
+    * per-(vector, subspace) L2 argmin with [[nearestCellL2]]'s
+    * tie-break (lowest distance, then lowest cid). The codes array is
+    * reassembled in subspace order and joined back on the id. Shuffles
+    * carry (id, sub, small ints) — never the codebook, never the raw
+    * vectors.
+    */
+  private[graft] def pqCodesJoin(df: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Seq[Float]]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val subLen = books(0)(0).size
+    val bookDf = broadcast(books.toSeq.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (cv, i) => (s, i, cv) }
+    }.toDF("_sub", "_cid", "_cv"))
+    val subs = df.select(col(idCol), explode(array((0 until m).map(i =>
+        struct(lit(i).as("s"),
+          slice(col(vecCol), i * subLen + 1, subLen).as("sv"))): _*)).as("_e"))
+      .select(col(idCol), col("_e.s").as("_sub"), col("_e.sv").as("_sv"))
+    val d = aggregate(zip_with(col("_sv"), col("_cv"),
+      (a, b) => (a - b) * (a - b)), lit(0.0d), (s, x) => s + x)
+    val codes = subs.join(bookDf, Seq("_sub"))
+      .select(col(idCol), col("_sub"), col("_cid"), d.as("_d"))
+      .groupBy(col(idCol), col("_sub"))
+      .agg(min_by(col("_cid"), struct(col("_d"), col("_cid"))).as("_code"))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("_sub"), col("_code")))),
+        s => s.getField("_code")).as("codes"))
+    df.join(codes, Seq(idCol))
+  }
+
+  /** Adds the `codes` column: codebook-literal under
+    * [[LiteralMaxCodebook]] entries, broadcast-join above it. Identical
+    * codes either way (spec-asserted).
+    */
+  def withPqCodes(df: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Seq[Float]]]): DataFrame =
+    if (books.length * books(0).length <= LiteralMaxCodebook)
+      df.withColumn("codes", pqEncode(col(vecCol), books))
+    else pqCodesJoin(df, idCol, vecCol, books)
+
   /** Asymmetric distance computation (ADC): the query stays exact, the
     * corpus is its codes — score = Σ_m LUT[m][code_m], where LUT holds
     * the query-subvector · codebook-centroid dot products (computed
@@ -446,10 +565,9 @@ object VectorSearch {
       .withColumn("_nrm", sqrt(aggregate(col("_v"), lit(0.0d), (a, x) => a + x * x)))
       .filter(col("_nrm") > 0)
       .withColumn("_nv", transform(col("_v"), x => x / col("_nrm")))
-    normed
-      .select(col(idCol), col("_nv"),
-        nearestCell(col(vecCol), cents).as("cell"))
-      .withColumn("codes", pqEncode(col("_nv"), books))
+    val assigned = withNearestCell(
+      normed.select(col(idCol), col(vecCol), col("_nv")), idCol, vecCol, cents)
+    withPqCodes(assigned, idCol, "_nv", books)
       .select(col(idCol), col("cell"), col("codes"))
       // co-locate each cell before the partitioned write: without this
       // every write task splits across every cell — C × tasks tiny

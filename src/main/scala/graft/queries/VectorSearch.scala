@@ -79,7 +79,7 @@ object VectorSearch {
       val base = e.filter(col("vec_id") =!= 0)
       val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 2)
       V.ivfCandidates(base, e.filter(col("vec_id") === 0), "embedding",
-          cents, nprobe = 4)
+          cents, nprobe = 4, idCol = Some("vec_id"))
         .select(col("vec_id"), col("label"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)

@@ -48,6 +48,64 @@ class IvfIndexSpec extends SparkSuite {
     assert(full == brute)
   }
 
+  // ---- production-C regime: past LiteralMaxCells the assignment must
+  // be the broadcast-join argmax (constant-size plan), and everything
+  // the toy-C specs prove must still hold ----
+
+  /** 3000 deterministic 16-dim vectors (no RNG — sin over the id). */
+  private lazy val big = spark.range(3000).select(col("id").as("vec_id"),
+    transform(sequence(lit(0), lit(15)), i =>
+      sin(col("id") * 0.7 + i * 1.3).cast("float")).as("embedding"))
+    .cache()
+  private lazy val bigCents =
+    V.trainCentroids(big, "vec_id", "embedding", c = 256, iters = 1)
+
+  test("C=256 assignment runs as a broadcast join and equals the literal argmax") {
+    assert(bigCents.length == 256)
+    assert(bigCents.length > V.LiteralMaxCells,
+      "test must exercise the join regime")
+    val joined = V.withNearestCell(big, "vec_id", "embedding", bigCents)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the C-row centroid broadcast join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val viaJoin = joined.select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    val viaLiteral = big
+      .withColumn("cell", V.nearestCell(col("embedding"), bigCents))
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(viaJoin == viaLiteral,
+      "join-path cells must match the literal argmax (incl. tie-breaks)")
+    // every vector got exactly one cell, all cells in range
+    assert(viaJoin.size == 3000 && viaJoin.values.forall(c => c >= 0 && c < 256))
+  }
+
+  test("C=256 persisted index: append == rebuild, full probe == brute force") {
+    val query = big.filter($"vec_id" === 0)
+    val base = big.filter($"vec_id" =!= 0)
+    val full = java.nio.file.Files.createTempDirectory("graft_ivf256")
+      .resolve("index").toString
+    V.buildIvfIndex(base, "vec_id", "embedding", bigCents, full)
+    val inc = java.nio.file.Files.createTempDirectory("graft_ivf256i")
+      .resolve("index").toString
+    V.buildIvfIndex(base.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      bigCents, inc)
+    V.appendToIvfIndex(base.filter($"vec_id" % 2 =!= 0), "vec_id", "embedding",
+      bigCents, inc)
+    val rebuilt = V.probeIvfIndex(spark, full, query, "embedding", bigCents, 5)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSet
+    val appended = V.probeIvfIndex(spark, inc, query, "embedding", bigCents, 5)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSet
+    assert(appended == rebuilt,
+      "append under the join-path assignment must land cells exactly as a rebuild")
+    // nprobe = C degeneracy survives the production-C path
+    val all = V.probeIvfIndex(spark, full, query, "embedding", bigCents, 256)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSet
+    val brute = V.bruteForceTopK(base, query, "embedding", 2999)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSet
+    assert(all == brute)
+  }
+
   test("incremental append under the same quantizer == full rebuild") {
     // day 0: index over the first half; day 1: append the rest
     val day0 = base.filter($"vec_id" % 2 === 0)
