@@ -4,11 +4,22 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Failures are reported per-query (`"failed"`) and
   * excluded from the total, so a crash can never masquerade as a timing.
+  *
+  * Queries with a one-time construction phase ([[BenchPhases.phased]])
+  * additionally report `<name>_build` (index/table construction, timed
+  * once) and `<name>_probe` (steady-state read, min of two runs) rows.
+  *
+  * Each query carries a time budget (default 2.5 s, override with
+  * SPARK_GRAFT_BUDGET_SEC): the `"flagged"` list names the queries over
+  * budget — for phased queries the budget applies to the PROBE (the
+  * steady-state contract), for everything else to the combined run — so
+  * a perf regression in one family is caught by the artifact itself.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "2.5").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,25 +35,43 @@ object Bench {
       try graft.queries.T.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    // two timed runs per query, min reported — damps one-off GC/IO noise
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
-      val (t1, ok1) = once()
-      if (!ok1) (name, t1, false)
-      else { val (t2, ok2) = once(); (name, math.min(t1, t2), ok2) }
+    def timed(fn: () => Unit): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] failed: ${e.getMessage}"); false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val good = results.filter(_._3)
-    val qs = good.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // name -> (seconds, ok, countsTowardTotal, budgetChecked)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean, Boolean, Boolean)]
+    // two timed runs per query, min reported — damps one-off GC/IO noise
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val (t1, ok1) = timed(() => fn(spark, sfDir).count())
+      val combined =
+        if (!ok1) (t1, false)
+        else { val (t2, ok2) = timed(() => fn(spark, sfDir).count()); (math.min(t1, t2), ok2) }
+      val phased = BenchPhases.phased.get(name)
+      rows += ((name, combined._1, combined._2, true, phased.isEmpty))
+      phased.foreach { mk =>
+        var probe: () => org.apache.spark.sql.DataFrame = null
+        val (bt, bok) = timed(() => probe = mk(spark, sfDir))
+        rows += ((s"${name}_build", bt, bok, false, false))
+        if (bok) {
+          val (p1, pok1) = timed(() => probe().count())
+          val pr = if (!pok1) (p1, false)
+            else { val (p2, pok2) = timed(() => probe().count()); (math.min(p1, p2), pok2) }
+          rows += ((s"${name}_probe", pr._1, pr._2, false, true))
+        }
+      }
+    }
+    val good = rows.filter(_._3)
+    val qs = good.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = good.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val failed = rows.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = good.filter(_._4).map(_._2).sum
+    val flagged = good.filter(r => r._5 && r._2 > budget)
+      .map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flagged":$flagged,"budget_sec":$budget,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -188,21 +188,27 @@ object StoreOps {
     * full-scan filter — skipping must be invisible in the result; the
     * actual file-prune rate is asserted in TxStoreSpec.
     */
+  private[graft] def s06Build(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_skip")
+      .resolve("t").toString
+    val base = load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .repartitionByRange(8, col("o_orderkey"))
+    graft.store.TxStore.init(base, root)
+    graft.store.TxStore.writeStats(s, root, Seq("o_orderkey"))
+    root
+  }
+
+  private[graft] def s06Probe(s: org.apache.spark.sql.SparkSession, dir: String,
+      root: String): org.apache.spark.sql.DataFrame =
+    graft.store.TxStore.readRange(s, root, "o_orderkey",
+        lit(100000L), lit(140000L))
+      .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+      .orderBy(col("o_orderkey"))
+
   val s06 = Q("s06_data_skipping",
-    (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_skip")
-        .resolve("t").toString
-      val base = load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
-        .repartitionByRange(8, col("o_orderkey"))
-      graft.store.TxStore.init(base, root)
-      graft.store.TxStore.writeStats(s, root, Seq("o_orderkey"))
-      graft.store.TxStore.readRange(s, root, "o_orderkey",
-          lit(100000L), lit(140000L))
-        .withColumn("o_orderdate", col("o_orderdate").cast("date"))
-        .orderBy(col("o_orderkey"))
-    },
+    (s, dir) => s06Probe(s, dir, s06Build(s, dir)),
     Some("""
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
@@ -246,19 +252,25 @@ object StoreOps {
     * Oracle is the plain full-scan filter; the both-dimension prune
     * rates are asserted in SkippingSpec.
     */
+  private[graft] def s08Build(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val path = java.nio.file.Files.createTempDirectory("graft_zorder")
+      .resolve("orders").toString
+    graft.store.Skipping.writeZOrdered(
+      load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      path, "o_custkey", "o_orderkey", numFiles = 16)
+    graft.store.Skipping.writeStats(s, path, Seq("o_custkey", "o_orderkey"))
+    path
+  }
+
+  private[graft] def s08Probe(s: org.apache.spark.sql.SparkSession, dir: String,
+      path: String): org.apache.spark.sql.DataFrame =
+    graft.store.Skipping.readRange(s, path, "o_custkey",
+        lit(100L), lit(400L))
+      .orderBy(col("o_orderkey"))
+
   val s08 = Q("s08_zorder_skipping",
-    (s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_zorder")
-        .resolve("orders").toString
-      graft.store.Skipping.writeZOrdered(
-        load(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
-        path, "o_custkey", "o_orderkey", numFiles = 16)
-      graft.store.Skipping.writeStats(s, path, Seq("o_custkey", "o_orderkey"))
-      graft.store.Skipping.readRange(s, path, "o_custkey",
-          lit(100L), lit(400L))
-        .orderBy(col("o_orderkey"))
-    },
+    (s, dir) => s08Probe(s, dir, s08Build(s, dir)),
     Some("""
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders
@@ -273,22 +285,28 @@ object StoreOps {
     * (action/parent/file-count per version) are asserted in
     * TxStoreSpec.
     */
+  private[graft] def s09Build(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_tt")
+      .resolve("t").toString
+    val base = load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    graft.store.TxStore.init(base, root)
+    val updates = load(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 100000.0).as("o_totalprice"))
+    graft.store.TxStore.commitUpsert(s, root, updates, Seq("o_orderkey"))
+    graft.store.TxStore.commitCompaction(s, root, numFiles = 4)
+    root
+  }
+
+  private[graft] def s09Probe(s: org.apache.spark.sql.SparkSession, dir: String,
+      root: String): org.apache.spark.sql.DataFrame =
+    graft.store.TxStore.readVersion(s, root, 1L)
+      .orderBy(col("o_orderkey"))
+
   val s09 = Q("s09_time_travel",
-    (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_tt")
-        .resolve("t").toString
-      val base = load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      graft.store.TxStore.init(base, root)
-      val updates = load(s, dir, "orders")
-        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
-        .select(col("o_orderkey"), col("o_custkey"),
-          (col("o_totalprice") + 100000.0).as("o_totalprice"))
-      graft.store.TxStore.commitUpsert(s, root, updates, Seq("o_orderkey"))
-      graft.store.TxStore.commitCompaction(s, root, numFiles = 4)
-      graft.store.TxStore.readVersion(s, root, 1L)
-        .orderBy(col("o_orderkey"))
-    },
+    (s, dir) => s09Probe(s, dir, s09Build(s, dir)),
     Some("""
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders ORDER BY o_orderkey"""))
