@@ -459,17 +459,23 @@ object Validation {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"))
         .select(col("event_type"), col("n"), col("max_ts"),
-          ((lit(refMs) - unix_millis(col("max_ts"))) / lit(3600000L))
+          // EXPLICIT floor on both sides: Spark's cast-to-long truncates
+          // toward zero and DuckDB's BIGINT // does too, but relying on
+          // matching truncation conventions is fragile — the events
+          // data has post-reference rows (negative spans), exactly
+          // where the conventions can drift. Floor is the semantics
+          // "hours behind" means, stated identically in both engines.
+          floor((lit(refMs) - unix_millis(col("max_ts"))) / lit(3600000.0))
             .cast("long").as("hours_behind"))
         .withColumn("is_stale", col("hours_behind") > 24 * 30)
         .orderBy(col("event_type"))
     },
     Some("""
       SELECT event_type, COUNT(*) AS n, MAX(ts) AS max_ts,
-        (epoch_ms(TIMESTAMP '1997-01-01 00:00:00') - epoch_ms(MAX(ts))) // 3600000
-          AS hours_behind,
-        ((epoch_ms(TIMESTAMP '1997-01-01 00:00:00') - epoch_ms(MAX(ts))) // 3600000)
-          > 720 AS is_stale
+        CAST(FLOOR((epoch_ms(TIMESTAMP '1997-01-01 00:00:00') - epoch_ms(MAX(ts)))
+          / 3600000.0) AS BIGINT) AS hours_behind,
+        CAST(FLOOR((epoch_ms(TIMESTAMP '1997-01-01 00:00:00') - epoch_ms(MAX(ts)))
+          / 3600000.0) AS BIGINT) > 720 AS is_stale
       FROM events GROUP BY 1 ORDER BY 1"""))
 
   def qs: Seq[Q] = Seq(v01, v02, v03, v04, v05, v07, v08, v09, v10, v11, v12, v13)

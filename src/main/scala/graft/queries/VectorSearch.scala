@@ -118,6 +118,32 @@ object VectorSearch {
       WHERE list_cosine_similarity(a.e, b.e) >= 0.99
       ORDER BY id1, id2"""))
 
+  /** a06's one-time phase: train the coarse quantizer and materialize
+    * the cell-partitioned index. Split out so the bench can time the
+    * build separately from the steady-state probe (at scale the index
+    * is built once and probed for months).
+    */
+  private[graft] def a06Build(s: SparkSession, dir: String): (String, Array[Seq[Float]]) = {
+    val e = load(s, dir, "embeddings")
+    val base = e.filter(col("vec_id") =!= 0)
+    val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 2)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf")
+      .resolve("index").toString
+    V.buildIvfIndex(base, "vec_id", "embedding", cents, idx)
+    (idx, cents)
+  }
+
+  /** a06's steady-state phase: the partition-pruned probe. */
+  private[graft] def a06Probe(s: SparkSession, dir: String, idx: String,
+      cents: Array[Seq[Float]]): DataFrame = {
+    val e = load(s, dir, "embeddings")
+    V.probeIvfIndex(s, idx, e.filter(col("vec_id") === 0), "embedding",
+        cents, nprobe = 4)
+      .select(col("vec_id"), col("label"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** a04's persisted form: the IVF index written PARTITIONED BY cell,
     * probes planned as partition filters — only nprobe of 16 cell
     * directories are read (plan asserted in IvfIndexSpec). Same
@@ -126,17 +152,8 @@ object VectorSearch {
     */
   val a06 = Q("a06_ann_ivf_persisted",
     (s, dir) => {
-      val e = load(s, dir, "embeddings")
-      val base = e.filter(col("vec_id") =!= 0)
-      val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 2)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivf")
-        .resolve("index").toString
-      V.buildIvfIndex(base, "vec_id", "embedding", cents, idx)
-      V.probeIvfIndex(s, idx, e.filter(col("vec_id") === 0), "embedding",
-          cents, nprobe = 4)
-        .select(col("vec_id"), col("label"), col("sim"))
-        .orderBy(col("sim").desc, col("vec_id"))
-        .limit(10)
+      val (idx, cents) = a06Build(s, dir)
+      a06Probe(s, dir, idx, cents)
     },
     None)
 
@@ -182,21 +199,32 @@ object VectorSearch {
     * Rows-only (sketch path); per-query equality with the one-at-a-time
     * persisted probe is asserted in BatchAnnSpec.
     */
+  private[graft] def a08Build(s: SparkSession, dir: String): (String, Array[Seq[Float]]) = {
+    val e = load(s, dir, "embeddings")
+    val base = e.filter(pmod(col("vec_id"), lit(100)) =!= 0)
+    val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 2)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfb")
+      .resolve("index").toString
+    V.buildIvfIndex(base, "vec_id", "embedding", cents, idx)
+    (idx, cents)
+  }
+
+  private[graft] def a08Probe(s: SparkSession, dir: String, idx: String,
+      cents: Array[Seq[Float]]): DataFrame = {
+    val e = load(s, dir, "embeddings")
+    val queries = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val cand = V.probeIvfIndexBatch(s, idx, queries, "embedding", "query_id",
+        cents, nprobe = 4)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+    V.batchTopK(cand, "query_id", "vec_id", "sim", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val a08 = Q("a08_ann_ivf_batch",
     (s, dir) => {
-      val e = load(s, dir, "embeddings")
-      val base = e.filter(pmod(col("vec_id"), lit(100)) =!= 0)
-      val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 2)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfb")
-        .resolve("index").toString
-      V.buildIvfIndex(base, "vec_id", "embedding", cents, idx)
-      val queries = e.filter(pmod(col("vec_id"), lit(100)) === 0)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val cand = V.probeIvfIndexBatch(s, idx, queries, "embedding", "query_id",
-          cents, nprobe = 4)
-        .select(col("query_id"), col("vec_id"), col("sim"))
-      V.batchTopK(cand, "query_id", "vec_id", "sim", k = 5)
-        .orderBy(col("query_id"), col("rank"))
+      val (idx, cents) = a08Build(s, dir)
+      a08Probe(s, dir, idx, cents)
     },
     None)
 
@@ -245,42 +273,62 @@ object VectorSearch {
     * (sketch path); plumbing correctness, planted-duplicate recovery
     * and the candidates==all degeneracy are asserted in BatchAnnSpec.
     */
+  private[graft] def a10Normalized(df: org.apache.spark.sql.DataFrame) = df
+    .withColumn("v", col("embedding").cast("array<double>"))
+    .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
+    .filter(col("nrm") > 0)
+    .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+
+  /** a10's one-time phase: train the codebooks and persist the encoded
+    * corpus (codes + normalized vectors) — the PQ "index". Persisting
+    * instead of caching means the two downstream reads (shortlist,
+    * re-rank) share the parquet scan without leaking a storage-memory
+    * entry into the shared session.
+    */
+  private[graft] def a10Build(s: SparkSession, dir: String): (String, Array[Array[Seq[Float]]]) = {
+    val e = load(s, dir, "embeddings")
+    val base = a10Normalized(e.filter(col("vec_id") =!= 0))
+    val books = V.trainPqCodebooks(base, "vec_id", "nv", m = 8, c = 16)
+    val out = java.nio.file.Files.createTempDirectory("graft_pq")
+      .resolve("codes").toString
+    V.withPqCodes(base.select(col("vec_id"), col("label"), col("nv")),
+        "vec_id", "nv", books)
+      .write.mode("overwrite").parquet(out)
+    (out, books)
+  }
+
+  /** a10's steady-state phase: ADC shortlist over the persisted codes,
+    * exact cosine re-rank of the shortlist only.
+    */
+  private[graft] def a10Probe(s: SparkSession, dir: String, path: String,
+      books: Array[Array[Seq[Float]]]): DataFrame = {
+    val e = load(s, dir, "embeddings")
+    val qv = a10Normalized(e.filter(col("vec_id") === 0))
+      .select(col("nv")).head().getSeq[Double](0)
+    val subLen = qv.size / books.length
+    val lut: Array[Array[Double]] = books.zipWithIndex.map { case (cb, i) =>
+      cb.map(cent => cent.zipWithIndex.map { case (x, j) =>
+        x * qv(i * subLen + j)
+      }.sum.toDouble)
+    }
+    val scored = s.read.parquet(path)
+      .withColumn("adc", round(V.pqScore(col("codes"), lut), 6))
+    val cand = V.batchTopK(scored.select(lit(0L).as("qid"),
+        col("vec_id"), col("adc")), "qid", "vec_id", "adc", k = 50)
+      .select(col("vec_id"))
+    scored.join(cand, Seq("vec_id"))
+      .withColumn("sim", round(aggregate(
+        zip_with(col("nv"), typedlit(qv), (a, b) => a * b),
+        lit(0.0d), (acc, x) => acc + x), 6))
+      .select(col("vec_id"), col("label"), col("adc"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val a10 = Q("a10_ann_pq",
     (s, dir) => {
-      val e = load(s, dir, "embeddings")
-      def normalized(df: org.apache.spark.sql.DataFrame) = df
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
-        .filter(col("nrm") > 0)
-        .withColumn("nv", transform(col("v"), x => x / col("nrm")))
-      val base = normalized(e.filter(col("vec_id") =!= 0))
-      val books = V.trainPqCodebooks(base, "vec_id", "nv", m = 8, c = 16)
-      val qv = normalized(e.filter(col("vec_id") === 0))
-        .select(col("nv")).head().getSeq[Double](0)
-      val subLen = qv.size / books.length
-      val lut: Array[Array[Double]] = books.zipWithIndex.map { case (cb, i) =>
-        cb.map(cent => cent.zipWithIndex.map { case (x, j) =>
-          x * qv(i * subLen + j)
-        }.sum.toDouble)
-      }
-      val scored = base
-        .withColumn("codes", V.pqEncode(col("nv"), books))
-        .withColumn("adc", round(V.pqScore(col("codes"), lut), 6))
-        // read twice (shortlist + re-rank join): computing the encode
-        // once matters less for the rows than for the CODEGEN — the
-        // inlined-codebook kernel is expensive to compile, and an
-        // uncached reuse compiles it twice (measured ~1.5 s at sf0.1)
-        .cache()
-      val cand = V.batchTopK(scored.select(lit(0L).as("qid"),
-          col("vec_id"), col("adc")), "qid", "vec_id", "adc", k = 50)
-        .select(col("vec_id"))
-      scored.join(cand, Seq("vec_id"))
-        .withColumn("sim", round(aggregate(
-          zip_with(col("nv"), typedlit(qv), (a, b) => a * b),
-          lit(0.0d), (acc, x) => acc + x), 6))
-        .select(col("vec_id"), col("label"), col("adc"), col("sim"))
-        .orderBy(col("sim").desc, col("vec_id"))
-        .limit(10)
+      val (path, books) = a10Build(s, dir)
+      a10Probe(s, dir, path, books)
     },
     None)
 
@@ -291,28 +339,33 @@ object VectorSearch {
     * path); partition pruning and shortlist equality asserted in
     * BatchAnnSpec.
     */
+  private[graft] def a11Build(s: SparkSession, dir: String): (String, Array[Seq[Float]], Array[Array[Seq[Float]]]) = {
+    val e = load(s, dir, "embeddings")
+    val base = e.filter(col("vec_id") =!= 0)
+    val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 2)
+    val normBase = a10Normalized(base)
+    val books = V.trainPqCodebooks(normBase, "vec_id", "nv", m = 8, c = 16)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq")
+      .resolve("index").toString
+    V.buildIvfPqIndex(base, "vec_id", "embedding", cents, books, idx)
+    (idx, cents, books)
+  }
+
+  private[graft] def a11Probe(s: SparkSession, dir: String, idx: String,
+      cents: Array[Seq[Float]], books: Array[Array[Seq[Float]]]): DataFrame = {
+    val e = load(s, dir, "embeddings")
+    val qv = a10Normalized(e.filter(col("vec_id") === 0))
+      .select(col("nv")).head().getSeq[Double](0)
+    V.probeIvfPqIndex(s, idx, qv, cents, books,
+        nprobe = 6, shortlist = 50, idCol = "vec_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val a11 = Q("a11_ann_ivfpq_persisted",
     (s, dir) => {
-      val e = load(s, dir, "embeddings")
-      val base = e.filter(col("vec_id") =!= 0)
-      val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 2)
-      val normBase = base
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
-        .withColumn("nv", transform(col("v"), x => x / col("nrm")))
-      val books = V.trainPqCodebooks(normBase, "vec_id", "nv", m = 8, c = 16)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq")
-        .resolve("index").toString
-      V.buildIvfPqIndex(base, "vec_id", "embedding", cents, books, idx)
-      val qv = e.filter(col("vec_id") === 0)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
-        .withColumn("nv", transform(col("v"), x => x / col("nrm")))
-        .select(col("nv")).head().getSeq[Double](0)
-      V.probeIvfPqIndex(s, idx, qv, cents, books,
-          nprobe = 6, shortlist = 50, idCol = "vec_id")
-        .orderBy(col("sim").desc, col("vec_id"))
-        .limit(10)
+      val (idx, cents, books) = a11Build(s, dir)
+      a11Probe(s, dir, idx, cents, books)
     },
     None)
 
@@ -417,5 +470,213 @@ object VectorSearch {
         ROUND(MIN(z), 6) AS z_min, ROUND(MAX(z), 6) AS z_max
       FROM z GROUP BY 1 ORDER BY vec_id"""))
 
-  def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, a13)
+  // ---- degenerate-config oracle twins --------------------------------
+  // Each sketch/index family has a configuration that PROVABLY
+  // degenerates to the exact answer (single LSH bucket, probe-all IVF,
+  // shortlist-all PQ, exact candidate source). Running those configs
+  // through the SAME code paths gives the no-oracle siblings
+  // (a02/a04/a06/a08/a10/a11/a12) a DuckDB-checkable twin: the
+  // approximate machinery — bucketing, partition-pruned probes, ADC
+  // shortlists, the recall harness — must reproduce brute force
+  // bit-for-bit when its pruning is turned off. Final similarities are
+  // recomputed with the a01 expression at the edge so both engines
+  // share one arithmetic path.
+
+  private val a01Top10Oracle = Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, label,
+        ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[])), 6) AS sim
+      FROM embeddings, q WHERE vec_id <> 0
+      ORDER BY sim DESC, vec_id LIMIT 10""")
+
+  private def exactTop10From(e: DataFrame, candidateIds: DataFrame): DataFrame =
+    V.bruteForceTopK(e.filter(col("vec_id") =!= 0).join(candidateIds, Seq("vec_id")),
+        e.filter(col("vec_id") === 0), "embedding", 10)
+      .select(col("vec_id"), col("label"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+
+  /** a02's degenerate twin: 0 sign bits → one bucket → the LSH join
+    * covers the whole corpus, so the re-rank must equal brute force.
+    */
+  val a14 = Q("a14_lsh_full_coverage",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+      V.lshCandidates(e.filter(col("vec_id") =!= 0),
+          e.filter(col("vec_id") === 0), "embedding", nbits = 0, tables = 1)
+        .select(col("vec_id"), col("label"), col("sim"))
+        .distinct()
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    a01Top10Oracle)
+
+  /** a04's degenerate twin: nprobe == C probes every Voronoi cell —
+    * the candidate join covers the corpus for ANY trained quantizer.
+    */
+  val a15 = Q("a15_ivf_probe_all",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") =!= 0)
+      val cents = V.trainCentroids(base, "vec_id", "embedding", c = 8, iters = 1)
+      V.ivfCandidates(base, e.filter(col("vec_id") === 0), "embedding",
+          cents, nprobe = 8, idCol = Some("vec_id"))
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    a01Top10Oracle)
+
+  /** a06's degenerate twin: the PERSISTED index (a06's exact build)
+    * probed at nprobe == C — every cell directory read, exact answer.
+    */
+  val a16 = Q("a16_ivf_persisted_probe_all",
+    (s, dir) => {
+      val (idx, cents) = a06Build(s, dir)
+      V.probeIvfIndex(s, idx, load(s, dir, "embeddings")
+          .filter(col("vec_id") === 0), "embedding", cents, nprobe = cents.length)
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    a01Top10Oracle)
+
+  /** a08's degenerate twin: the batched persisted probe at nprobe == C
+    * must equal the exact batch top-k (a07's oracle verbatim).
+    */
+  val a17 = Q("a17_ivf_batch_probe_all",
+    (s, dir) => {
+      val (idx, cents) = a08Build(s, dir)
+      val e = load(s, dir, "embeddings")
+      val queries = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cand = V.probeIvfIndexBatch(s, idx, queries, "embedding", "query_id",
+          cents, nprobe = cents.length)
+        .select(col("query_id"), col("vec_id"), col("sim"))
+      V.batchTopK(cand, "query_id", "vec_id", "sim", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id % 100 = 0),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+          ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim
+        FROM embeddings e, q WHERE e.vec_id % 100 <> 0)
+      SELECT query_id, vec_id, sim, rank FROM (
+        SELECT query_id, vec_id, sim,
+          CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM scored) t
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** a10's degenerate twin: an ADC shortlist covering the whole corpus
+    * feeds the exact re-rank — the PQ plumbing must surface every id
+    * exactly once, and the re-rank must equal brute force.
+    */
+  val a18 = Q("a18_pq_shortlist_all",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+      val base = a10Normalized(e.filter(col("vec_id") =!= 0))
+      val books = V.trainPqCodebooks(base, "vec_id", "nv", m = 4, c = 8, iters = 1)
+      val qv = a10Normalized(e.filter(col("vec_id") === 0))
+        .select(col("nv")).head().getSeq[Double](0)
+      val subLen = qv.size / books.length
+      val lut: Array[Array[Double]] = books.zipWithIndex.map { case (cb, i) =>
+        cb.map(cent => cent.zipWithIndex.map { case (x, j) =>
+          x * qv(i * subLen + j)
+        }.sum.toDouble)
+      }
+      val coded = V.withPqCodes(base.select(col("vec_id"), col("nv")),
+          "vec_id", "nv", books)
+        .withColumn("adc", V.pqScore(col("codes"), lut))
+      val cand = V.batchTopK(coded.select(lit(0L).as("qid"),
+          col("vec_id"), col("adc")), "qid", "vec_id", "adc", k = 1000000)
+        .select(col("vec_id"))
+      exactTop10From(e, cand)
+    },
+    a01Top10Oracle)
+
+  /** a11's degenerate twin: the persisted IVF-PQ probed with every
+    * cell and an unbounded shortlist — partition pruning and ADC both
+    * disabled by configuration, exact answer out.
+    */
+  val a19 = Q("a19_ivfpq_probe_all",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") =!= 0)
+      val cents = V.trainCentroids(base, "vec_id", "embedding", c = 8, iters = 1)
+      val books = V.trainPqCodebooks(a10Normalized(base), "vec_id", "nv",
+        m = 4, c = 8, iters = 1)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_d")
+        .resolve("index").toString
+      V.buildIvfPqIndex(base, "vec_id", "embedding", cents, books, idx)
+      val qv = a10Normalized(e.filter(col("vec_id") === 0))
+        .select(col("nv")).head().getSeq[Double](0)
+      val cand = V.probeIvfPqIndex(s, idx, qv, cents, books,
+          nprobe = 8, shortlist = 1000000, idCol = "vec_id")
+        .select(col("vec_id"))
+      exactTop10From(e, cand)
+    },
+    a01Top10Oracle)
+
+  /** a12's degenerate twin: the recall harness fed EXACT candidates
+    * (the full scored set instead of LSH buckets) must measure
+    * recall@10 = 1.0 for every query — and the whole measurement is
+    * SQL-expressible, so the harness arithmetic itself is
+    * oracle-checked.
+    */
+  val a20 = Q("a20_recall_exact",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+      val queries = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val base = e.filter(pmod(col("vec_id"), lit(100)) =!= 0)
+      val scored = base.crossJoin(broadcast(queries.select(col("query_id"),
+          col("embedding").as("q_vec"))))
+        .withColumn("sim", round(G.cosineSim(col("embedding"), col("q_vec")), 6))
+        .select(col("query_id"), col("vec_id"), col("sim"))
+      val truth = V.batchTopK(scored, "query_id", "vec_id", "sim", k = 10)
+      val approx = V.batchTopK(scored, "query_id", "vec_id", "sim", k = 10)
+      val nCand = scored.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_candidates"))
+      val hits = truth.select(col("query_id"), col("vec_id"))
+        .join(approx.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      queries.select(col("query_id"))
+        .join(nCand, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / lit(10.0), 4).as("recall_at_10"))
+        .orderBy(col("query_id"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id % 100 = 0),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+          ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim
+        FROM embeddings e, q WHERE e.vec_id % 100 <> 0),
+      truth AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+          FROM scored) t
+        WHERE rnk <= 10),
+      cand AS (SELECT query_id, COUNT(*) AS n_candidates FROM scored GROUP BY 1),
+      hits AS (
+        SELECT a.query_id, COUNT(*) AS n_hits
+        FROM truth a JOIN truth b USING (query_id, vec_id) GROUP BY 1)
+      SELECT c.query_id, c.n_candidates, h.n_hits,
+        ROUND(h.n_hits / 10.0, 4) AS recall_at_10
+      FROM cand c JOIN hits h USING (query_id)
+      ORDER BY query_id"""))
+
+  def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
+    a11, a12, a13, a14, a15, a16, a17, a18, a19, a20)
 }

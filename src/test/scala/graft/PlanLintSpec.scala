@@ -28,7 +28,11 @@ class PlanLintSpec extends SparkSuite {
     "q39_salted_skew_join",  // explicit salt replication: dim × saltBuckets literals
     "t10_vocab_coverage",    // 1-row corpus total against the top-100 survivors
     "t11_rarity_score",      // 1-row doc-count total against the df table
-    "a12_ann_recall"         // broadcast bounded query set (ground-truth side)
+    "a12_ann_recall",        // broadcast bounded query set (ground-truth side)
+    "a16_ivf_persisted_probe_all", // a06's shape at nprobe=C (broadcast 1-row query)
+    "a18_pq_shortlist_all",  // exact re-rank = a01's broadcast 1-row query
+    "a19_ivfpq_probe_all",   // exact re-rank = a01's broadcast 1-row query
+    "a20_recall_exact"       // a12's shape with exact candidates
   )
 
   test("no query plans a CartesianProduct; BNLJ only where designed") {
