@@ -41,6 +41,27 @@ object TxStore {
 
   private def currentFile(root: String): Path = Paths.get(root, "_current")
 
+  /** Per-root commit monitor — the IN-PROCESS form of the CAS boundary
+    * every commit needs: the read-base → write-snapshot → verify →
+    * pointer-flip critical section runs under the table's monitor, so
+    * two threads racing commits on the same base version get exactly
+    * one winner (the loser sees the moved pointer and conflicts
+    * cleanly, touching nothing). Commits to a table are serialized;
+    * the snapshot WRITE inside is still fully parallel across
+    * executors, so this costs nothing at scale — one driver owns a
+    * table's commit protocol, which is also Delta's stance. ACROSS
+    * processes the same section must be guarded by the store's own
+    * conditional-put (HDFS atomic rename, DynamoDB-style lock for S3)
+    * in place of [[flipPointer]]'s local ATOMIC_MOVE — the monitor
+    * documents exactly the boundary that swap replaces
+    * (TxStoreSpec "two racing writers" proves the contract).
+    */
+  private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withCommitLock[T](root: String)(body: => T): T =
+    commitLocks.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString,
+      _ => new Object).synchronized(body)
+
   def versionDir(root: String, v: Long): String =
     Paths.get(root, "_versions", s"v$v").toString
 
@@ -93,7 +114,7 @@ object TxStore {
   }
 
   /** Initialize the table at version 1. */
-  def init(df: DataFrame, root: String): Long = {
+  def init(df: DataFrame, root: String): Long = withCommitLock(root) {
     require(currentVersion(root).isEmpty, s"table already initialized at $root")
     Files.createDirectories(Paths.get(root, "_versions"))
     writeVersion(df, root, 1L)
@@ -131,7 +152,7 @@ object TxStore {
     *   the version read at call time.
     */
   def commitUpsert(spark: SparkSession, root: String, updates: DataFrame,
-      pk: Seq[String], expectedVersion: Option[Long] = None): Long = {
+      pk: Seq[String], expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val base = spark.read.parquet(versionDir(root, expected))
@@ -151,7 +172,7 @@ object TxStore {
   /** Initialize a PARTITIONED table at version 1 (directory layout
     * `v1/<partCol>=<value>/part-*.parquet`).
     */
-  def initPartitioned(df: DataFrame, root: String, partCol: String): Long = {
+  def initPartitioned(df: DataFrame, root: String, partCol: String): Long = withCommitLock(root) {
     require(currentVersion(root).isEmpty, s"table already initialized at $root")
     Files.createDirectories(Paths.get(root, "_versions"))
     val dir = versionDir(root, 1L)
@@ -175,7 +196,7 @@ object TxStore {
     */
   def commitUpsertPartitioned(spark: SparkSession, root: String,
       updates: DataFrame, pk: Seq[String], partCol: String,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
     import org.apache.spark.sql.functions.col
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
@@ -246,7 +267,7 @@ object TxStore {
     * the target version has been expired.
     */
   def commitRestore(spark: SparkSession, root: String, toVersion: Long,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     require(toVersion >= 1 && toVersion <= expected,
@@ -280,7 +301,7 @@ object TxStore {
     * concurrently with readers.
     */
   def commitCompaction(spark: SparkSession, root: String, numFiles: Int,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val base = spark.read.parquet(versionDir(root, expected)).coalesce(numFiles)
@@ -305,7 +326,7 @@ object TxStore {
     */
   def commitDelete(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     // SQL DELETE semantics: only rows where the predicate is TRUE go;
@@ -342,7 +363,7 @@ object TxStore {
 
   def commitUpsertChecked(spark: SparkSession, root: String, updates: DataFrame,
       pk: Seq[String], checks: Map[String, org.apache.spark.sql.Column],
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
     require(checks.nonEmpty, "commitUpsertChecked needs at least one check")
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
@@ -406,7 +427,7 @@ object TxStore {
     * most files.
     */
   def commitZorder(spark: SparkSession, root: String, colA: String,
-      colB: String, numFiles: Int, expectedVersion: Option[Long] = None): Long = {
+      colB: String, numFiles: Int, expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val base = spark.read.parquet(versionDir(root, expected))
@@ -440,7 +461,7 @@ object TxStore {
     * case.
     */
   def commitRepartition(spark: SparkSession, root: String, partCol: String,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val base = spark.read.parquet(versionDir(root, expected))
@@ -502,12 +523,14 @@ object TxStore {
     * @return true if the batch was applied, false for a replay skip.
     */
   def commitBatch(spark: SparkSession, root: String, batch: DataFrame,
-      pk: Seq[String], batchId: Long): Boolean = {
-    if (lastBatchId(root).exists(batchId <= _)) return false
-    if (currentVersion(root).isEmpty) init(batch, root)
-    else commitUpsert(spark, root, batch, pk)
-    Files.writeString(Paths.get(root, "_last_batch"), batchId.toString)
-    true
+      pk: Seq[String], batchId: Long): Boolean = withCommitLock(root) {
+    if (lastBatchId(root).exists(batchId <= _)) false
+    else {
+      if (currentVersion(root).isEmpty) init(batch, root)
+      else commitUpsert(spark, root, batch, pk)
+      Files.writeString(Paths.get(root, "_last_batch"), batchId.toString)
+      true
+    }
   }
 
   /** Retention: expire committed versions older than the newest

@@ -236,6 +236,65 @@ class TxStoreSpec extends SparkSuite {
     assert(TxStore.read(spark, root).count() == 4)
   }
 
+  test("two racing writers on the same base: exactly one wins each round, readers never torn") {
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot()
+    TxStore.init(Seq((0L, "init", 0.0)).toDF("k", "produto", "v"), root)
+    val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readerErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // a reader hammering the table THROUGH the races: every read must
+    // be a complete committed snapshot — version v holds exactly v rows
+    // with distinct PKs, so any torn/partial/dup state is detectable
+    val reader = new Thread(() => {
+      while (!stopReader.get()) {
+        try {
+          val df = TxStore.read(spark, root)
+          val n = df.count()
+          val d = df.select("k").distinct().count()
+          if (n != d) readerErrors.add(s"dup PKs: $n rows, $d keys")
+        } catch { case e: Throwable => readerErrors.add(s"read failed: ${e.getMessage}") }
+      }
+    })
+    reader.start()
+    val rounds = 5
+    for (r <- 1 to rounds) {
+      val base = TxStore.currentVersion(root).get
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+      val writers = Seq(1L, 2L).map { tag =>
+        new Thread(() => {
+          val upd = Seq((r * 10L + tag, s"w$tag-r$r", r.toDouble)).toDF("k", "produto", "v")
+          barrier.await()
+          try outcomes.add(Right(TxStore.commitUpsert(spark, root, upd, Seq("k"),
+            expectedVersion = Some(base))))
+          catch { case e: Throwable => outcomes.add(Left(e)) }
+        })
+      }
+      writers.foreach(_.start()); writers.foreach(_.join())
+      val rs = outcomes.asScala.toSeq
+      assert(rs.count(_.isRight) == 1,
+        s"round $r: expected exactly one winner, got $rs")
+      assert(rs.collect { case Left(e) => e }
+        .forall(_.isInstanceOf[TxStore.ConcurrentCommitException]),
+        s"round $r: loser must conflict cleanly, got $rs")
+      assert(TxStore.currentVersion(root).contains(base + 1))
+      // exactly ONE of the two writes landed, on top of all prior rounds
+      val ks = rows(root).map(_._1)
+      assert(ks.size == r + 1)
+      assert(ks.contains(r * 10L + 1) ^ ks.contains(r * 10L + 2),
+        s"round $r: exactly one writer's row must be present")
+      // the losing writer's orphan snapshot dir was cleaned up
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(TxStore.versionDir(root, base + 2))))
+    }
+    stopReader.set(true); reader.join()
+    assert(readerErrors.isEmpty, s"reader saw torn state: ${readerErrors.asScala.toSeq}")
+    // history is a clean linear chain of the winners
+    val h = TxStore.history(spark, root).select("version", "parent")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(h == (1L to (rounds + 1L)).map(v => (v, if (v == 1) None else Some(v - 1))))
+  }
+
   test("optimistic concurrency: a stale writer conflicts and changes nothing") {
     val root = freshRoot()
     TxStore.init(Seq((1L, "soja", 100.0)).toDF("k", "produto", "v"), root)
