@@ -44,6 +44,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (e: Seq[Expression]) => HyperplaneLsh(e.head, 16, 42L)))
     ext.injectFunction((FunctionIdentifier("mg_topk"), info("mg_topk"),
       (e: Seq[Expression]) => MisraGriesTopK(e(0),
-        e(1).eval().asInstanceOf[Number].intValue())))
+        GraftFunctions.literalK(e(1), "mg_topk"))))
   }
 }

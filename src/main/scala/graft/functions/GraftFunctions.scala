@@ -166,7 +166,21 @@ object GraftFunctions {
       exprs => HyperplaneLsh(exprs.head, 16, 42L), "built-in")
     // aggregate: the analyzer wraps a bare AggregateFunction builder
     reg.createOrReplaceTempFunction("mg_topk",
-      exprs => MisraGriesTopK(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+      exprs => MisraGriesTopK(exprs(0), literalK(exprs(1), "mg_topk")), "built-in")
+  }
+
+  /** k arguments of SQL-registered sketch functions must be literal
+    * ints: a non-foldable or NULL k fails here with a plan-time message
+    * instead of an opaque NPE/CCE from an eager `eval()`.
+    */
+  private[functions] def literalK(expr: Expression, fname: String): Int = {
+    if (!expr.foldable)
+      throw new IllegalArgumentException(
+        s"$fname requires a literal integer k, got non-literal: ${expr.sql}")
+    expr.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fname requires a literal integer k, got: ${if (other == null) "NULL" else other}")
+    }
   }
 }

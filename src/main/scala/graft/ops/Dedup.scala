@@ -195,7 +195,17 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: Column, textCol: Column,
       k: Int = 3, tau: Double = 0.6): DataFrame =
-    ppJoin(df.select(idCol.as("doc_id"), textCol.as("text"))
+    ngramJaccardPairsTracked(df, idCol, textCol, k, tau)._1
+
+  /** [[ngramJaccardPairs]] plus the frames it cached, so an always-on
+    * caller (the streaming curation sink) can release exactly those
+    * after the batch materializes instead of clearing the shared
+    * session cache out from under co-resident workloads.
+    */
+  private[graft] def ngramJaccardPairsTracked(
+      df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 3, tau: Double = 0.6): (DataFrame, Seq[DataFrame]) =
+    ppJoinTracked(df.select(idCol.as("doc_id"), textCol.as("text"))
       .withColumn("side", lit(0)), k, tau, cross = false)
 
   /** The INCREMENTAL shape of [[ngramJaccardPairs]]: a new `batch`
@@ -213,7 +223,15 @@ object Dedup {
   def ngramJaccardJoin(
       corpus: DataFrame, batch: DataFrame, idCol: Column, textCol: Column,
       k: Int = 3, tau: Double = 0.6): DataFrame =
-    ppJoin(
+    ngramJaccardJoinTracked(corpus, batch, idCol, textCol, k, tau)._1
+
+  /** [[ngramJaccardJoin]] with its cached frames — see
+    * [[ngramJaccardPairsTracked]].
+    */
+  private[graft] def ngramJaccardJoinTracked(
+      corpus: DataFrame, batch: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 3, tau: Double = 0.6): (DataFrame, Seq[DataFrame]) =
+    ppJoinTracked(
       corpus.select(idCol.as("doc_id"), textCol.as("text")).withColumn("side", lit(0))
         .unionByName(
           batch.select(idCol.as("doc_id"), textCol.as("text")).withColumn("side", lit(1))),
@@ -249,7 +267,12 @@ object Dedup {
   }
 
   private def ppJoin(tagged: DataFrame, k: Int, tau: Double,
-      cross: Boolean, shingler: Column => Column = null): DataFrame = {
+      cross: Boolean, shingler: Column => Column = null): DataFrame =
+    ppJoinTracked(tagged, k, tau, cross, shingler)._1
+
+  /** [[ppJoin]] returning (result, frames it cached). */
+  private def ppJoinTracked(tagged: DataFrame, k: Int, tau: Double,
+      cross: Boolean, shingler: Column => Column = null): (DataFrame, Seq[DataFrame]) = {
     val makeShingles: Column => Column =
       if (shingler != null) shingler else shingles(_, k)
     // ceil(tau*n) with FP slack: an over-ceil would shrink the prefix /
@@ -307,12 +330,13 @@ object Dedup {
     // verify with one set op: J = c / (n1 + n2 - c) — array_union's
     // second hash-set build per row is pure overhead when the sizes
     // are already known (shingle sets are distinct by construction)
-    cand
+    val out = cand
       .join(docs.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(docs.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
       .withColumn("c", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .select(col("id1"), col("id2"),
         (col("c") / (size(col("sh1")) + size(col("sh2")) - col("c"))).as("jacc"))
       .filter(col("jacc") >= tau)
+    (out, Seq(docs))
   }
 }

@@ -19,7 +19,8 @@ final case class CacheEntry(key: String, value: String,
 
 final case class CacheHit(value: String, expired: Boolean, staleAcceptable: Boolean)
 
-final class KvCache(spark: SparkSession, path: String) {
+final class KvCache(spark: SparkSession, path: String,
+    maxEntries: Long = KvCache.DefaultMaxEntries) {
 
   private val entries = scala.collection.concurrent.TrieMap.empty[String, CacheEntry]
 
@@ -60,10 +61,30 @@ final class KvCache(spark: SparkSession, path: String) {
     entries.values.toSeq.toDS().write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Loads the whole table into driver memory — in-scope for S11: the
+    * reference KV cache is MB-scale METADATA (one entry per
+    * dataset×params, reference `cache/duckdb_store.py:19-46`), never
+    * per-row data. The guard makes that boundary a contract: a table
+    * someone grew past [[KvCache.DefaultMaxEntries]] fails loudly here
+    * instead of silently OOM-ing the driver — at that size the right
+    * home is a predicate-pushed fact table (S7), not a KV map.
+    */
   def load(): Unit = {
     import spark.implicits._
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    require(n <= maxEntries,
+      s"KvCache at $path has $n entries (> $maxEntries): this is no longer " +
+        "driver-scale metadata — store it as a fact table, not a KV cache")
     entries.clear()
-    spark.read.parquet(path).as[CacheEntry].collect()
-      .foreach(e => entries.put(e.key, e))
+    df.as[CacheEntry].collect().foreach(e => entries.put(e.key, e))
   }
+}
+
+object KvCache {
+  /** One entry per dataset×params keeps real caches in the hundreds;
+    * 100k entries (~tens of MB) is already two orders past any
+    * legitimate use and still loads safely.
+    */
+  val DefaultMaxEntries: Long = 100000L
 }

@@ -95,26 +95,28 @@ object Streaming {
         val b = batch.toDF()
         if (!b.isEmpty) {
           // within-batch dedup: drop the higher id of every dup pair
-          val selfDups = graft.ops.Dedup
-            .ngramJaccardPairs(b, col("doc_id"), col("text"), k = 3, tau = tau)
-            .select(col("id2").as("doc_id")).distinct()
+          val (selfPairs, selfCached) = graft.ops.Dedup
+            .ngramJaccardPairsTracked(b, col("doc_id"), col("text"), k = 3, tau = tau)
+          val selfDups = selfPairs.select(col("id2").as("doc_id")).distinct()
           val selfClean = b.join(selfDups, Seq("doc_id"), "left_anti")
-          val novel =
-            if (graft.store.TxStore.currentVersion(root).isEmpty) selfClean
+          val (novel, crossCached) =
+            if (graft.store.TxStore.currentVersion(root).isEmpty)
+              (selfClean, Seq.empty[DataFrame])
             else {
               val corpus = graft.store.TxStore.read(spark, root)
-              val dupIds = graft.ops.Dedup.ngramJaccardJoin(
+              val (crossPairs, cached) = graft.ops.Dedup.ngramJaccardJoinTracked(
                   corpus, selfClean, col("doc_id"), col("text"),
                   k = 3, tau = tau)
-                .select(col("id2").as("doc_id")).distinct()
-              selfClean.join(dupIds, Seq("doc_id"), "left_anti")
+              val dupIds = crossPairs.select(col("id2").as("doc_id")).distinct()
+              (selfClean.join(dupIds, Seq("doc_id"), "left_anti"), cached)
             }
           graft.store.TxStore.commitBatch(spark, root, novel,
             Seq("doc_id"), id)
           // the similarity joins cache their shingle frames for the
-          // duration of the batch; an always-on sink must release them
-          // or storage-memory entries accumulate one per batch forever
-          spark.catalog.clearCache()
+          // duration of the batch; an always-on sink must release
+          // EXACTLY those — a session-wide clearCache would evict
+          // co-resident workloads' cached state too
+          (selfCached ++ crossCached).foreach(_.unpersist())
         }
         ()
       }

@@ -249,6 +249,12 @@ class IngestDatasetsSpec extends SparkSuite {
     reloaded.load()
     assert(reloaded.hitCount("k|h|v1|sv1") == 2)
     assert(reloaded.get("k|h|v1|sv1", t0.plusMinutes(5)).exists(_.value == "payload"))
+    // driver-scale contract: a table past the entry bound refuses to
+    // load (metadata-sized by construction — past that it's a fact
+    // table's job, not a driver KV map)
+    val guarded = new KvCache(spark, kvPath, maxEntries = 0L)
+    val err = intercept[IllegalArgumentException](guarded.load())
+    assert(err.getMessage.contains("no longer driver-scale"))
   }
 
   test("V6: structural drift levels") {
