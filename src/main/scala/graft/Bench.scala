@@ -10,10 +10,12 @@ import org.apache.spark.sql.SparkSession
   * once) and `<name>_probe` (steady-state read, min of two runs) rows.
   *
   * Each query carries a time budget (default 2.5 s, override with
-  * SPARK_GRAFT_BUDGET_SEC): the `"flagged"` list names the queries over
-  * budget — for phased queries the budget applies to the PROBE (the
-  * steady-state contract), for everything else to the combined run — so
-  * a perf regression in one family is caught by the artifact itself.
+  * SPARK_GRAFT_BUDGET_SEC; per-query exceptions with documented reasons
+  * in [[BenchPhases.budgetOverrides]]): the `"flagged"` list names the
+  * queries over budget — for phased queries the budget applies to the
+  * PROBE (the steady-state contract), for everything else to the
+  * combined run — so a perf regression in one family is caught by the
+  * artifact itself.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -69,8 +71,9 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = rows.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = good.filter(_._4).map(_._2).sum
-    val flagged = good.filter(r => r._5 && r._2 > budget)
-      .map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val flagged = good.filter { r =>
+      r._5 && r._2 > BenchPhases.budgetOverrides.getOrElse(r._1, budget)
+    }.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flagged":$flagged,"budget_sec":$budget,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -37,6 +37,14 @@ object BenchPhases {
       val (idx, cents, books) = queries.VectorSearch.a11Build(s, dir)
       () => queries.VectorSearch.a11Probe(s, dir, idx, cents, books)
     },
+    "a18_pq_shortlist_all" -> { (s, dir) =>
+      val (path, books) = queries.VectorSearch.a18Build(s, dir)
+      () => queries.VectorSearch.a18Probe(s, dir, path, books)
+    },
+    "a19_ivfpq_probe_all" -> { (s, dir) =>
+      val (idx, cents, books) = queries.VectorSearch.a19Build(s, dir)
+      () => queries.VectorSearch.a19Probe(s, dir, idx, cents, books)
+    },
     "s06_data_skipping" -> { (s, dir) =>
       val root = queries.StoreOps.s06Build(s, dir)
       () => queries.StoreOps.s06Probe(s, dir, root)
@@ -49,4 +57,14 @@ object BenchPhases {
       val root = queries.StoreOps.s09Build(s, dir)
       () => queries.StoreOps.s09Probe(s, dir, root)
     })
+
+  /** Per-query budget overrides (seconds) for queries that are heavy BY
+    * DESIGN — the flag should fire on a regression, not chronically.
+    * Every entry documents why the default budget doesn't fit.
+    */
+  val budgetOverrides: Map[String, Double] = Map(
+    "d08_neardup_clusters" -> 6.0, // full pair-graph connected-components closure (multi-round large/small-star)
+    "d10_cjk_char_dedup" -> 4.5,   // char-gram shingling is ~5x the token count of word grams
+    "d14_containment_join" -> 4.5  // asymmetric probe join counts every shared shingle exactly
+  )
 }

@@ -489,7 +489,11 @@ object VectorSearch {
   /** Total codebook entries (m·c) above which PQ encoding switches from
     * the codebook-literal [[pqEncode]] to the broadcast-join form —
     * same rationale as [[LiteralMaxCells]]: codebooks are data, and
-    * past toy c they must not live in the expression tree.
+    * past toy c they must not live in the expression tree. (Measured
+    * at m·c = 128 / 5k rows the literal still wins — fixed
+    * per-stage overhead of the join's extra shuffles dominates at toy
+    * scale — so the crossover is set where the literal's interpreted
+    * HOF evaluation and expression-tree size start to matter.)
     */
   private[graft] val LiteralMaxCodebook = 256
 

@@ -288,11 +288,17 @@ object VectorSearch {
   private[graft] def a10Build(s: SparkSession, dir: String): (String, Array[Array[Seq[Float]]]) = {
     val e = load(s, dir, "embeddings")
     val base = a10Normalized(e.filter(col("vec_id") =!= 0))
-    val books = V.trainPqCodebooks(base, "vec_id", "nv", m = 8, c = 16)
+    // one Lloyd round: codebook QUALITY is irrelevant to the query's
+    // semantics (ADC ordering is re-ranked exactly), and each extra
+    // round is a fixed per-build cost
+    val books = V.trainPqCodebooks(base, "vec_id", "nv", m = 8, c = 16, iters = 1)
     val out = java.nio.file.Files.createTempDirectory("graft_pq")
       .resolve("codes").toString
     V.withPqCodes(base.select(col("vec_id"), col("label"), col("nv")),
         "vec_id", "nv", books)
+      // right-size the file count: 32 task files of a few KB each cost
+      // more in commit/list overhead than the data
+      .coalesce(4)
       .write.mode("overwrite").parquet(out)
     (out, books)
   }
@@ -342,9 +348,9 @@ object VectorSearch {
   private[graft] def a11Build(s: SparkSession, dir: String): (String, Array[Seq[Float]], Array[Array[Seq[Float]]]) = {
     val e = load(s, dir, "embeddings")
     val base = e.filter(col("vec_id") =!= 0)
-    val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 2)
+    val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 1)
     val normBase = a10Normalized(base)
-    val books = V.trainPqCodebooks(normBase, "vec_id", "nv", m = 8, c = 16)
+    val books = V.trainPqCodebooks(normBase, "vec_id", "nv", m = 8, c = 16, iters = 1)
     val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq")
       .resolve("index").toString
     V.buildIvfPqIndex(base, "vec_id", "embedding", cents, books, idx)
@@ -575,26 +581,42 @@ object VectorSearch {
     * feeds the exact re-rank — the PQ plumbing must surface every id
     * exactly once, and the re-rank must equal brute force.
     */
+  private[graft] def a18Build(s: SparkSession, dir: String): (String, Array[Array[Seq[Float]]]) = {
+    val e = load(s, dir, "embeddings")
+    val base = a10Normalized(e.filter(col("vec_id") =!= 0))
+    val books = V.trainPqCodebooks(base, "vec_id", "nv", m = 4, c = 8, iters = 1)
+    val out = java.nio.file.Files.createTempDirectory("graft_pq_d")
+      .resolve("codes").toString
+    V.withPqCodes(base.select(col("vec_id"), col("nv")), "vec_id", "nv", books)
+      .select(col("vec_id"), col("codes"))
+      .coalesce(4)
+      .write.mode("overwrite").parquet(out)
+    (out, books)
+  }
+
+  private[graft] def a18Probe(s: SparkSession, dir: String, path: String,
+      books: Array[Array[Seq[Float]]]): DataFrame = {
+    val e = load(s, dir, "embeddings")
+    val qv = a10Normalized(e.filter(col("vec_id") === 0))
+      .select(col("nv")).head().getSeq[Double](0)
+    val subLen = qv.size / books.length
+    val lut: Array[Array[Double]] = books.zipWithIndex.map { case (cb, i) =>
+      cb.map(cent => cent.zipWithIndex.map { case (x, j) =>
+        x * qv(i * subLen + j)
+      }.sum.toDouble)
+    }
+    val coded = s.read.parquet(path)
+      .withColumn("adc", V.pqScore(col("codes"), lut))
+    val cand = V.batchTopK(coded.select(lit(0L).as("qid"),
+        col("vec_id"), col("adc")), "qid", "vec_id", "adc", k = 1000000)
+      .select(col("vec_id"))
+    exactTop10From(e, cand)
+  }
+
   val a18 = Q("a18_pq_shortlist_all",
     (s, dir) => {
-      val e = load(s, dir, "embeddings")
-      val base = a10Normalized(e.filter(col("vec_id") =!= 0))
-      val books = V.trainPqCodebooks(base, "vec_id", "nv", m = 4, c = 8, iters = 1)
-      val qv = a10Normalized(e.filter(col("vec_id") === 0))
-        .select(col("nv")).head().getSeq[Double](0)
-      val subLen = qv.size / books.length
-      val lut: Array[Array[Double]] = books.zipWithIndex.map { case (cb, i) =>
-        cb.map(cent => cent.zipWithIndex.map { case (x, j) =>
-          x * qv(i * subLen + j)
-        }.sum.toDouble)
-      }
-      val coded = V.withPqCodes(base.select(col("vec_id"), col("nv")),
-          "vec_id", "nv", books)
-        .withColumn("adc", V.pqScore(col("codes"), lut))
-      val cand = V.batchTopK(coded.select(lit(0L).as("qid"),
-          col("vec_id"), col("adc")), "qid", "vec_id", "adc", k = 1000000)
-        .select(col("vec_id"))
-      exactTop10From(e, cand)
+      val (path, books) = a18Build(s, dir)
+      a18Probe(s, dir, path, books)
     },
     a01Top10Oracle)
 
@@ -602,22 +624,33 @@ object VectorSearch {
     * cell and an unbounded shortlist — partition pruning and ADC both
     * disabled by configuration, exact answer out.
     */
+  private[graft] def a19Build(s: SparkSession, dir: String): (String, Array[Seq[Float]], Array[Array[Seq[Float]]]) = {
+    val e = load(s, dir, "embeddings")
+    val base = e.filter(col("vec_id") =!= 0)
+    val cents = V.trainCentroids(base, "vec_id", "embedding", c = 8, iters = 1)
+    val books = V.trainPqCodebooks(a10Normalized(base), "vec_id", "nv",
+      m = 4, c = 8, iters = 1)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_d")
+      .resolve("index").toString
+    V.buildIvfPqIndex(base, "vec_id", "embedding", cents, books, idx)
+    (idx, cents, books)
+  }
+
+  private[graft] def a19Probe(s: SparkSession, dir: String, idx: String,
+      cents: Array[Seq[Float]], books: Array[Array[Seq[Float]]]): DataFrame = {
+    val e = load(s, dir, "embeddings")
+    val qv = a10Normalized(e.filter(col("vec_id") === 0))
+      .select(col("nv")).head().getSeq[Double](0)
+    val cand = V.probeIvfPqIndex(s, idx, qv, cents, books,
+        nprobe = 8, shortlist = 1000000, idCol = "vec_id")
+      .select(col("vec_id"))
+    exactTop10From(e, cand)
+  }
+
   val a19 = Q("a19_ivfpq_probe_all",
     (s, dir) => {
-      val e = load(s, dir, "embeddings")
-      val base = e.filter(col("vec_id") =!= 0)
-      val cents = V.trainCentroids(base, "vec_id", "embedding", c = 8, iters = 1)
-      val books = V.trainPqCodebooks(a10Normalized(base), "vec_id", "nv",
-        m = 4, c = 8, iters = 1)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_d")
-        .resolve("index").toString
-      V.buildIvfPqIndex(base, "vec_id", "embedding", cents, books, idx)
-      val qv = a10Normalized(e.filter(col("vec_id") === 0))
-        .select(col("nv")).head().getSeq[Double](0)
-      val cand = V.probeIvfPqIndex(s, idx, qv, cents, books,
-          nprobe = 8, shortlist = 1000000, idCol = "vec_id")
-        .select(col("vec_id"))
-      exactTop10From(e, cand)
+      val (idx, cents, books) = a19Build(s, dir)
+      a19Probe(s, dir, idx, cents, books)
     },
     a01Top10Oracle)
 
