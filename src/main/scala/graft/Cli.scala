@@ -25,9 +25,23 @@ object Cli {
         val kind = if (q.oracle.isDefined) "oracle" else "rows-only"
         println(f"${q.name}%-28s $kind")
       }
+    case "health" :: _ =>
+      // fixture-probed sweep (this build has zero egress): demonstrates
+      // the D8 surface — deployments register real HTTP probes in the
+      // same SourceCheck seam (see graft.health.Checker)
+      import graft.health._
+      val checks = Seq(
+        SourceCheck("cepea", () => Probe("<html/>", Some(0.97), Some(22L), Some(120L))),
+        SourceCheck("conab", () => Probe("<html/>", None, None, Some(5400L))),
+        SourceCheck("ibge", () => throw new RuntimeException("connect timeout (fixture)")))
+      val sweep = Checker.runAll(checks)
+      sweep.foreach(r =>
+        println(f"${r.source}%-8s ${r.status}%-8s ${r.latencyMs}%6d ms  ${r.message}"))
+      new AlertService(Seq(new LogNotifier)).dispatch(sweep)
+      ()
     case other =>
       System.err.println(
-        s"unknown command ${other.mkString(" ")}; use: verify <sfDir> <outDir> | bench | explain [q...] | scale [q...] | demo | queries")
+        s"unknown command ${other.mkString(" ")}; use: verify <sfDir> <outDir> | bench | explain [q...] | scale [q...] | demo | queries | health")
       sys.exit(2)
   }
 }
