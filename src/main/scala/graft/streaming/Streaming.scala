@@ -152,6 +152,56 @@ object Streaming {
       .start()
   }
 
+  /** One microbatch of the live IVF index: assign under the FIXED
+    * persisted quantizer and append to the index's cell partitions —
+    * exposed separately so the replay contract is directly testable.
+    * Appends are not value-idempotent (unlike MERGE), so replays are
+    * dropped by a batch-id high-water mark beside the index; the marker
+    * is written after the append, so the crash window between them
+    * re-appends one batch (at-least-once). The production hardening is
+    * the TxStore shape — append as a versioned commit — documented in
+    * [[graft.ops.VectorSearch.appendToIvfIndex]]; the probe path and
+    * cell geometry are identical either way.
+    */
+  private[graft] def ivfAppendBatch(batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, cents: Array[Seq[Float]],
+      path: String): Boolean = {
+    val marker = java.nio.file.Paths.get(path + "_last_batch")
+    val last =
+      if (java.nio.file.Files.exists(marker))
+        java.nio.file.Files.readString(marker).trim.toLong
+      else -1L
+    if (batchId <= last) false
+    else {
+      if (!batch.isEmpty)
+        graft.ops.VectorSearch.appendToIvfIndex(batch, idCol, vecCol, cents, path)
+      java.nio.file.Files.writeString(marker, batchId.toString)
+      true
+    }
+  }
+
+  /** LIVE ANN index maintenance: each microbatch of (id, vector) rows
+    * lands in the persisted cell-partitioned IVF index under the fixed
+    * coarse quantizer — the streaming form of "the index absorbs a
+    * day's embeddings" ([[graft.ops.VectorSearch.appendToIvfIndex]]'s
+    * contract, run forever). Probes over the index see each batch as
+    * soon as its append completes; quantizer retraining stays a
+    * separate, rarer event (a new index directory swapped in whole).
+    */
+  def ivfIndexSink(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Seq[Float]], path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val commit: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, id) => {
+        ivfAppendBatch(batch.toDF(), id, idCol, vecCol, cents, path)
+        ()
+      }
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(commit)
+      .start()
+  }
+
   case class HHState(counters: Map[String, Long])
   case class HHOut(bucket: Int, item: String, weight: Long)
 

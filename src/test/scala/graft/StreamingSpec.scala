@@ -135,6 +135,51 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ivf index sink: streamed appends == one-shot build, replay dropped, probes pruned") {
+    import graft.ops.{VectorSearch => V}
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val base = emb.filter($"vec_id" =!= 0)
+    val cents = V.trainCentroids(base, "vec_id", "embedding", c = 8, iters = 2)
+    val live = java.nio.file.Files.createTempDirectory("graft_sivf")
+      .resolve("index").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sivfck").toString
+    // day 0 exists before the stream starts; the stream absorbs two more drops
+    V.buildIvfIndex(base.filter($"vec_id" % 3 === 0), "vec_id", "embedding", cents, live)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(live + "_last_batch"), "-1")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.ivfIndexSink(in.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, live, ckpt)
+    try {
+      val day1 = base.filter($"vec_id" % 3 === 1)
+        .as[(Long, Seq[Float])].collect()
+      val day2 = base.filter($"vec_id" % 3 === 2)
+        .as[(Long, Seq[Float])].collect()
+      in.addData(day1.toSeq); q.processAllAvailable()
+      in.addData(day2.toSeq); q.processAllAvailable()
+      // the streamed index answers exactly like a one-shot build over everything
+      val oneShot = java.nio.file.Files.createTempDirectory("graft_sivf2")
+        .resolve("index").toString
+      V.buildIvfIndex(base, "vec_id", "embedding", cents, oneShot)
+      val query = emb.filter($"vec_id" === 0)
+      val streamed = V.probeIvfIndex(spark, live, query, "embedding", cents, 3)
+        .select("vec_id", "sim").as[(Long, Double)].collect().toSet
+      val rebuilt = V.probeIvfIndex(spark, oneShot, query, "embedding", cents, 3)
+        .select("vec_id", "sim").as[(Long, Double)].collect().toSet
+      assert(streamed == rebuilt)
+      // probes over the live index stay partition-pruned
+      assert(V.probeIvfIndex(spark, live, query, "embedding", cents, 3)
+        .queryExecution.executedPlan.toString.contains("PartitionFilters: [cell#"))
+      // restart replay: a batch at the high-water mark is dropped, not re-appended
+      val total = spark.read.parquet(live).count()
+      val replayed = Streaming.ivfAppendBatch(
+        base.filter($"vec_id" % 3 === 2).toDF(), batchId = 1L,
+        "vec_id", "embedding", cents, live)
+      assert(!replayed && spark.read.parquet(live).count() == total)
+    } finally q.stop()
+  }
+
   test("curation sink: corpus never admits a near-dup, per-batch versions") {
     import graft.store.TxStore
     implicit val sqlCtx = spark.sqlContext
