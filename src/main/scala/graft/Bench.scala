@@ -5,6 +5,12 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Failures are reported per-query (`"failed"`) and
   * excluded from the total, so a crash can never masquerade as a timing.
   *
+  * Methodology note: min-of-two in one session means a query's second
+  * run may reuse intra-query cache entries whose logical plan is
+  * identical (Spark's CacheManager dedupes by plan), so combined
+  * numbers approximate WARM steady-state — consistent across rounds.
+  * The one-time COLD costs are what the `*_build` rows isolate.
+  *
   * Queries with a one-time construction phase ([[BenchPhases.phased]])
   * additionally report `<name>_build` (index/table construction, timed
   * once) and `<name>_probe` (steady-state read, min of two runs) rows.

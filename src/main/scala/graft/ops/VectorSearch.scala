@@ -119,7 +119,13 @@ object VectorSearch {
   /** Adds the Voronoi `cell` column: centroid-literal argmax under
     * [[LiteralMaxCells]] (zero extra shuffle), broadcast-join argmax
     * above it (constant-size plan at any C). Both paths produce
-    * identical assignments (spec-asserted at the boundary).
+    * identical assignments (spec-asserted at the boundary) for every
+    * non-null vector — zero/empty vectors score 0 against every
+    * centroid and deterministically land in cell 0 on both paths; a
+    * NULL vector gets the literal path's -1 sentinel vs the join
+    * path's null, both outside every probeable cell id, so probes
+    * never see such rows either way (filter nulls upstream if the
+    * garbage rows themselves must be byte-identical).
     */
   def withNearestCell(vectors: DataFrame, idCol: String, vecCol: String,
       cents: Array[Seq[Float]]): DataFrame =

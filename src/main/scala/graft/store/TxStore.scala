@@ -542,56 +542,72 @@ object TxStore {
     * link semantics (the inode lives until its last link goes).
     * Returns the expired version numbers.
     */
-  def expireVersions(root: String, keepLast: Int): Seq[Long] = {
+  def expireVersions(root: String, keepLast: Int): Seq[Long] = withCommitLock(root) {
+    // under the commit lock: retention deletes old version dirs that a
+    // concurrent commitRestore could be hard-linking FROM — the monitor
+    // makes retention just another serialized table operation
     require(keepLast >= 1, "must retain at least the current version")
-    val committed = currentVersion(root).getOrElse(return Seq.empty)
-    val cutoff = committed - keepLast + 1 // oldest retained version
-    val versionsDir = Paths.get(root, "_versions")
-    if (!Files.exists(versionsDir)) return Seq.empty
-    val it = Files.list(versionsDir)
-    try {
-      val expired = Seq.newBuilder[Long]
-      it.iterator().asScala.foreach { p =>
-        val v = p.getFileName.toString.stripPrefix("v").toLongOption
-        if (v.exists(x => x < cutoff)) {
-          deleteRecursively(p)
-          Files.deleteIfExists(logDir(root).resolve(s"v${v.get}.json"))
-          expired += v.get
+    currentVersion(root) match {
+      case None => Seq.empty
+      case Some(committed) =>
+        val cutoff = committed - keepLast + 1 // oldest retained version
+        val versionsDir = Paths.get(root, "_versions")
+        if (!Files.exists(versionsDir)) Seq.empty
+        else {
+          val it = Files.list(versionsDir)
+          try {
+            val expired = Seq.newBuilder[Long]
+            it.iterator().asScala.foreach { p =>
+              val v = p.getFileName.toString.stripPrefix("v").toLongOption
+              if (v.exists(x => x < cutoff)) {
+                deleteRecursively(p)
+                Files.deleteIfExists(logDir(root).resolve(s"v${v.get}.json"))
+                expired += v.get
+              }
+            }
+            expired.result().sorted
+          } finally it.close()
         }
-      }
-      expired.result().sorted
-    } finally it.close()
+    }
   }
 
   /** Remove data directories above the committed version — orphans from
     * failed or conflicted commits. Safe anytime: committed snapshots
     * are never touched.
     */
-  def vacuum(root: String): Seq[Long] = {
-    val committed = currentVersion(root).getOrElse(return Seq.empty)
-    val versionsDir = Paths.get(root, "_versions")
-    if (!Files.exists(versionsDir)) return Seq.empty
-    val it = Files.list(versionsDir)
-    try {
-      val orphans = it.iterator()
-      val removed = Seq.newBuilder[Long]
-      orphans.forEachRemaining { p =>
-        val name = p.getFileName.toString
-        if (name.startsWith("v")) {
-          val v = name.drop(1).toLongOption
-          if (v.exists(_ > committed)) { deleteRecursively(p); removed += v.get }
+  def vacuum(root: String): Seq[Long] = withCommitLock(root) {
+    // under the commit lock: a dir above _current is only an orphan if
+    // no in-flight commit owns it — serializing with commits makes
+    // "above the pointer" unambiguous
+    currentVersion(root) match {
+      case None => Seq.empty
+      case Some(committed) =>
+        val versionsDir = Paths.get(root, "_versions")
+        if (!Files.exists(versionsDir)) Seq.empty
+        else {
+          val it = Files.list(versionsDir)
+          try {
+            val orphans = it.iterator()
+            val removed = Seq.newBuilder[Long]
+            orphans.forEachRemaining { p =>
+              val name = p.getFileName.toString
+              if (name.startsWith("v")) {
+                val v = name.drop(1).toLongOption
+                if (v.exists(_ > committed)) { deleteRecursively(p); removed += v.get }
+              }
+            }
+            // manifests orphaned by conflicted commits go with their data dirs
+            if (Files.exists(logDir(root))) {
+              val logs = Files.list(logDir(root))
+              try logs.iterator().asScala.foreach { m =>
+                val v = m.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLongOption
+                if (v.exists(_ > committed)) Files.deleteIfExists(m)
+              } finally logs.close()
+            }
+            removed.result().sorted
+          } finally it.close()
         }
-      }
-      // manifests orphaned by conflicted commits go with their data dirs
-      if (Files.exists(logDir(root))) {
-        val logs = Files.list(logDir(root))
-        try logs.iterator().asScala.foreach { m =>
-          val v = m.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLongOption
-          if (v.exists(_ > committed)) Files.deleteIfExists(m)
-        } finally logs.close()
-      }
-      removed.result().sorted
-    } finally it.close()
+    }
   }
 
   /** Write one immutable snapshot. A pre-existing directory means a
