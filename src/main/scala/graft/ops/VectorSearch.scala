@@ -324,6 +324,92 @@ object VectorSearch {
       .repartition(cents.length, col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
 
+  /** VERSIONED IVF index — the index as a [[graft.store.TxStore]]
+    * table: the cell-partitioned assignment is the snapshot content,
+    * daily batches land through the transactional MERGE-free append
+    * path of the caller's choice, and QUANTIZER RETRAINING — the one
+    * event a live plain-directory index can't absorb (resident and new
+    * vectors would disagree on cell geometry) — is a `commitReplace`:
+    * the whole re-assigned index swaps in atomically, probes mid-flight
+    * keep reading the version they resolved, the old geometry stays
+    * time-travelable until retention expires it, and the table history
+    * shows `replace` where rebuilds happened. Centroids are persisted
+    * BESIDE the version they shaped (`_quantizer/v<N>.txt` — the cell
+    * geometry is part of the snapshot's identity), so
+    * [[probeVersionedIvf]] never needs the caller to remember which
+    * quantizer built which version.
+    */
+  def initVersionedIvf(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Seq[Float]], root: String): Long = {
+    val v = graft.store.TxStore.initPartitioned(
+      withNearestCell(vectors, idCol, vecCol, cents)
+        .repartition(cents.length, col("cell")), root, "cell")
+    writeQuantizer(root, v, cents)
+    v
+  }
+
+  /** Retrain-and-swap: re-assign every vector under the NEW quantizer
+    * and publish atomically as the next version.
+    */
+  def retrainVersionedIvf(spark: SparkSession, root: String, idCol: String,
+      vecCol: String, newCents: Array[Seq[Float]]): Long = {
+    val resident = graft.store.TxStore.read(spark, root).drop("cell")
+    val v = graft.store.TxStore.commitReplace(spark, root,
+      withNearestCell(resident, idCol, vecCol, newCents)
+        .repartition(newCents.length, col("cell")),
+      partitionBy = Some("cell"))
+    writeQuantizer(root, v, newCents)
+    v
+  }
+
+  /** Probe the CURRENT version (or `version` for time travel) with the
+    * quantizer persisted beside that version — old geometry probes old
+    * snapshots correctly forever.
+    */
+  def probeVersionedIvf(spark: SparkSession, root: String, query: DataFrame,
+      vecCol: String, nprobe: Int, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(graft.store.TxStore.currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val cents = readQuantizer(root, v)
+    val dir = graft.store.TxStore.versionDir(root, v)
+    val sims = transform(centroidArray(cents),
+      e => struct(G.cosineSim(col("q_vec"), e.getField("c")).as("sim"),
+        e.getField("cid").as("cid")))
+    val probes = transform(slice(reverse(array_sort(sims)), 1, nprobe),
+      s => s.getField("cid"))
+    val cells = query.select(col(vecCol).as("q_vec"))
+      .select(explode(probes).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val qb = broadcast(query.select(col(vecCol).as("q_vec")))
+    spark.read.parquet(dir)
+      .filter(col("cell").isin(cells: _*))
+      .crossJoin(qb)
+      .withColumn("sim", round(G.cosineSim(col(vecCol), col("q_vec")), 6))
+      .drop("q_vec", "cell")
+  }
+
+  /** The quantizer rides beside its version: C lines of
+    * space-separated floats (tiny — C × dim).
+    */
+  private def writeQuantizer(root: String, v: Long, cents: Array[Seq[Float]]): Unit = {
+    val dir = java.nio.file.Paths.get(root, "_quantizer")
+    java.nio.file.Files.createDirectories(dir)
+    val body = cents.map(_.mkString(" ")).mkString("\n")
+    java.nio.file.Files.writeString(dir.resolve(s"v$v.txt"), body)
+  }
+
+  private def readQuantizer(root: String, v: Long): Array[Seq[Float]] = {
+    // the quantizer of the nearest version at or below v (append
+    // commits inherit the geometry they were assigned under)
+    val dir = java.nio.file.Paths.get(root, "_quantizer")
+    val file = (v to 1L by -1L).map(x => dir.resolve(s"v$x.txt"))
+      .find(java.nio.file.Files.exists(_))
+      .getOrElse(throw new IllegalStateException(s"no quantizer at or below v$v in $root"))
+    java.nio.file.Files.readString(file).split("\n")
+      .map(_.trim).filter(_.nonEmpty)
+      .map(line => line.split(" ").map(_.toFloat).toSeq)
+  }
+
   /** Probe the persisted index: the query's nprobe nearest cells are
     * computed driver-side from the (tiny) centroid array, and the scan
     * carries `cell IN (...)` — a PARTITION filter, so only the probed

@@ -710,6 +710,28 @@ object VectorSearch {
       FROM cand c JOIN hits h USING (query_id)
       ORDER BY query_id"""))
 
+  /** The VERSIONED index ([[graft.ops.VectorSearch.initVersionedIvf]]:
+    * the IVF index as a TxStore table, quantizer persisted beside each
+    * version) probed at nprobe == C — the transactional index surface
+    * under the same degeneracy oracle as a16. Retrain-swap atomicity
+    * and time-travel probes are asserted in IvfIndexSpec.
+    */
+  val a21 = Q("a21_versioned_ivf_probe_all",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") =!= 0)
+      val cents = V.trainCentroids(base, "vec_id", "embedding", c = 8, iters = 1)
+      val root = java.nio.file.Files.createTempDirectory("graft_vivf_q")
+        .resolve("idx").toString
+      V.initVersionedIvf(base, "vec_id", "embedding", cents, root)
+      V.probeVersionedIvf(s, root, e.filter(col("vec_id") === 0),
+          "embedding", nprobe = 8)
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    a01Top10Oracle)
+
   def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
-    a11, a12, a13, a14, a15, a16, a17, a18, a19, a20)
+    a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21)
 }

@@ -482,6 +482,42 @@ object TxStore {
     next
   }
 
+  /** REPLACE-commit: the next version's content is `df` wholesale —
+    * nothing carried from the parent. This is the commit a rebuild
+    * publishes: a retrained ANN index, a re-derived projection, a
+    * backfill — the swap is atomic (readers see old or new, never a
+    * mix), the old content stays time-travelable until retention
+    * expires it, and the history records `replace` so lineage shows
+    * WHERE wholesale rebuilds happened. With `partitionBy`, the new
+    * snapshot is laid out partitioned (the IVF-index shape:
+    * `cell=N/` directories probes prune on).
+    */
+  def commitReplace(spark: SparkSession, root: String, df: DataFrame,
+      partitionBy: Option[String] = None,
+      expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
+    val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val next = expected + 1
+    val nextDir = versionDir(root, next)
+    if (Files.exists(Paths.get(nextDir)))
+      throw new ConcurrentCommitException(
+        s"snapshot v$next already exists at $root (concurrent writer)")
+    try partitionBy match {
+      case Some(pc) =>
+        df.write.mode(SaveMode.ErrorIfExists).partitionBy(pc).parquet(nextDir)
+      case None =>
+        df.write.mode(SaveMode.ErrorIfExists).parquet(nextDir)
+    } catch { case e: Throwable => deleteRecursively(Paths.get(nextDir)); throw e }
+    if (currentVersion(root) != Some(expected)) {
+      deleteRecursively(Paths.get(nextDir))
+      throw new ConcurrentCommitException(
+        s"table at $root moved past v$expected; retry on the new snapshot")
+    }
+    writeManifest(root, next, "replace", Some(expected))
+    flipPointer(root, Some(expected), next)
+    next
+  }
+
   /** Attach a min/max stats sidecar to a committed version (see
     * [[Skipping]]). Stats live inside the immutable version directory,
     * so time travel keeps each version's own stats, and hard-linked

@@ -106,6 +106,40 @@ class IvfIndexSpec extends SparkSuite {
     assert(all == brute)
   }
 
+  test("versioned index: retrain swaps atomically, old geometry stays time-travelable") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vivf")
+      .resolve("idx").toString
+    val v1 = V.initVersionedIvf(base, "vec_id", "embedding", cents, root)
+    assert(v1 == 1L)
+    // probes through the versioned table carry the cell partition filter
+    val p1 = V.probeVersionedIvf(spark, root, query, "embedding", nprobe = 3)
+    assert(p1.queryExecution.executedPlan.toString.contains("PartitionFilters: [cell#"))
+    val before = p1.select("vec_id", "sim").as[(Long, Double)].collect().toSet
+    // answers equal the plain persisted index under the same quantizer
+    val plain = V.probeIvfIndex(spark, idx, query, "embedding", cents, 3)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSet
+    assert(before == plain)
+    // retrain with a DIFFERENT quantizer (more cells) and swap
+    val cents2 = V.trainCentroids(base, "vec_id", "embedding", c = 12, iters = 2)
+    val v2 = V.retrainVersionedIvf(spark, root, "vec_id", "embedding", cents2)
+    assert(v2 == 2L)
+    // full probe of the new geometry is still exhaustive-correct
+    val full2 = V.probeVersionedIvf(spark, root, query, "embedding", nprobe = 12)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSet
+    val brute = V.bruteForceTopK(base, query, "embedding", base.count().toInt)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSet
+    assert(full2 == brute)
+    // time travel: v1 probes with v1's OWN quantizer, answers unchanged
+    val travel = V.probeVersionedIvf(spark, root, query, "embedding",
+        nprobe = 3, version = Some(1L))
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSet
+    assert(travel == before)
+    // history shows the rebuild as a first-class commit
+    val actions = graft.store.TxStore.history(spark, root)
+      .select("action").as[String].collect().toSeq
+    assert(actions == Seq("init", "replace"))
+  }
+
   test("incremental append under the same quantizer == full rebuild") {
     // day 0: index over the first half; day 1: append the rest
     val day0 = base.filter($"vec_id" % 2 === 0)
