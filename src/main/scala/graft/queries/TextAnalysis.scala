@@ -497,5 +497,51 @@ object TextAnalysis {
         FROM documents WHERE length(text) > 0) t
       ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
+  /** Context-window chunking — the INVERSE of t05's packing: long
+    * documents split into fixed-size overlapping token windows
+    * (64-token chunks, stride 48 → 16-token overlap), each chunk
+    * carrying its id, its token count and its re-joined text. The
+    * explode is the fan-out a chunking pipeline runs before embedding
+    * or training-example emission; chunk boundaries are pure arithmetic
+    * on the whitespace token array, so both engines agree exactly.
+    * Every token lands in ≥1 chunk; consecutive chunks share exactly
+    * the overlap (no trailing chunk fully contained in its
+    * predecessor, by the upper-bound formula).
+    */
+  val t15 = Q("t15_doc_chunking",
+    (s, dir) => {
+      val size = 64
+      val stride = 48
+      load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          split(trim(col("text")), "\\s+").as("toks"))
+        .withColumn("nt", org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+        .withColumn("start", explode(sequence(lit(1L),
+          greatest(lit(1L), col("nt") - lit((size - stride).toLong)),
+          lit(stride.toLong))))
+        .select(col("doc_id"), col("lang"),
+          floor((col("start") - 1) / lit(stride.toDouble)).cast("long").as("chunk_id"),
+          col("nt"),
+          least(lit(size.toLong), col("nt") - col("start") + 1).as("chunk_tokens"),
+          array_join(slice(col("toks"), col("start").cast("int"), lit(size)), " ").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      n AS (
+        SELECT doc_id, lang, toks, CAST(len(toks) AS BIGINT) AS nt FROM t),
+      s AS (
+        SELECT doc_id, lang, toks, nt,
+          unnest(generate_series(1, greatest(1, nt - 16), 48)) AS start
+        FROM n)
+      SELECT doc_id, lang,
+        CAST(FLOOR((start - 1) / 48.0) AS BIGINT) AS chunk_id, nt,
+        CAST(least(64, nt - start + 1) AS BIGINT) AS chunk_tokens,
+        array_to_string(list_slice(toks, start, least(start + 63, nt)), ' ') AS chunk_text
+      FROM s ORDER BY doc_id, chunk_id"""))
+
+  def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
+    t11, t12, t13, t14, t15)
 }
