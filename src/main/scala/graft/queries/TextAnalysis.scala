@@ -542,6 +542,52 @@ object TextAnalysis {
         array_to_string(list_slice(toks, start, least(start + 63, nt)), ' ') AS chunk_text
       FROM s ORDER BY doc_id, chunk_id"""))
 
+  /** Dataset MIXTURE resampling: given target domain weights (en 40%,
+    * others 15%), derive each domain's keep rate from its CURRENT
+    * share — rate = min(1, target_share × N / count_g) — and sample
+    * deterministically with t07's Knuth-hash threshold. This is the
+    * data-mixture op a pretraining pipeline runs to hit a target
+    * composition: over-represented domains are downsampled toward
+    * their target, under-represented ones keep everything (a rate
+    * can't exceed 1 — mixture reweighting beyond that is repetition,
+    * a separate decision). Stats are a tiny per-domain aggregate
+    * broadcast back over the corpus — no global window, so the plan
+    * holds at any corpus size; rate arithmetic is IEEE-identical in
+    * both engines (exact-integer products under 2^53, one floor).
+    */
+  val t16 = Q("t16_domain_mixture",
+    (s, dir) => {
+      val weights = typedlit(Map("en" -> 40L, "de" -> 15L, "es" -> 15L,
+        "fr" -> 15L, "zh" -> 15L))
+      val docs = load(s, dir, "documents")
+      val stats = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("c_g"))
+      val total = docs.agg(count(lit(1)).as("n"))
+      val rates = stats.crossJoin(broadcast(total))
+        .select(col("lang"),
+          least(lit(10000L), floor(lit(100.0) * element_at(weights, col("lang"))
+            * col("n") / col("c_g"))).cast("long").as("rate_bp"))
+      docs.join(broadcast(rates), Seq("lang"))
+        .filter(pmod(col("doc_id") * lit(2654435761L), lit(10000L)) < col("rate_bp"))
+        .select(col("doc_id"), col("lang"), col("rate_bp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH stats AS (
+        SELECT lang, COUNT(*) AS c_g FROM documents GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS n FROM documents),
+      rates AS (
+        SELECT s.lang,
+          CAST(LEAST(10000, FLOOR(100.0 *
+            (CASE s.lang WHEN 'en' THEN 40 WHEN 'de' THEN 15 WHEN 'es' THEN 15
+                         WHEN 'fr' THEN 15 WHEN 'zh' THEN 15 END)
+            * t.n / s.c_g)) AS BIGINT) AS rate_bp
+        FROM stats s, tot t)
+      SELECT d.doc_id, d.lang, r.rate_bp
+      FROM documents d JOIN rates r USING (lang)
+      WHERE (d.doc_id * 2654435761) % 10000 < r.rate_bp
+      ORDER BY d.doc_id"""))
+
   def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15)
+    t11, t12, t13, t14, t15, t16)
 }

@@ -33,7 +33,8 @@ class PlanLintSpec extends SparkSuite {
     "a18_pq_shortlist_all",  // exact re-rank = a01's broadcast 1-row query
     "a19_ivfpq_probe_all",   // exact re-rank = a01's broadcast 1-row query
     "a20_recall_exact",      // a12's shape with exact candidates
-    "a21_versioned_ivf_probe_all" // a06's shape over the TxStore-versioned index
+    "a21_versioned_ivf_probe_all", // a06's shape over the TxStore-versioned index
+    "t16_domain_mixture"     // 1-row corpus total against the per-domain stats
   )
 
   test("no query plans a CartesianProduct; BNLJ only where designed") {
