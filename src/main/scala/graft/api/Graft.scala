@@ -228,4 +228,40 @@ object Graft {
     */
   def reassemblePayloads(chunks: DataFrame): DataFrame =
     graft.ops.Multimodal.reassemble(chunks)
+
+  /** VERSIONED ANN index lifecycle — the IVF index as a transactional
+    * table ([[graft.ops.VectorSearch.initVersionedIvf]]): init with a
+    * trained quantizer, retrain-and-swap atomically, probe the current
+    * or any retained version with the geometry that built it.
+    */
+  def initVersionedIvf(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Seq[Float]], root: String): Long =
+    graft.ops.VectorSearch.initVersionedIvf(vectors, idCol, vecCol, cents, root)
+
+  def retrainVersionedIvf(spark: SparkSession, root: String, idCol: String,
+      vecCol: String, newCents: Array[Seq[Float]]): Long =
+    graft.ops.VectorSearch.retrainVersionedIvf(spark, root, idCol, vecCol, newCents)
+
+  def probeVersionedIvf(spark: SparkSession, root: String, query: DataFrame,
+      vecCol: String, nprobe: Int, version: Option[Long] = None): DataFrame =
+    graft.ops.VectorSearch.probeVersionedIvf(spark, root, query, vecCol, nprobe, version)
+
+  /** Live ANN index maintenance: streamed batches land in the persisted
+    * index's cell partitions — [[graft.streaming.Streaming.ivfIndexSink]].
+    */
+  def ivfIndexSink(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Seq[Float]], path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.Streaming.ivfIndexSink(vectors, idCol, vecCol, cents, path, checkpoint)
+
+  /** D8 health sweep + alert dispatch — [[graft.health.Checker]] /
+    * [[graft.health.AlertService]]; probes and channels are injected
+    * (fixtures here, HTTP/webhooks in deployments).
+    */
+  def healthSweep(checks: Seq[graft.health.SourceCheck]): Seq[graft.health.CheckResult] =
+    graft.health.Checker.runAll(checks)
+
+  def dispatchAlerts(results: Seq[graft.health.CheckResult],
+      channels: Seq[graft.health.Notifier]): Seq[(graft.health.Alert, Int, Seq[(String, String)])] =
+    new graft.health.AlertService(channels).dispatch(results)
 }
