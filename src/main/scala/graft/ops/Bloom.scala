@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Broadcast Bloom-filter join reduction (the runtime-filter pattern
+  * Spark itself applies under `spark.sql.optimizer.runtimeFilter.*`,
+  * here as an explicit, deterministic operator — reference analogue:
+  * `agrobr` pre-filters fact slices by the key set of the dimension
+  * page it just fetched; at 100 TB the key SET doesn't broadcast but
+  * a bit table does).
+  *
+  * Shape: the bloom is BUILT DISTRIBUTED — each build row contributes
+  * k bit positions, positions aggregate per 64-bit word with `bit_or`
+  * (map-side combinable), and only the finished words ever reach the
+  * driver (m/64 longs, size-guarded). The probe side then tests all k
+  * bits with native codegen'd expressions (element_at + shiftleft on a
+  * literal word array) BEFORE the shuffle join — false positives are
+  * possible and fine, because the exact join still runs afterwards;
+  * what the bloom buys is that ~(1-sel) of the probe rows never enter
+  * the exchange. No UDFs, no collect of data rows.
+  */
+object Bloom {
+
+  /** ~10 bits/row ≈ 1% false-positive rate at k = 5 hash functions. */
+  private val BitsPerRow = 10L
+
+  /** 2^24 bits = 2 MiB of words — the broadcast-literal budget. A build
+    * side too big for this bound is too big for a driver-held filter;
+    * at that size use Spark's own runtime filter (AQE) or a semi-join.
+    */
+  private val MaxBits = 1L << 24
+
+  final case class Filter(words: Array[Long], mBits: Long, k: Int) {
+    /** Membership test column: true ⇒ key MAY be in the build set,
+      * false ⇒ key is DEFINITELY absent. Pure native expressions, so
+      * the whole test inlines into the probe scan's codegen stage.
+      */
+    def mightContain(key: Column): Column =
+      (0 until k).map { i =>
+        val pos = pmod(xxhash64(key, lit(i)), lit(mBits))
+        val word = element_at(typedlit(words.toSeq), (pos / 64).cast("int") + 1)
+        word.bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(pos, lit(64L)).cast("int"))) =!= 0
+      }.reduce(_ && _)
+  }
+
+  /** Builds the bloom over the distinct values of `keyCol`. `nRows` is
+    * the (approximate) build cardinality used to size the table — a
+    * stats estimate is fine; undersizing only raises the FP rate,
+    * never correctness.
+    */
+  def build(build: DataFrame, keyCol: String, nRows: Long, k: Int = 5): Filter = {
+    val mBits = math.min(MaxBits,
+      math.max(64L, java.lang.Long.highestOneBit(nRows * BitsPerRow) * 2))
+    val nWords = (mBits / 64).toInt
+    val hashCols = (0 until k).map(i =>
+      pmod(xxhash64(col(keyCol), lit(i)), lit(mBits)))
+    // one bit_or-aggregated word table; ≤ m/64 rows reach the driver —
+    // bounded by MaxBits/64 = 256 Ki longs regardless of build size
+    val words = new Array[Long](nWords)
+    build.select(explode(array(hashCols: _*)).as("pos"))
+      .select((col("pos") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L),
+          pmod(col("pos"), lit(64L)).cast("int")).as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("word"))
+      .collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    Filter(words, mBits, k)
+  }
+
+  /** Bloom-pruned inner equi-join: probe rows failing the membership
+    * test are dropped at the scan; survivors (true hits + ≈1% FPs) go
+    * through the ordinary exact join, so the result is identical to
+    * `probe.join(buildDf, keys)` with a fraction of the shuffle.
+    */
+  def prunedJoin(probe: DataFrame, buildDf: DataFrame, probeKey: String,
+      buildKey: String, nBuildRows: Long): DataFrame = {
+    val f = build(buildDf, buildKey, nBuildRows)
+    probe.filter(f.mightContain(col(probeKey)))
+      .join(buildDf, probe(probeKey) === buildDf(buildKey))
+  }
+}

@@ -735,4 +735,33 @@ object VectorSearch {
       .filter(col("cos") >= minCos)
       .select(col("id1"), col("id2"), col("cos"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
+    * the embedding space, then inside each cluster drop every vector
+    * that has a SMALLER-id neighbor with cosine ≥ `tau` (keep-first,
+    * the paper's deterministic tie-break). The quadratic work is
+    * confined to single Voronoi cells — the pair join's key is `cell`,
+    * so cost is Σ|cell|², not n², and the cell assignment reuses the
+    * IVF quantizer machinery (literal argmax at toy C, broadcast-join
+    * argmax at production C). At C = 1 the clustering is degenerate
+    * and the result provably equals the brute-force rule — that
+    * configuration is the oracle query (d15); identical vectors always
+    * share a cell, so planted duplicates are removed at ANY C.
+    */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Seq[Float]], tau: Double): DataFrame = {
+    val assigned = withNearestCell(
+        vectors.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
+    val dropped = assigned
+      .select(col("cell"), col("id").as("id1"), col("v").as("v1"))
+      .join(assigned.select(col("cell"), col("id").as("id2"), col("v").as("v2")),
+        Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(round(G.cosineSim(col("v1"), col("v2")), 6) >= tau)
+      .select(col("id2").as("id"))
+      .distinct()
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cell"))
+  }
 }

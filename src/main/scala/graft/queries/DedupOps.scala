@@ -600,5 +600,46 @@ object DedupOps {
       WHERE shared >= CEIL(0.8 * np.n - 1e-9)
       ORDER BY id_small, id_big"""))
 
-  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14)
+  /** SemDeDup over embeddings ([[graft.ops.VectorSearch.semDedup]],
+    * Abbas et al. 2023): cluster-confined cosine pairs, drop every
+    * vector with a smaller-id neighbor at cosine ≥ 0.99, keep-first.
+    * Planting is a05's (every 13th vector gets a perturbed copy at
+    * id+10000 — always the larger id, so exactly the copies must go).
+    * Run at C = 1, where the clustered algorithm provably equals the
+    * brute-force rule the oracle states; C > 1 recall behavior (same
+    * planted copies still always drop — identical vectors share a
+    * cell at any C) is SemDedupSpec's job.
+    */
+  val d15 = Q("d15_semantic_dedup",
+    (s, dir) => {
+      import graft.ops.{VectorSearch => V}
+      val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.filter(pmod(col("vec_id"), lit(13)) === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+      val all = e.unionByName(planted)
+      val cents = V.trainCentroids(all, "vec_id", "embedding", c = 1, iters = 1)
+      V.semDedup(all, "vec_id", "embedding", cents, tau = 0.99)
+        .select(col("id").as("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH all_vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000,
+               CAST(list_transform(embedding,
+                 (x, i) -> CASE WHEN i = 1 THEN CAST(x + CAST(0.01 AS FLOAT) AS FLOAT) ELSE x END)
+                 AS DOUBLE[])
+        FROM embeddings WHERE vec_id % 13 = 0),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.99)
+      SELECT vec_id FROM all_vecs
+      WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+      ORDER BY vec_id"""))
+
+  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15)
 }

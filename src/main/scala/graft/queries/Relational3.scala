@@ -370,5 +370,53 @@ object Relational3 {
           AS intercept
       FROM m ORDER BY l_returnflag"""))
 
-  def qs: Seq[Q] = Seq(q25, q26, q27, q28, q29, q32, q33, q34, q46, q47, q52, q54, q57)
+  /** Hamming similarity self-join with EXACT pigeonhole blocking: two
+    * 20-char prefixes within 3 substitutions must agree exactly on at
+    * least one of 4 disjoint 5-char segments, so candidates are met
+    * only inside (segment-index, segment-value) buckets — never
+    * all-pairs — and the exact per-position distance then verifies the
+    * survivors (the SimHash-verification primitive, as a relational
+    * operator). Pair dedup happens on ids before the verify; the
+    * oracle is the brute-force cross join, which the blocking provably
+    * equals. At 100 TB the bucket join scales with bucket occupancy
+    * (near-dup density), not corpus².
+    */
+  val q59 = Q("q59_hamming_simjoin",
+    (s, dir) => {
+      val plen = 20; val segs = 4; val segLen = plen / segs
+      val p = load(s, dir, "documents")
+        .select(col("doc_id"),
+          substring(lower(trim(col("text"))), 1, plen).as("pfx"))
+        .filter(length(col("pfx")) === plen)
+      val segCols = (0 until segs).map(i => struct(lit(i).as("i"),
+        substring(col("pfx"), 1 + i * segLen, segLen).as("seg")))
+      val blocked = p
+        .select(col("doc_id"), col("pfx"), explode(array(segCols: _*)).as("e"))
+        .select(col("doc_id"), col("pfx"), col("e.i").as("i"), col("e.seg").as("seg"))
+      val cand = blocked
+        .select(col("i"), col("seg"), col("doc_id").as("id1"), col("pfx").as("p1"))
+        .join(blocked.select(col("i"), col("seg"),
+          col("doc_id").as("id2"), col("pfx").as("p2")), Seq("i", "seg"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), col("p1"), col("p2"))
+        .distinct()
+      cand
+        .withColumn("dist", expr("aggregate(sequence(1, 20), 0, " +
+          "(acc, i) -> acc + IF(substr(p1, i, 1) <> substr(p2, i, 1), 1, 0))"))
+        .filter(col("dist") <= 3)
+        .select(col("id1"), col("id2"), col("dist"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id, substring(lower(trim(text)), 1, 20) AS pfx
+        FROM documents),
+      p20 AS (SELECT * FROM p WHERE length(pfx) = 20)
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+        CAST(hamming(a.pfx, b.pfx) AS INT) AS dist
+      FROM p20 a JOIN p20 b ON a.doc_id < b.doc_id
+      WHERE hamming(a.pfx, b.pfx) <= 3
+      ORDER BY id1, id2"""))
+
+  def qs: Seq[Q] = Seq(q25, q26, q27, q28, q29, q32, q33, q34, q46, q47, q52, q54, q57, q59)
 }

@@ -68,5 +68,40 @@ object SkewOps {
         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
       FROM events GROUP BY 1 ORDER BY 1"""))
 
-  def qs: Seq[Q] = Seq(q39, q40)
+  /** Bloom-pruned fact join ([[graft.ops.Bloom]]): the filtered orders
+    * slice builds a distributed bit table (per-word `bit_or`, only
+    * m/64 words ever reach the driver), the lineitem scan tests k bits
+    * with codegen'd native expressions and drops ~(1−sel) of its rows
+    * BEFORE the exchange, and the ordinary exact join then removes the
+    * ≈1% false positives — so the bloom is semantically invisible and
+    * the oracle is the plain join. This is Spark's own
+    * `runtimeFilter.bloomFilter` pattern made explicit and
+    * deterministic; at 100 TB it is the difference between shuffling
+    * the whole fact table and shuffling the ~5% that can match.
+    */
+  val q58 = Q("q58_bloom_pruned_join",
+    (s, dir) => {
+      val dim = load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      // build-side cardinality for sizing only: a stats estimate works
+      // too — undersizing raises the FP rate, never breaks correctness
+      val n = dim.count()
+      graft.ops.Bloom.prunedJoin(load(s, dir, "lineitem"), dim,
+          "l_orderkey", "o_orderkey", nBuildRows = n)
+        .groupBy(month(col("o_orderdate")).cast("long").as("mes"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("mes"))
+    },
+    Some("""
+      SELECT CAST(MONTH(o.o_orderdate) AS BIGINT) AS mes,
+        COUNT(*) AS n_items,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderpriority = '1-URGENT' AND YEAR(o.o_orderdate) = 1995
+      GROUP BY 1 ORDER BY 1"""))
+
+  def qs: Seq[Q] = Seq(q39, q40, q58)
 }

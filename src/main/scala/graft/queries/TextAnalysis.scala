@@ -588,6 +588,98 @@ object TextAnalysis {
       WHERE (d.doc_id * 2654435761) % 10000 < r.rate_bp
       ORDER BY d.doc_id"""))
 
+  /** BM25 relevance scoring (Robertson & Spärck Jones probabilistic
+    * IDF, k1 = 1.2, b = 0.75) of every document against a fixed query
+    * term set — the retrieval-quality primitive a training pipeline
+    * uses for targeted corpus selection (e.g. DSIR-style domain
+    * matching). Plan shape: one explode→count for per-(doc, term) tf
+    * (map-side combinable, filtered to the query terms BEFORE the
+    * shuffle, so the exchange carries |terms|·n_docs rows max), a tiny
+    * broadcast df/N/avgdl side, and a final per-doc sum. Per-term
+    * contributions are rounded to 6 dp and summed as DECIMAL(18,6) —
+    * associative, so shuffle order can't perturb the hash; the `ln`
+    * inputs are bit-identical rationals in both engines and the result
+    * is rounded well away from representation noise.
+    */
+  val t17 = Q("t17_bm25_score",
+    (s, dir) => {
+      val terms = Seq("spark", "table", "hash")
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .withColumn("dl", org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+      val scalars = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+        .filter(col("token").isInCollection(terms))
+        .groupBy(col("doc_id"), col("dl"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfs = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfs), Seq("token"))
+        .crossJoin(broadcast(scalars))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+        .withColumn("idf", log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("sat", (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .withColumn("contrib", round(col("idf") * col("sat"), 6)
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("contrib")).cast("double").as("bm25"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      dl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+      sc AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      tf AS (
+        SELECT doc_id, dl, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS token FROM dl) x
+        WHERE token IN ('spark', 'table', 'hash')
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1)
+      SELECT doc_id, COUNT(*) AS n_terms,
+        CAST(SUM(CAST(ROUND(
+          LN(1.0 + (sc.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+          ((tf.tf * 2.2) /
+           (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (CAST(sc.sum_dl AS DOUBLE) / sc.n_docs)))),
+          6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+      FROM tf JOIN dfs USING (token), sc
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Deterministic per-group sampling (the scalable substitute for
+    * rand(): bottom-k by a cryptographic hash of the id — a consistent
+    * sample that is reproducible across reruns, engines, and data
+    * re-orderings, and composable across batches because membership
+    * depends only on the key). Per-source rank over md5(doc_id), keep
+    * the 25 smallest; the shuffle key is the group column, per-group
+    * state is a streaming rank — the same plan at any corpus size
+    * (skewed/low-cardinality group sets would use the a07-style
+    * partial-top-k tree instead of one window partition per group).
+    */
+  val t18 = Q("t18_deterministic_sample",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
+      load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("rk"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 25)
+        .select(col("source"), col("rank"), col("doc_id"), col("rk"))
+        .orderBy(col("source"), col("rank"))
+    },
+    Some("""
+      SELECT source,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rank,
+        doc_id, md5(CAST(doc_id AS VARCHAR)) AS rk
+      FROM documents
+      QUALIFY rank <= 25
+      ORDER BY source, rank"""))
+
   def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16)
+    t11, t12, t13, t14, t15, t16, t17, t18)
 }

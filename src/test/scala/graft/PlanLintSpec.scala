@@ -34,7 +34,8 @@ class PlanLintSpec extends SparkSuite {
     "a19_ivfpq_probe_all",   // exact re-rank = a01's broadcast 1-row query
     "a20_recall_exact",      // a12's shape with exact candidates
     "a21_versioned_ivf_probe_all", // a06's shape over the TxStore-versioned index
-    "t16_domain_mixture"     // 1-row corpus total against the per-domain stats
+    "t16_domain_mixture",    // 1-row corpus total against the per-domain stats
+    "t17_bm25_score"         // 1-row N/avgdl scalars against the tf table
   )
 
   test("no query plans a CartesianProduct; BNLJ only where designed") {
