@@ -74,6 +74,7 @@ object GraftFunctions {
   def hyperplaneLsh(col: Column, nbits: Int = 16, seed: Long = 42L): Column =
     c(HyperplaneLsh(e(col), nbits, seed))
   def hammingDist64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+  def gzipRatio(col: Column): Column = c(GzipRatio(e(col)))
 
   // ---- text analysis (composed from builtins => codegen'd) ----
 
@@ -152,6 +153,7 @@ object GraftFunctions {
     one("safra_of", SafraOf)
     one("normalize_safra", NormalizeSafra)
     one("simhash64", SimHash64)
+    one("gzip_ratio", GzipRatio)
     reg.createOrReplaceTempFunction("convert_unit",
       exprs => ConvertUnit(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     reg.createOrReplaceTempFunction("hash64",

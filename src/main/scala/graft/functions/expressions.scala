@@ -11,6 +11,21 @@ import org.apache.spark.sql.types._
   * [[graft.functions.TextOps]] etc. directly.
   */
 
+/** Deflate compression ratio of a string (Gopher-family repetition/
+  * boilerplate quality signal). Codegen'd call into the static helper;
+  * deterministic for a given zlib level.
+  */
+case class GzipRatio(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    TextOps.deflateRatio(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.deflateRatio($c)")
+  override protected def withNewChildInternal(c: Expression): GzipRatio = copy(c)
+  override def prettyName: String = "gzip_ratio"
+}
+
 /** F3 — accent stripping (reference `normalize/crops.py:6-8`). */
 case class StripAccents(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true

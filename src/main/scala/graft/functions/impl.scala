@@ -72,6 +72,28 @@ object TextOps {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Deflate compression ratio (compressed bytes / raw bytes, zlib
+    * level 6, raw stream): the Gopher/CCNet-family quality signal —
+    * boilerplate and template spam compress far below natural prose.
+    * Only the compressed LENGTH is kept (the output buffer is reused
+    * for counting), so the expression allocates one fixed 8 KiB
+    * scratch per call and never materializes the compressed payload.
+    * Empty input ratio is defined as 1.0.
+    */
+  def deflateRatio(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      n.toDouble / raw.length
+    } finally d.end()
+  }
+
   /** Portuguese-aware title case: capitalize words except small words
     * (de, da, do, das, dos, e) unless first (reference:
     * `normalize/regions.py:133-149`; plain `initcap` is wrong there).

@@ -393,18 +393,23 @@ object Relational3 {
       val blocked = p
         .select(col("doc_id"), col("pfx"), explode(array(segCols: _*)).as("e"))
         .select(col("doc_id"), col("pfx"), col("e.i").as("i"), col("e.seg").as("seg"))
-      val cand = blocked
+      // verify-early: the 20-char hamming test is ~free next to a
+      // shuffle, so it runs INSIDE the bucket join's output before the
+      // pair-dedup — the distinct then exchanges only the verified
+      // survivors (27 rows at sf0.01) instead of every bucket
+      // collision with its string payloads (515k pairs at sf0.1).
+      // A same-bucket pair may be verified up to 4× (once per shared
+      // segment index) — redundant codegen arithmetic, no extra I/O.
+      blocked
         .select(col("i"), col("seg"), col("doc_id").as("id1"), col("pfx").as("p1"))
         .join(blocked.select(col("i"), col("seg"),
           col("doc_id").as("id2"), col("pfx").as("p2")), Seq("i", "seg"))
         .filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"), col("p1"), col("p2"))
-        .distinct()
-      cand
         .withColumn("dist", expr("aggregate(sequence(1, 20), 0, " +
           "(acc, i) -> acc + IF(substr(p1, i, 1) <> substr(p2, i, 1), 1, 0))"))
         .filter(col("dist") <= 3)
         .select(col("id1"), col("id2"), col("dist"))
+        .distinct()
         .orderBy(col("id1"), col("id2"))
     },
     Some("""

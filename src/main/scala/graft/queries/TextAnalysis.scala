@@ -680,6 +680,63 @@ object TextAnalysis {
       QUALIFY rank <= 25
       ORDER BY source, rank"""))
 
+  /** Feature hashing (the hashing trick, Weinberger et al. ICML'09):
+    * fixed 64-bucket token histogram per document, bucket =
+    * md5(token)[0:8] as an integer mod 64 — md5 is bit-identical in
+    * every engine, so the featurization is portable by construction
+    * (xxhash64 would be faster but engine-private). Output in sparse
+    * long form (only occupied buckets), which is also what a trainer
+    * ingests. One explode + one map-side-combinable count — the
+    * featurization plan IS the word-count plan, at any corpus size.
+    */
+  val t19 = Q("t19_feature_hashing",
+    (s, dir) => {
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
+            lit(64L)))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"), col("bucket"))
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS bucket,
+        COUNT(*) AS n
+      FROM (SELECT doc_id,
+              unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+            FROM documents) x
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Compression-ratio quality gate ([[graft.functions.GzipRatio]] —
+    * the Gopher/CCNet signal: template spam deflates far below natural
+    * prose). Every 11th document gets a planted degenerate twin (its
+    * first token repeated 200×) at doc_id+20000; the gate must flag
+    * every planted twin and no original (the corpus's random-vocab
+    * prose sits well above the 0.35 threshold — asserted in-row, q52
+    * stance, since no SQL engine exposes deflate). Pure per-row
+    * codegen expression: scan → project, zero shuffle at any scale.
+    */
+  val t20 = Q("t20_compression_gate",
+    (s, dir) => {
+      val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          array_join(array_repeat(element_at(split(trim(col("text")), "\\s+"), 1),
+            200), " ").as("text"))
+      docs.unionByName(planted)
+        .select(col("doc_id"),
+          round(graft.functions.GraftFunctions.gzipRatio(col("text")), 4)
+            .as("gzip_ratio"),
+          (col("doc_id") >= 20000).as("is_planted"))
+        .withColumn("flagged", col("gzip_ratio") < 0.35)
+        .withColumn("gate_correct", col("flagged") === col("is_planted"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20)
 }

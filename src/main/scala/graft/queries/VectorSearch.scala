@@ -732,6 +732,48 @@ object VectorSearch {
     },
     a01Top10Oracle)
 
+  /** Batch model inference as a pure projection: logistic scoring
+    * sigmoid(w·x + b) of every embedding against a literal weight
+    * vector — the shape of corpus-wide quality-classifier scoring
+    * (fastText-style filters, reward-model gating) when the model is
+    * linear-head-over-embedding. ZERO shuffle: the weights ride into
+    * codegen as a constant, the dot product is an ordered fold (seed
+    * b, then products left-to-right — mirrored exactly by the oracle's
+    * list_reduce over a prepended seed, so the IEEE add sequence is
+    * identical), and the plan is scan → project → sort. At 100 TB this
+    * is the one operator family that is embarrassingly parallel — the
+    * only thing to get wrong is a shuffle, and there isn't one.
+    */
+  val a22 = Q("a22_model_scoring",
+    (s, dir) => {
+      val w: Seq[Double] = (0 until 64).map(i => ((i * 37) % 19 - 9) / 10.0)
+      val bias = 0.1
+      load(s, dir, "embeddings")
+        .withColumn("z", round(aggregate(
+          zip_with(col("embedding"), typedlit(w), (x, wi) => x * wi),
+          lit(bias), (acc, p) => acc + p), 6))
+        .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+        .select(col("vec_id"), col("z"), col("score"),
+          when(col("score") >= 0.5, lit("keep")).otherwise(lit("drop"))
+            .as("decision"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      z AS (
+        SELECT vec_id,
+          ROUND(list_reduce(list_prepend(0.1, list_transform(
+            generate_series(1, 64),
+            i -> v[i] * ([${(0 until 64).map(i => ((i * 37) % 19 - 9) / 10.0).mkString(", ")}])[i])),
+            (a, x) -> a + x), 6) AS z
+        FROM e)
+      SELECT vec_id, z,
+        ROUND(1.0 / (1.0 + EXP(-z)), 6) AS score,
+        CASE WHEN ROUND(1.0 / (1.0 + EXP(-z)), 6) >= 0.5
+             THEN 'keep' ELSE 'drop' END AS decision
+      FROM z ORDER BY vec_id"""))
+
   def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
-    a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21)
+    a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22)
 }
