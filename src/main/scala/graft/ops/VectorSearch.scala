@@ -736,6 +736,32 @@ object VectorSearch {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  /** Matryoshka-style two-stage search (Kusupati et al. NeurIPS'22:
+    * nested-representation embeddings keep most of their signal in a
+    * prefix of the dimensions): stage 1 scores EVERY row on the first
+    * `coarseDims` dims only — a strictly cheaper scan — and keeps a
+    * `shortlist`; stage 2 re-ranks the shortlist with full-dimension
+    * exact cosine. With shortlist ≥ corpus the result provably equals
+    * brute force (the oracle configuration); recall at real shortlist
+    * sizes is the spec's job. The pattern generalizes: any cheap
+    * monotone-ish scorer (truncated dims, int8-quantized dot, PQ ADC)
+    * in stage 1, exact re-rank over an id-join in stage 2 — only the
+    * shortlist's full vectors are ever fetched.
+    */
+  def truncatedRerank(base: DataFrame, query: DataFrame, vecCol: String,
+      idCols: Seq[String], coarseDims: Int, shortlist: Int, k: Int): DataFrame = {
+    val coarse = base.crossJoin(broadcast(query.select(col(vecCol).as("_qv"))))
+      .withColumn("_coarse", G.cosineSim(
+        slice(col(vecCol), 1, coarseDims), slice(col("_qv"), 1, coarseDims)))
+      .orderBy(col("_coarse").desc, col(idCols.head))
+      .limit(shortlist)
+    coarse
+      .withColumn("sim", round(G.cosineSim(col(vecCol), col("_qv")), 6))
+      .select((idCols.map(col) :+ col("sim")): _*)
+      .orderBy(col("sim").desc, col(idCols.head))
+      .limit(k)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
     * the embedding space, then inside each cluster drop every vector
     * that has a SMALLER-id neighbor with cosine ≥ `tau` (keep-first,

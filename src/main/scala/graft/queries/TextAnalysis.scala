@@ -737,6 +737,51 @@ object TextAnalysis {
     },
     None)
 
+  /** Unigram-LM surprisal scoring (the CCNet perplexity filter with
+    * the corpus itself as the LM): token probability = corpus MLE
+    * freq/total, each occurrence contributes −ln p, and a document's
+    * score is the mean surprisal in nats (ppl = e^mean beside it).
+    * Every corpus token has freq ≥ 1, so p > 0 and ln is total. Plan:
+    * one token count (map-side combinable) joined back to the token
+    * stream on the token key, then a per-doc decimal sum of 6-dp
+    * contributions — t17's arithmetic discipline, t11's join shape.
+    * At web scale the LM side is top-V vocab + an OOV floor instead
+    * of the full table; the plan is otherwise unchanged.
+    */
+  val t21 = Q("t21_lm_surprisal",
+    (s, dir) => {
+      val toks = load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      val freqs = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      val total = toks.agg(count(lit(1)).as("_total"))
+      toks.join(freqs, Seq("token"))
+        .crossJoin(broadcast(total))
+        .withColumn("surprisal",
+          round(-log(col("freq").cast("double") / col("_total")), 6)
+            .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(col("surprisal")).cast("double") / count(lit(1)), 6)
+            .as("mean_surprisal"))
+        .withColumn("ppl", round(exp(col("mean_surprisal")), 4))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        FROM documents),
+      freqs AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS total FROM toks)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(freq AS DOUBLE) / tot.total), 6)
+          AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal,
+        ROUND(EXP(ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(freq AS DOUBLE) / tot.total), 6)
+          AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)), 4) AS ppl
+      FROM toks JOIN freqs USING (token), tot
+      GROUP BY doc_id, tot.total ORDER BY doc_id"""))
+
   def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
 }

@@ -774,6 +774,27 @@ object VectorSearch {
              THEN 'keep' ELSE 'drop' END AS decision
       FROM z ORDER BY vec_id"""))
 
+  /** Two-stage truncated-dimension search
+    * ([[graft.ops.VectorSearch.truncatedRerank]], Matryoshka-style):
+    * 16-of-64-dim coarse scan, full-dim exact re-rank. Run in the
+    * degenerate shortlist ≥ corpus configuration, where the two-stage
+    * result provably equals brute force — a01's oracle verbatim;
+    * recall at real shortlist sizes (16 of 500) is asserted in
+    * BloomSemDedupSpec against planted neighbors.
+    */
+  val a23 = Q("a23_matryoshka_rerank",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+      V.truncatedRerank(
+          e.filter(col("vec_id") =!= 0),
+          e.filter(col("vec_id") === 0),
+          "embedding", idCols = Seq("vec_id", "label"),
+          coarseDims = 16, shortlist = Int.MaxValue, k = 10)
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    },
+    a01Top10Oracle)
+
   def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
-    a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22)
+    a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23)
 }

@@ -69,6 +69,29 @@ class BloomSemDedupSpec extends SparkSuite {
     assert(s1.subsetOf(s8), "C=8 dropped a pair C=1 did not — impossible")
   }
 
+  test("matryoshka rerank: planted neighbor recovered through a 16-dim coarse stage") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val query = e.filter($"vec_id" === 0)
+    // planted near-copy of the query — near-identical in EVERY prefix
+    val planted = query.select(lit(99999L).as("vec_id"),
+      transform($"embedding", (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+        .as("embedding"), lit(-1).as("label"))
+    val base = e.filter($"vec_id" =!= 0).unionByName(planted)
+    val top = V.truncatedRerank(base, query, "embedding",
+        idCols = Seq("vec_id", "label"), coarseDims = 16, shortlist = 16, k = 10)
+      .select($"vec_id").as[Long].collect()
+    assert(top.head === 99999L, s"planted neighbor not top-1: ${top.toSeq}")
+    // degenerate shortlist == corpus must equal brute force exactly
+    val brute = V.bruteForceTopK(base, query, "embedding", 10)
+      .orderBy($"sim".desc, $"vec_id").limit(10)
+      .select($"vec_id").as[Long].collect().toSeq
+    val degen = V.truncatedRerank(base, query, "embedding",
+        idCols = Seq("vec_id", "label"), coarseDims = 16,
+        shortlist = Int.MaxValue, k = 10)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(degen === brute)
+  }
+
   test("q59 pigeonhole blocking finds exactly the brute-force hamming pairs") {
     val plen = 20
     val p = spark.read.parquet(s"$sf/documents.parquet")

@@ -35,7 +35,9 @@ class PlanLintSpec extends SparkSuite {
     "a20_recall_exact",      // a12's shape with exact candidates
     "a21_versioned_ivf_probe_all", // a06's shape over the TxStore-versioned index
     "t16_domain_mixture",    // 1-row corpus total against the per-domain stats
-    "t17_bm25_score"         // 1-row N/avgdl scalars against the tf table
+    "t17_bm25_score",        // 1-row N/avgdl scalars against the tf table
+    "t21_lm_surprisal",      // 1-row corpus-total scalar against the token stream
+    "a23_matryoshka_rerank"  // broadcast 1-row query vector (a01's shape, two stages)
   )
 
   test("no query plans a CartesianProduct; BNLJ only where designed") {
