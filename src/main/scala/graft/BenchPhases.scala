@@ -65,6 +65,7 @@ object BenchPhases {
   val budgetOverrides: Map[String, Double] = Map(
     "d08_neardup_clusters" -> 6.0, // full pair-graph connected-components closure (multi-round large/small-star)
     "d10_cjk_char_dedup" -> 4.5,   // char-gram shingling is ~5x the token count of word grams
-    "d14_containment_join" -> 4.5  // asymmetric probe join counts every shared shingle exactly
+    "d14_containment_join" -> 4.5, // asymmetric probe join counts every shared shingle exactly
+    "d15_semantic_dedup" -> 4.0    // C=1 oracle degeneracy is deliberately all-pairs (25M cosines); production C>1 is cell-confined (spec)
   )
 }

@@ -264,4 +264,33 @@ object Graft {
   def dispatchAlerts(results: Seq[graft.health.CheckResult],
       channels: Seq[graft.health.Notifier]): Seq[(graft.health.Alert, Int, Seq[(String, String)])] =
     new graft.health.AlertService(channels).dispatch(results)
+
+  /** SemDeDup — [[graft.ops.VectorSearch.semDedup]] (d15): survivors
+    * after dropping every vector with a smaller-id cluster-mate at
+    * cosine ≥ tau. Train `cents` with [[graft.ops.VectorSearch.trainCentroids]].
+    */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Seq[Float]], tau: Double): DataFrame =
+    graft.ops.VectorSearch.semDedup(vectors, idCol, vecCol, cents, tau)
+
+  /** Bloom-pruned inner join — [[graft.ops.Bloom.prunedJoin]] (q58). */
+  def bloomPrunedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, nBuildRows: Long): DataFrame =
+    graft.ops.Bloom.prunedJoin(probe, build, probeKey, buildKey, nBuildRows)
+
+  /** Bloom-gated decontamination — [[graft.ops.Curation.decontaminateBloom]]
+    * (d16): [[decontaminate]]'s result when the benchmark gram set is
+    * too large to broadcast as strings.
+    */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame =
+    graft.ops.Curation.decontaminateBloom(corpus, bench, idCol, textCol, n)
+
+  /** Matryoshka two-stage ANN — [[graft.ops.VectorSearch.truncatedRerank]]
+    * (a23): truncated-dim coarse scan, full-dim exact re-rank.
+    */
+  def annTopKTruncated(base: DataFrame, query: DataFrame, vecCol: String,
+      idCols: Seq[String], coarseDims: Int, shortlist: Int, k: Int): DataFrame =
+    graft.ops.VectorSearch.truncatedRerank(base, query, vecCol, idCols,
+      coarseDims, shortlist, k)
 }

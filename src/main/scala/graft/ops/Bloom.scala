@@ -36,13 +36,17 @@ object Bloom {
       * false ⇒ key is DEFINITELY absent. Pure native expressions, so
       * the whole test inlines into the probe scan's codegen stage.
       */
-    def mightContain(key: Column): Column =
+    def mightContain(key: Column): Column = {
+      // one shared Literal for the word table — k bit tests reference
+      // the same converted array instead of converting it k times
+      val bits = typedlit(words.toSeq)
       (0 until k).map { i =>
         val pos = pmod(xxhash64(key, lit(i)), lit(mBits))
-        val word = element_at(typedlit(words.toSeq), (pos / 64).cast("int") + 1)
+        val word = element_at(bits, (pos / 64).cast("int") + 1)
         word.bitwiseAND(call_function("shiftleft", lit(1L),
           pmod(pos, lit(64L)).cast("int"))) =!= 0
       }.reduce(_ && _)
+    }
   }
 
   /** Builds the bloom over the distinct values of `keyCol`. `nRows` is

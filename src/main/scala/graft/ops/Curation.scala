@@ -75,6 +75,29 @@ object Curation {
         min(col("bench_doc")).as("first_bench_hit"))
   }
 
+  /** [[decontaminate]]'s 100 TB regime: when the benchmark gram SET is
+    * too large to broadcast as a hash relation (a full eval-suite
+    * 13-gram inventory is GBs of strings), gate the corpus gram stream
+    * through a [[graft.ops.Bloom]] bit table first — 10 bits/gram
+    * instead of the gram bytes, still one broadcast — and run the
+    * exact gram join only over the ≈1% of survivors (true hits + FPs).
+    * The exact join then removes every false positive, so the result
+    * EQUALS [[decontaminate]] by construction: d16 runs under d11's
+    * oracle verbatim.
+    */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val benchGrams = wordGramPositions(bench, idCol, textCol, n)
+      .groupBy(col("g")).agg(min(col(idCol)).as("bench_doc"))
+    val f = Bloom.build(benchGrams, "g", nRows = benchGrams.count())
+    wordGramPositions(corpus, idCol, textCol, n)
+      .filter(f.mightContain(col("g")))
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_shared_grams"),
+        min(col("bench_doc")).as("first_bench_hit"))
+  }
+
   /** Remove token spans from documents: `spans` carries
     * (id, span_start, span_end) in 1-based token positions (the
     * [[duplicateSpans]] output shape — which spans to scrub is the

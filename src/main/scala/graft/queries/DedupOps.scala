@@ -399,19 +399,26 @@ object DedupOps {
     * map-side; only flagged (doc, gram) hits reach the final
     * aggregation shuffle.
     */
+  /** d11/d16's shared fixture: (corpus-with-planted-contamination,
+    * benchmark slice) — every 13th training doc gets the first 8
+    * tokens of benchmark doc (doc_id mod 6) appended.
+    */
+  private def contaminated(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val snip = bench.select((col("doc_id") / 97).cast("long").as("bix"),
+      concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 8)).as("snippet"))
+    val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val planted = train.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .withColumn("bix", pmod(col("doc_id"), lit(6)))
+      .join(snip, Seq("bix"))
+      .select(col("doc_id"), concat(col("text"), lit(" "), col("snippet")).as("text"))
+    (train.filter(pmod(col("doc_id"), lit(13)) =!= 0).unionByName(planted), bench)
+  }
+
   val d11 = Q("d11_decontaminate",
     (s, dir) => {
-      val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
-      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-      val snip = bench.select((col("doc_id") / 97).cast("long").as("bix"),
-        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 8)).as("snippet"))
-      val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-      val planted = train.filter(pmod(col("doc_id"), lit(13)) === 0)
-        .withColumn("bix", pmod(col("doc_id"), lit(6)))
-        .join(snip, Seq("bix"))
-        .select(col("doc_id"), concat(col("text"), lit(" "), col("snippet")).as("text"))
-      val corpus = train.filter(pmod(col("doc_id"), lit(13)) =!= 0)
-        .unionByName(planted)
+      val (corpus, bench) = contaminated(s, dir)
       graft.ops.Curation.decontaminate(corpus, bench, "doc_id", "text", n = 8)
         .orderBy(col("doc_id"))
     },
@@ -450,6 +457,24 @@ object DedupOps {
              MIN(bench_doc) AS first_bench_hit
       FROM cg JOIN bgr USING (g)
       GROUP BY 1 ORDER BY 1"""))
+
+  /** d11 at the 100 TB operating point
+    * ([[graft.ops.Curation.decontaminateBloom]]): the benchmark gram
+    * set rides as a 10-bits-per-gram Bloom bit table instead of a
+    * broadcast hash relation of gram strings; corpus grams that fail
+    * the bit test never reach the exact join, and the exact join then
+    * removes the ≈1% false positives — so the result provably equals
+    * d11's, and this query runs under d11's ORACLE verbatim. The pair
+    * (d11, d16) is the broadcast-vs-bloom switchover a real
+    * decontamination deployment makes as the eval suite grows.
+    */
+  val d16 = Q("d16_bloom_decontaminate",
+    (s, dir) => {
+      val (corpus, bench) = contaminated(s, dir)
+      graft.ops.Curation.decontaminateBloom(corpus, bench, "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    },
+    d11.oracle)
 
   /** Duplicated-SPAN detection (the substring-dedup shape of Lee et
     * al. 2022, "Deduplicating Training Data Makes Language Models
@@ -641,5 +666,5 @@ object DedupOps {
       WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
       ORDER BY vec_id"""))
 
-  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15)
+  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16)
 }

@@ -393,20 +393,31 @@ object Relational3 {
       val blocked = p
         .select(col("doc_id"), col("pfx"), explode(array(segCols: _*)).as("e"))
         .select(col("doc_id"), col("pfx"), col("e.i").as("i"), col("e.seg").as("seg"))
-      // verify-early: the 20-char hamming test is ~free next to a
-      // shuffle, so it runs INSIDE the bucket join's output before the
-      // pair-dedup — the distinct then exchanges only the verified
-      // survivors (27 rows at sf0.01) instead of every bucket
-      // collision with its string payloads (515k pairs at sf0.1).
-      // A same-bucket pair may be verified up to 4× (once per shared
-      // segment index) — redundant codegen arithmetic, no extra I/O.
-      blocked
+      // verify-early: the 20-char hamming test runs INSIDE the bucket
+      // join's output before the pair-dedup — the distinct then
+      // exchanges only verified survivors (27 rows at sf0.01) instead
+      // of every bucket collision with its string payloads (515k pairs
+      // at sf0.1). A same-bucket pair may be verified up to 4× (once
+      // per shared segment index) — redundant arithmetic, no extra I/O.
+      // The probe side is round-robin repartitioned: the verify stage
+      // is CPU-bound and hot segment values make bucket sizes skewed,
+      // so spreading probe rows evenly beats inheriting the scan's
+      // splits (an explicit repartition also can't be AQE-coalesced
+      // back into one small-input task). The segment table broadcasts
+      // at this fan-out; a corpus too big to broadcast switches the
+      // same plan to a shuffle join on (i, seg).
+      blocked.repartition(32)
         .select(col("i"), col("seg"), col("doc_id").as("id1"), col("pfx").as("p1"))
-        .join(blocked.select(col("i"), col("seg"),
-          col("doc_id").as("id2"), col("pfx").as("p2")), Seq("i", "seg"))
+        .join(broadcast(blocked.select(col("i"), col("seg"),
+          col("doc_id").as("id2"), col("pfx").as("p2"))), Seq("i", "seg"))
         .filter(col("id1") < col("id2"))
-        .withColumn("dist", expr("aggregate(sequence(1, 20), 0, " +
-          "(acc, i) -> acc + IF(substr(p1, i, 1) <> substr(p2, i, 1), 1, 0))"))
+        // per-char compare as 20 STATIC terms, not an `aggregate` HOF:
+        // higher-order functions break whole-stage codegen and drop
+        // ~1M candidate rows into interpreted lambda eval; the unrolled
+        // form stays inside one codegen stage
+        .withColumn("dist", (1 to plen).map(i =>
+          when(substring(col("p1"), i, 1) =!= substring(col("p2"), i, 1), 1)
+            .otherwise(0)).reduce(_ + _))
         .filter(col("dist") <= 3)
         .select(col("id1"), col("id2"), col("dist"))
         .distinct()

@@ -782,6 +782,48 @@ object TextAnalysis {
       FROM toks JOIN freqs USING (token), tot
       GROUP BY doc_id, tot.total ORDER BY doc_id"""))
 
+  /** Epoch upsampling — t16's other half (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": under-represented
+    * domains repeat for up to ~4 epochs before returns collapse).
+    * Per-domain repeat factor = ceil(target_tokens / actual_tokens)
+    * capped at 4, derived from a tiny per-domain aggregate; each doc
+    * then fans out into (doc_id, epoch) rows via an explode over
+    * sequence(1, copies) — deterministic integer arithmetic end to
+    * end, so the oracle hash-matches. The fan-out multiplies rows by
+    * ≤4 with zero extra shuffle (explode is a generator in the scan
+    * stage); the only exchange is the per-domain stats broadcast.
+    */
+  val t22 = Q("t22_epoch_upsample",
+    (s, dir) => {
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      val stats = docs.groupBy(col("lang")).agg(sum(col("n_tok")).as("tok_g"))
+      // target: every domain should contribute >= 30k tokens (sf0.01
+      // puts 'en' far above, the rest below -> factors 1..4 all occur)
+      val rates = stats.select(col("lang"),
+        least(lit(4L), ceil(lit(30000.0) / col("tok_g")).cast("long"))
+          .as("n_epochs"))
+      docs.join(broadcast(rates), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_epochs"),
+          explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      stats AS (SELECT lang, SUM(n_tok) AS tok_g FROM d GROUP BY 1),
+      rates AS (
+        SELECT lang,
+          LEAST(4, CAST(CEIL(30000.0 / tok_g) AS BIGINT)) AS n_epochs
+        FROM stats)
+      SELECT doc_id, d.lang, r.n_epochs, CAST(u.epoch AS BIGINT) AS epoch
+      FROM d JOIN rates r USING (lang),
+        UNNEST(generate_series(1, r.n_epochs)) AS u(epoch)
+      ORDER BY doc_id, epoch"""))
+
   def qs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22)
 }

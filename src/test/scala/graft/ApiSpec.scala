@@ -167,6 +167,37 @@ class ApiSpec extends SparkSuite {
     assert(spans == Set((2L, 1L, 9L), (10L, 1L, 9L)), s"got $spans")
   }
 
+  test("facade: round-4 verbs (semDedup, bloom join, bloom decontaminate, truncated ANN)") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over the lazy dog now"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    // bloom-gated decontamination must equal the broadcast-exact verb
+    val exact = Graft.decontaminate(docs, bench, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val bloomed = Graft.decontaminateBloom(docs, bench, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bloomed == exact && exact.nonEmpty)
+
+    val probe = (0L until 100L).map(i => (i, s"p$i")).toDF("k", "payload")
+    val build = (0L until 100L by 10L).map(i => (i, s"b$i")).toDF("bk", "tag")
+    val joined = Graft.bloomPrunedJoin(probe, build, "k", "bk", nBuildRows = 10)
+      .select($"k", $"tag").as[(Long, String)].collect().toSet
+    assert(joined == (0L until 100L by 10L).map(i => (i, s"b$i")).toSet)
+
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.ops.VectorSearch.trainCentroids(e, "vec_id", "embedding", c = 1, iters = 1)
+    val survivors = Graft.semDedup(e, "vec_id", "embedding", cents, tau = 0.999)
+    assert(survivors.count() > 0 && survivors.count() <= e.count())
+
+    val top = Graft.annTopKTruncated(e.filter($"vec_id" =!= 0),
+      e.filter($"vec_id" === 0), "embedding", Seq("vec_id"),
+      coarseDims = 16, shortlist = Int.MaxValue, k = 5)
+    assert(top.count() === 5)
+  }
+
   test("scrubbing every detected span removes every duplicated gram from the corpus") {
     // real corpus + planted near-dups: detect all duplicated 5-gram
     // spans, scrub them from EVERY doc, and no originally-duplicated

@@ -92,6 +92,30 @@ class EdgeCasesSpec extends SparkSuite {
       .count() == 0)
   }
 
+  test("round-4 ops: empty/degenerate inputs never crash, bloom with empty build prunes everything") {
+    import graft.ops.{Bloom, Curation, VectorSearch => V}
+    val emptyDocs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq((1L, "alpha beta"), (2L, "")).toDF("doc_id", "text")
+    // bloom over an EMPTY build side: no bit set, every probe row
+    // definitively absent, pruned join == plain join == empty
+    val f = Bloom.build(emptyDocs.select($"doc_id".as("k")), "k", nRows = 0)
+    assert(docs.filter(f.mightContain($"doc_id")).count() == 0)
+    assert(Bloom.prunedJoin(docs, emptyDocs.select($"doc_id".as("k"), $"text".as("t")),
+      "doc_id", "k", nBuildRows = 0).count() == 0)
+    // bloom-gated decontamination with an empty benchmark flags nothing
+    assert(Curation.decontaminateBloom(docs, emptyDocs, "doc_id", "text").count() == 0)
+    // semDedup on a single vector and on an empty frame
+    val one = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cents = Array(Seq(1.0f, 0.0f))
+    assert(V.semDedup(one, "vec_id", "embedding", cents, tau = 0.9).count() == 1)
+    val noVecs = spark.emptyDataset[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(V.semDedup(noVecs, "vec_id", "embedding", cents, tau = 0.9).count() == 0)
+    // truncatedRerank with k larger than the corpus
+    val tiny = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    assert(V.truncatedRerank(tiny, one, "embedding", Seq("vec_id"),
+      coarseDims = 1, shortlist = 100, k = 10).count() == 2)
+  }
+
   test("payload chunking: empty payload yields no chunks, reassembly skips it") {
     import graft.ops.Multimodal
     val media = Seq((1L, "png", Array[Byte]()), (2L, "png", "abcdef".getBytes("UTF-8")))
