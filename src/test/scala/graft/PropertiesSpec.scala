@@ -91,4 +91,11 @@ object FunctionProperties extends Properties("graft.functions") {
       val h = SketchOps.simhash64(u(words.mkString(" ")))
       SketchOps.hamming64(h, h) == 0 && SketchOps.hamming64(h, ~h) == 64
     }
+
+  property("deflate ratio: positive, deterministic, repetition compresses harder") =
+    forAll(Gen.asciiPrintableStr.suchThat(_.length >= 10)) { s =>
+      val r1 = TextOps.deflateRatio(u(s))
+      val rep = TextOps.deflateRatio(u(s * 50))
+      r1 > 0.0 && r1 == TextOps.deflateRatio(u(s)) && rep <= r1
+    }
 }
