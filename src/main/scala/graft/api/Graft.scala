@@ -265,6 +265,15 @@ object Graft {
       channels: Seq[graft.health.Notifier]): Seq[(graft.health.Alert, Int, Seq[(String, String)])] =
     new graft.health.AlertService(channels).dispatch(results)
 
+  /** Streaming-ingest decontamination —
+    * [[graft.streaming.Streaming.decontaminationSink]]: a doc sharing
+    * any verbatim n-gram with the static benchmark never enters the
+    * corpus (bloom-gated, exact-verified, ACID admissions).
+    */
+  def decontaminationSink(docs: DataFrame, bench: DataFrame, root: String,
+      n: Int, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.Streaming.decontaminationSink(docs, bench, root, n, checkpoint)
+
   /** SemDeDup — [[graft.ops.VectorSearch.semDedup]] (d15): survivors
     * after dropping every vector with a smaller-id cluster-mate at
     * cosine ≥ tau. Train `cents` with [[graft.ops.VectorSearch.trainCentroids]].

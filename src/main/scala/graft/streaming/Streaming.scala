@@ -126,6 +126,45 @@ object Streaming {
       .start()
   }
 
+  /** Streaming-ingest DECONTAMINATION ([[curationSink]]'s sibling for
+    * benchmark leakage): every microbatch's documents are gated
+    * against a STATIC held-out benchmark before admission — a doc
+    * sharing any verbatim n-gram with the benchmark never enters the
+    * corpus. The benchmark side is prepared ONCE at sink creation: its
+    * distinct grams and a [[graft.ops.Bloom]] bit table over them; per
+    * batch, only grams passing the k-bit test (≈1% of a clean batch)
+    * reach the exact gram join that removes bloom false positives —
+    * d16's shape, run forever. Admissions are TxStore commits with the
+    * batch-id high-water mark, so replays are dropped and readers see
+    * a versioned, time-travelable clean corpus.
+    */
+  def decontaminationSink(docs: DataFrame, bench: DataFrame, root: String,
+      n: Int, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val benchGrams = graft.ops.Curation
+      .wordGramPositions(bench, "doc_id", "text", n)
+      .select(col("g")).distinct()
+    val bloom = graft.ops.Bloom.build(benchGrams, "g",
+      nRows = benchGrams.count())
+    val commit: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, id) => {
+        val b = batch.toDF()
+        if (!b.isEmpty) {
+          val flagged = graft.ops.Curation
+            .wordGramPositions(b, "doc_id", "text", n)
+            .filter(bloom.mightContain(col("g")))
+            .join(broadcast(benchGrams), Seq("g"))
+            .select(col("doc_id")).distinct()
+          graft.store.TxStore.commitBatch(batch.sparkSession, root,
+            b.join(flagged, Seq("doc_id"), "left_anti"), Seq("doc_id"), id)
+        }
+        ()
+      }
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(commit)
+      .start()
+  }
+
   /** Continuously-maintained MATERIALIZED VIEW: a streaming
     * aggregation in update mode, each microbatch's changed rows
     * MERGEd into the transactional store by aggregate key. Update-mode

@@ -212,6 +212,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("decontamination sink: contaminated docs never enter the corpus, clean ones always do") {
+    import graft.store.TxStore
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_dec").resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_decckpt").toString
+    val benchText = "secret eval question about the golden ratio and its continued fraction"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.decontaminationSink(in.toDF().toDF("doc_id", "text"),
+      bench, root, n = 8, checkpoint = ckpt)
+    try {
+      // batch 1: two clean docs + one carrying a verbatim benchmark 8-gram
+      in.addData(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (2L, "one two three four five six seven eight nine ten"),
+        (3L, "prefix words then secret eval question about the golden ratio and its tail"))
+      q.processAllAvailable()
+      assert(TxStore.read(spark, root).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 2L))
+      // batch 2: clean doc + full benchmark copy — only the clean one lands
+      in.addData((4L, "red orange yellow green blue indigo violet cyan magenta"),
+        (5L, benchText))
+      q.processAllAvailable()
+      assert(TxStore.read(spark, root).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: hot items survive MG state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
