@@ -392,5 +392,41 @@ object StoreOps {
       UNION ALL SELECT * FROM del
       ORDER BY o_orderkey"""))
 
-  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
+  /** Schema evolution as a commit
+    * ([[graft.store.TxStore.commitUpsertEvolve]]): the update set
+    * carries a column the committed table never had; surviving base
+    * rows backfill NULL, and because every version directory is a
+    * self-contained snapshot, the PRE-evolution version keeps its
+    * original schema under time travel (asserted in TxStoreSpec — no
+    * global schema registry, no reader-side merge). The oracle states
+    * the merged result with an explicit NULL-filled column.
+    */
+  val s12 = Q("s12_schema_evolution",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_txevo")
+        .resolve("t").toString
+      val base = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.store.TxStore.init(base, root)
+      val updates = load(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 100000.0).as("o_totalprice"),
+          col("o_orderpriority").as("priority_flag"))
+      graft.store.TxStore.commitUpsertEvolve(s, root, updates, Seq("o_orderkey"))
+      graft.store.TxStore.read(s, root).orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+      updates AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 100000.0 AS o_totalprice,
+               o_orderpriority AS priority_flag
+        FROM orders WHERE o_orderkey % 10 = 0)
+      SELECT b.o_orderkey, b.o_custkey, b.o_totalprice,
+             CAST(NULL AS VARCHAR) AS priority_flag
+      FROM base b WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      UNION ALL SELECT * FROM updates
+      ORDER BY o_orderkey"""))
+
+  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12)
 }

@@ -169,6 +169,35 @@ object TxStore {
     next
   }
 
+  /** Schema-EVOLVING MERGE-commit: [[commitUpsert]] where `updates`
+    * may carry columns the committed snapshot lacks (backfilled null
+    * on surviving base rows) and may omit base columns (null on
+    * inserted rows) — [[Store.upsertEvolve]] under the same
+    * all-or-nothing pointer flip. Because every version directory is a
+    * self-contained snapshot, evolution is PER-VERSION: time travel to
+    * a pre-evolution version returns that version's schema, exactly —
+    * no global schema registry to migrate, no reader-side merge. Type
+    * CHANGES on shared columns stay an analysis error (silent widening
+    * hides corruption).
+    */
+  def commitUpsertEvolve(spark: SparkSession, root: String, updates: DataFrame,
+      pk: Seq[String], expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
+    val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val base = spark.read.parquet(versionDir(root, expected))
+    val merged = Store.upsertEvolve(base, updates, pk)
+    val next = expected + 1
+    writeVersion(merged, root, next)
+    if (currentVersion(root) != Some(expected)) {
+      deleteRecursively(Paths.get(versionDir(root, next)))
+      throw new ConcurrentCommitException(
+        s"table at $root moved past v$expected; retry on the new snapshot")
+    }
+    writeManifest(root, next, "upsert_evolve", Some(expected))
+    flipPointer(root, Some(expected), next)
+    next
+  }
+
   /** Initialize a PARTITIONED table at version 1 (directory layout
     * `v1/<partCol>=<value>/part-*.parquet`).
     */

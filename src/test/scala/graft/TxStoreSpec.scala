@@ -89,6 +89,22 @@ class TxStoreSpec extends SparkSuite {
     assert(out2.contains((4L, None, 70.0)) && out2.size == 3)
   }
 
+  test("schema evolution as a COMMIT: current has the new column, time travel keeps the old schema") {
+    val root = java.nio.file.Files.createTempDirectory("graft_txevo_s").resolve("t").toString
+    val base = Seq((1L, 100.0), (2L, 50.0)).toDF("k", "v")
+    TxStore.init(base, root)
+    val updates = Seq((2L, 60.0, "conab"), (3L, 30.0, "cepea")).toDF("k", "v", "fonte")
+    val v2 = TxStore.commitUpsertEvolve(spark, root, updates, Seq("k"))
+    assert(v2 == 2L)
+    val cur = TxStore.read(spark, root)
+    assert(cur.columns.toSet == Set("k", "v", "fonte"))
+    assert(cur.filter($"k" === 1L).select($"fonte").head().isNullAt(0))
+    // the pre-evolution version keeps ITS schema — per-version, no registry
+    assert(TxStore.readVersion(spark, root, 1L).columns.toSet == Set("k", "v"))
+    // manifest records the evolving commit
+    assert(TxStore.history(spark, root).filter($"action" === "upsert_evolve").count() == 1)
+  }
+
   test("time travel reads any committed version; uncommitted versions are unreadable") {
     val root = freshRoot()
     TxStore.init(Seq((1L, "soja", 100.0)).toDF("k", "produto", "v"), root)
