@@ -666,5 +666,91 @@ object DedupOps {
       WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
       ORDER BY vec_id"""))
 
-  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16)
+  /** Global line-level dedup (the C4 / RefinedWeb boilerplate rule:
+    * across the WHOLE corpus, only the first occurrence of each exact
+    * line survives; cookie banners, nav bars, and shared footers
+    * vanish from every later document). The corpus is single-line
+    * prose, so the query first materializes a deterministic line
+    * structure — 10-token body lines plus a planted shared boilerplate
+    * header (every 5th doc) and per-source footer (every 3rd doc), the
+    * same construction in the oracle — then keeps rank-1 per line key
+    * (first by (doc_id, pos)) and reassembles each document from its
+    * surviving lines in order. Plan shape: one exchange on the line
+    * key (first-occurrence window — per-line groups are duplicate-
+    * count-sized, never corpus-sized) and one on doc_id (reassembly);
+    * line payloads could ride as hashes + a rank-1 semi-join at 100 TB
+    * but the shape is already the linear one. Docs whose every line
+    * is a duplicate still appear (LEFT join + empty-text COALESCE).
+    */
+  val d17 = Q("d17_line_dedup",
+    (s, dir) => {
+      val lineLen = 10
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          split(trim(col("text")), "\\s+").as("toks"))
+        .withColumn("nl",
+          ceil(size(col("toks")) / lit(lineLen.toDouble)).cast("int"))
+        .withColumn("lines", concat(
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            array(lit("aceite os cookies para continuar")))
+            .otherwise(array().cast("array<string>")),
+          transform(sequence(lit(0), col("nl") - 1),
+            i => array_join(slice(col("toks"), i * lineLen + 1, lit(lineLen)), " ")),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            array(concat(lit("fonte "), col("source"))))
+            .otherwise(array().cast("array<string>"))))
+      val exploded = docs
+        .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos0", "line")))
+        .withColumn("pos", (col("pos0") + 1).cast("long")).drop("pos0")
+      val wFirst = Window.partitionBy(col("line")).orderBy(col("doc_id"), col("pos"))
+      val kept = exploded.withColumn("rk", row_number().over(wFirst))
+        .filter(col("rk") === 1)
+      val reassembled = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("text_dedup"))
+      docs.select(col("doc_id"), size(col("lines")).cast("long").as("n_lines"))
+        .join(reassembled, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+          regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      l AS (
+        SELECT doc_id,
+          list_concat(list_concat(
+            CASE WHEN doc_id % 5 = 0
+              THEN ['aceite os cookies para continuar']
+              ELSE CAST([] AS VARCHAR[]) END,
+            list_transform(
+              generate_series(1, CAST(CEIL(len(toks) / 10.0) AS INT)),
+              i -> array_to_string(toks[(i - 1) * 10 + 1 : i * 10], ' '))),
+            CASE WHEN doc_id % 3 = 0
+              THEN ['fonte ' || source]
+              ELSE CAST([] AS VARCHAR[]) END) AS lines
+        FROM d),
+      e AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS pos, lines[t.i] AS line
+        FROM l, UNNEST(generate_series(1, len(lines))) AS t(i)),
+      k AS (
+        SELECT doc_id, pos, line,
+          ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+        FROM e),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+          string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+        FROM k WHERE rk = 1 GROUP BY 1)
+      SELECT l.doc_id, CAST(len(l.lines) AS BIGINT) AS n_lines,
+        COALESCE(a.n_kept, 0) AS n_kept,
+        COALESCE(a.text_dedup, '') AS text_dedup
+      FROM l LEFT JOIN agg a USING (doc_id)
+      ORDER BY l.doc_id"""))
+
+  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17)
 }

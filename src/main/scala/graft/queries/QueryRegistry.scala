@@ -17,7 +17,7 @@ case class Q(
 
 object QueryRegistry {
   def all: Seq[Q] =
-    Relational.qs ++ Relational2.qs ++ Relational3.qs ++ Temporal.qs ++ AgFunctions.qs ++ Validation.qs ++ TextAnalysis.qs ++
+    Relational.qs ++ Relational2.qs ++ Relational3.qs ++ Temporal.qs ++ AgFunctions.qs ++ Validation.qs ++ TextAnalysis.qs ++ TextAnalysis2.qs ++
       DedupOps.qs ++ VectorSearch.qs ++ StoreOps.qs ++ DimOps.qs ++
       MultimodalOps.qs ++ SkewOps.qs ++ Analytics.qs ++ SemiStructured.qs
 

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.T._
+
+/** Training-batch assembly + data-selection operators for the
+  * LLM-data pipeline: sequence packing (the exact-interval
+  * concat-and-chunk form and the greedy no-split form — [[TextAnalysis.t05]]
+  * is the doc-granularity cousin) and DSIR importance resampling.
+  * Same oracle discipline as [[TextAnalysis]]: every float aggregate
+  * goes through 6-dp-rounded DECIMAL sums, every computed column is
+  * aliased identically in both engines.
+  */
+object TextAnalysis2 {
+
+  /** Tokens per training sequence for the packing operators. */
+  private val SeqBudget = 512L
+
+  /** Concat-and-chunk sequence packing (the GPT-2/Pile batch-assembly
+    * shape: documents are concatenated in a fixed deterministic order
+    * and the token stream is cut every `SeqBudget` tokens — documents
+    * MAY span a sequence boundary). Each doc maps to the half-open
+    * token interval [start_tok, end_tok) of the virtual stream, from
+    * which its first/last sequence ids and offset are pure integer
+    * arithmetic. ([[TextAnalysis.t05]] buckets doc STARTS per-lang at
+    * doc granularity; this is the exact-slicing form — boundary-
+    * crossing spans, offsets — a packer actually materializes.)
+    *
+    * The global prefix sum is computed as a TWO-LEVEL scan so no
+    * window ever sees the whole corpus in one partition: docs fold
+    * into `doc_id div 1024` blocks (per-block sums, parallel), block
+    * totals take a tiny cumulative window (corpus/1024 rows — the one
+    * sequential step, itself recursable into L levels at extreme
+    * scale), and the broadcast block bases re-anchor a per-block
+    * window that runs in parallel across blocks. Shuffle cost: one
+    * block aggregate + one 1024-rows-per-partition window — no
+    * single-partition pass over the data, at any corpus size.
+    */
+  val t23 = Q("t23_sequence_packing",
+    (s, dir) => {
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+          expr("doc_id div 1024").as("block"))
+      val blocks = docs.groupBy(col("block")).agg(sum(col("n_tok")).as("tok_b"))
+      val wBlocks = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bases = blocks
+        .withColumn("base", coalesce(sum(col("tok_b")).over(wBlocks), lit(0L)))
+        .select(col("block"), col("base"))
+      val wInBlock = Window.partitionBy(col("block")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(broadcast(bases), Seq("block"))
+        .withColumn("end_tok", col("base") + sum(col("n_tok")).over(wInBlock))
+        .withColumn("start_tok", col("end_tok") - col("n_tok"))
+        .withColumn("seq_first", expr(s"start_tok div $SeqBudget"))
+        .withColumn("seq_last", expr(s"(end_tok - 1) div $SeqBudget"))
+        .withColumn("seq_offset", pmod(col("start_tok"), lit(SeqBudget)))
+        .withColumn("n_seqs", col("seq_last") - col("seq_first") + lit(1L))
+        .select(col("doc_id"), col("n_tok"), col("start_tok"), col("seq_first"),
+          col("seq_last"), col("seq_offset"), col("n_seqs"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tok,
+          CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS end_tok
+        FROM d)
+      SELECT doc_id, n_tok,
+        end_tok - n_tok AS start_tok,
+        (end_tok - n_tok) // 512 AS seq_first,
+        (end_tok - 1) // 512 AS seq_last,
+        (end_tok - n_tok) % 512 AS seq_offset,
+        ((end_tok - 1) // 512) - ((end_tok - n_tok) // 512) + 1 AS n_seqs
+      FROM c ORDER BY doc_id"""))
+
+  /** Greedy no-split bin packing (the T5/FlanT5 batch-assembly shape:
+    * a document never crosses a sequence boundary; a new bin starts
+    * whenever the next doc would overflow the budget; an over-budget
+    * doc takes a bin alone). The fold is sequentially dependent, so
+    * it runs as genuine per-partition imperative logic — the ONE
+    * family where mapPartitions is the honest tool: each source shard
+    * packs independently (exactly how production packers parallelize,
+    * one packer per input shard), `repartition(source)` +
+    * `sortWithinPartitions` gives each partition its shards' docs in
+    * order, and the fold streams with O(1) state — no group
+    * materialization, no driver collect. The DuckDB oracle states the
+    * same fold as a recursive CTE.
+    */
+  val t24 = Q("t24_greedy_packing",
+    (s, dir) => {
+      import s.implicits._
+      val b = 256L
+      load(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+        .repartition(col("source"))
+        .sortWithinPartitions(col("source"), col("doc_id"))
+        .as[(String, Long, Long)]
+        .mapPartitions { it =>
+          var cur: String = null
+          var bin = 0L
+          var fill = 0L
+          it.map { case (src, id, n) =>
+            if (src != cur) { cur = src; bin = 0L; fill = 0L }
+            if (fill > 0 && fill + n > b) { bin += 1; fill = 0L }
+            fill += n
+            (src, id, n, bin, fill)
+          }
+        }
+        .toDF("source", "doc_id", "n_tok", "bin", "fill_after")
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT source, doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents),
+      p AS (
+        SELECT source, doc_id, n_tok, rn,
+          CAST(0 AS BIGINT) AS bin, n_tok AS fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.source, d.doc_id, d.n_tok, d.rn,
+          CASE WHEN p.fill + d.n_tok > 256 THEN p.bin + 1 ELSE p.bin END,
+          CASE WHEN p.fill + d.n_tok > 256 THEN d.n_tok ELSE p.fill + d.n_tok END
+        FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+      SELECT source, doc_id, n_tok, bin, fill AS fill_after
+      FROM p ORDER BY source, doc_id"""))
+
+  /** DSIR importance resampling (Xie et al., NeurIPS 2023: "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by the log-likelihood ratio of a target-domain
+    * unigram LM vs the raw-pool LM over HASHED n-gram features, then
+    * keep the top-k. Target domain here = the `lang = 'en'` slice;
+    * features = t19's 64 md5 buckets (engine-portable by
+    * construction); both LMs are add-one smoothed so every λ is a
+    * total function. Per-bucket λ is rounded to 6 dp and summed as
+    * DECIMAL over token occurrences — associative, so shuffle order
+    * cannot perturb the hash (t17/t21 discipline). Plan: one
+    * map-side-combinable bucket count each for pool and target, a
+    * ≤64-row broadcast λ table, one per-doc sum, and a top-k window
+    * that is bounded by k — at web scale the λ table stays 64 rows
+    * and the only data-sized exchanges are the two word-count shapes.
+    */
+  val t25 = Q("t25_dsir_resample",
+    (s, dir) => {
+      val toks = load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
+            lit(64L)))
+      val totals = toks.agg(count(lit(1)).as("tr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
+      val pool = toks.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+      val target = toks.filter(col("lang") === "en")
+        .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+      val lam = pool.join(target, Seq("bucket"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("bucket"),
+          round(log(((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("tt") + lit(64.0)))
+            / ((col("cr") + lit(1.0)) / (col("tr") + lit(64.0)))), 6)
+            .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6))
+            .as("lam"))
+      val weights = toks.join(broadcast(lam), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          round(sum(col("lam")).cast("double"), 6).as("dsir_w"))
+      val wTop = Window.orderBy(col("dsir_w").desc, col("doc_id"))
+      weights.withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 100)
+        .select(col("doc_id"), col("n_tok"), col("dsir_w"), col("rank"))
+        .orderBy(col("rank"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        FROM documents),
+      b AS (
+        SELECT doc_id, lang,
+          CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS bucket
+        FROM toks),
+      tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS tr,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+        FROM b),
+      pool AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY 1),
+      target AS (SELECT bucket, COUNT(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+      lam AS (
+        SELECT pool.bucket,
+          CAST(ROUND(LN(((COALESCE(target.ct, 0) + 1.0) / (tot.tt + 64.0))
+            / ((pool.cr + 1.0) / (tot.tr + 64.0))), 6) AS DECIMAL(18,6)) AS lam
+        FROM pool LEFT JOIN target USING (bucket), tot),
+      w AS (
+        SELECT b.doc_id, COUNT(*) AS n_tok,
+          ROUND(CAST(SUM(lam.lam) AS DOUBLE), 6) AS dsir_w
+        FROM b JOIN lam USING (bucket)
+        GROUP BY 1)
+      SELECT doc_id, n_tok, dsir_w,
+        CAST(ROW_NUMBER() OVER (ORDER BY dsir_w DESC, doc_id) AS INT) AS rank
+      FROM w QUALIFY rank <= 100 ORDER BY rank"""))
+
+  def qs: Seq[Q] = Seq(t23, t24, t25)
+}
