@@ -146,9 +146,11 @@ object TextAnalysis2 {
     * DECIMAL over token occurrences — associative, so shuffle order
     * cannot perturb the hash (t17/t21 discipline). Plan: one
     * map-side-combinable bucket count each for pool and target, a
-    * ≤64-row broadcast λ table, one per-doc sum, and a top-k window
-    * that is bounded by k — at web scale the λ table stays 64 rows
-    * and the only data-sized exchanges are the two word-count shapes.
+    * ≤64-row broadcast λ table, one per-doc sum, and a top-k via
+    * orderBy+limit (TakeOrderedAndProject: per-partition heaps) with
+    * only the 100 survivors entering the ranking window (t10's
+    * shape) — at web scale the λ table stays 64 rows and the only
+    * data-sized exchanges are the two word-count shapes.
     */
   val t25 = Q("t25_dsir_resample",
     (s, dir) => {
@@ -174,9 +176,9 @@ object TextAnalysis2 {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tok"),
           round(sum(col("lam")).cast("double"), 6).as("dsir_w"))
+      val top = weights.orderBy(col("dsir_w").desc, col("doc_id")).limit(100)
       val wTop = Window.orderBy(col("dsir_w").desc, col("doc_id"))
-      weights.withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= 100)
+      top.withColumn("rank", row_number().over(wTop))
         .select(col("doc_id"), col("n_tok"), col("dsir_w"), col("rank"))
         .orderBy(col("rank"))
     },

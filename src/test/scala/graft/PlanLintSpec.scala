@@ -37,25 +37,81 @@ class PlanLintSpec extends SparkSuite {
     "t16_domain_mixture",    // 1-row corpus total against the per-domain stats
     "t17_bm25_score",        // 1-row N/avgdl scalars against the tf table
     "t21_lm_surprisal",      // 1-row corpus-total scalar against the token stream
-    "a23_matryoshka_rerank"  // broadcast 1-row query vector (a01's shape, two stages)
+    "a23_matryoshka_rerank", // broadcast 1-row query vector (a01's shape, two stages)
+    "t25_dsir_resample"      // 1-row (tr, tt) corpus totals against the ≤64-row λ table
   )
+
+  /** Queries whose plan legitimately sorts a whole frame through one
+    * Window partition: every one runs over a frame already reduced to
+    * metadata scale (a constant-cardinality aggregate or a local dim),
+    * never over per-row data.
+    */
+  private val globalWindowByDesign = Set(
+    "t23_sequence_packing", // cumulative base over `doc_id div 1024` block totals (corpus/1024 rows, recursable)
+    "v10_dist_drift",       // proportions over the 10-bin histogram frame (groupBy least(floor/50000, 9) ⇒ ≤10 rows)
+    "a18_pq_shortlist_all"  // degenerate twin BY INTENT: shortlist k covers the corpus, so batchTopK's per-qid window (qid folded to a constant) sees everything — real configs partition by qid over k·P partial rows
+  )
+
+  import org.apache.spark.sql.catalyst.plans.logical._
+
+  /** Conservative "output cardinality is bounded by a constant"
+    * check: true for limits, scalar aggregates, local relations, and
+    * any node all of whose inputs are bounded. A parquet scan is
+    * unbounded; so is anything built only from one.
+    */
+  private def bounded(p: LogicalPlan): Boolean = p match {
+    case _: GlobalLimit | _: LocalLimit            => true
+    case a: Aggregate if a.groupingExpressions.isEmpty => true
+    case _: LocalRelation | _: OneRowRelation      => true
+    case l: LeafNode                               => false
+    case other => other.children.forall(bounded)
+  }
+
+  /** A Window with no partitionBy funnels its entire input through ONE
+    * task (Exchange SinglePartition → Sort → Window) — the pattern
+    * that silently works at sf0.01 and serializes at 100 TB. Only
+    * allowed when the input is structurally bounded (a limit or local
+    * relation below it) or declared above.
+    */
+  private def unboundedGlobalWindows(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+        s"global-sort Window over unbounded input: ${w.windowExpressions.map(_.name).mkString(",")}"
+    }
 
   test("no query plans a CartesianProduct; BNLJ only where designed") {
     graft.functions.GraftFunctions.register(spark)
     val dir = "/root/testdata/sf0.001"
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     QueryRegistry.all.foreach { q =>
-      val plan =
-        try q.fn(spark, dir).queryExecution.executedPlan.toString
+      val qe =
+        try { val e = q.fn(spark, dir).queryExecution; e.executedPlan; e }
         catch { case e: Throwable =>
           fail(s"${q.name} failed to plan: ${e.getMessage}")
         }
+      val plan = qe.executedPlan.toString
       if (plan.contains("CartesianProduct"))
         offenders += s"${q.name}: CartesianProduct"
       if (plan.contains("BroadcastNestedLoopJoin") && !bnljByDesign(q.name))
         offenders += s"${q.name}: undeclared BroadcastNestedLoopJoin"
+      if (!globalWindowByDesign(q.name))
+        unboundedGlobalWindows(qe.optimizedPlan).foreach(v =>
+          offenders += s"${q.name}: $v")
     }
     assert(offenders.isEmpty,
       s"plan lint violations:\n${offenders.mkString("\n")}")
+  }
+
+  test("the global-window lint catches a planted offender") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val offender = docs.withColumn("rank",
+      row_number().over(Window.orderBy(col("doc_id"))))
+    assert(unboundedGlobalWindows(offender.queryExecution.optimizedPlan).nonEmpty)
+    // ...and does NOT fire once the frame is limit-bounded (t10/t25 shape)
+    val boundedTopK = docs.orderBy(col("doc_id")).limit(100)
+      .withColumn("rank", row_number().over(Window.orderBy(col("doc_id"))))
+    assert(unboundedGlobalWindows(boundedTopK.queryExecution.optimizedPlan).isEmpty)
   }
 }
