@@ -146,7 +146,18 @@ final class LogNotifier extends Notifier {
 final class FileNotifier(path: String) extends Notifier {
   val name = "file"
   def send(a: Alert): Unit = {
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // full JSON string escaping including control characters — an alert
+    // title carrying an exception message with newlines must still land
+    // as ONE parseable JSONL record
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val line = s"""{"level":"${a.level}","title":"${esc(a.title)}",""" +
       s""""source":${a.source.map(s => "\"" + esc(s) + "\"").getOrElse("null")},""" +
       s""""at":"${a.at}"}"""

@@ -85,16 +85,19 @@ object VectorSearch {
     * `max_by` takes the per-vector argmax with the SAME tie-break as
     * [[nearestCell]] (highest sim, then lowest cid). Partial
     * aggregation collapses the n×C fan-out back to n rows map-side, so
-    * the shuffle carries one row per vector. All non-id columns are
-    * carried with `first` (the C duplicates are identical). This is the
-    * shape [[trainCentroids]] already uses for training assignment,
-    * applied to the build/append/encode paths.
+    * the shuffle carries one row per vector. The regroup key is a
+    * ROW-unique surrogate (not the id), so rows sharing an id each get
+    * their own per-row argmax — exactly the literal path's multiplicity
+    * semantics (e.g. a streaming append batch with a repeated id);
+    * carried columns use `first` over the C identical duplicates of
+    * that single row. This is the shape [[trainCentroids]] already uses
+    * for training assignment, applied to the build/append/encode paths.
     */
   private[graft] def assignCellsJoin(vectors: DataFrame, idCol: String,
       vecCol: String, cents: Array[Seq[Float]], l2: Boolean = false): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val carried = vectors.columns.filterNot(_ == idCol)
+    val carried = (idCol +: vectors.columns.filterNot(_ == idCol).toSeq)
       .map(cn => first(col(cn)).as(cn))
     // the join key is a degenerate (single-valued) hash of the id, NOT a
     // literal: a foldable constant key gets constant-folded into a cross
@@ -109,11 +112,14 @@ object VectorSearch {
     val argmax =
       if (l2) min_by(col("_cid"), struct(col("_score"), col("_cid")))
       else max_by(col("_cid"), struct(col("_score"), -col("_cid")))
-    vectors.withColumn("_one", pmod(xxhash64(col(idCol)), lit(1)).cast("int"))
+    vectors
+      .withColumn("_rid", monotonically_increasing_id())
+      .withColumn("_one", pmod(xxhash64(col(idCol)), lit(1)).cast("int"))
       .join(centDf, Seq("_one"))
       .withColumn("_score", score)
-      .groupBy(col(idCol))
-      .agg(argmax.as("cell"), carried.toSeq: _*)
+      .groupBy(col("_rid"))
+      .agg(carried.head, (carried.tail :+ argmax.as("cell")): _*)
+      .drop("_rid")
   }
 
   /** Adds the Voronoi `cell` column: centroid-literal argmax under
@@ -341,33 +347,57 @@ object VectorSearch {
     */
   def initVersionedIvf(vectors: DataFrame, idCol: String, vecCol: String,
       cents: Array[Seq[Float]], root: String): Long = {
-    val v = graft.store.TxStore.initPartitioned(
+    // sidecar precedes the commit: init always publishes v1, and a v1
+    // quantizer beside a table that never commits is inert, while the
+    // reverse order would let a crash commit a version with no geometry
+    writeQuantizer(root, 1L, cents)
+    graft.store.TxStore.initPartitioned(
       withNearestCell(vectors, idCol, vecCol, cents)
         .repartition(cents.length, col("cell")), root, "cell")
-    writeQuantizer(root, v, cents)
-    v
   }
 
   /** Retrain-and-swap: re-assign every vector under the NEW quantizer
-    * and publish atomically as the next version.
+    * and publish atomically as the next version. The quantizer sidecar
+    * is written through `commitReplace`'s beforeFlip hook, so a version
+    * can never be committed without its own geometry on disk — a crash
+    * between the two would otherwise leave [[readQuantizer]]'s
+    * at-or-below-v fallback silently serving the OLD quantizer against
+    * data assigned under the NEW one.
     */
   def retrainVersionedIvf(spark: SparkSession, root: String, idCol: String,
       vecCol: String, newCents: Array[Seq[Float]]): Long = {
     val resident = graft.store.TxStore.read(spark, root).drop("cell")
-    val v = graft.store.TxStore.commitReplace(spark, root,
+    graft.store.TxStore.commitReplace(spark, root,
       withNearestCell(resident, idCol, vecCol, newCents)
         .repartition(newCents.length, col("cell")),
-      partitionBy = Some("cell"))
-    writeQuantizer(root, v, newCents)
-    v
+      partitionBy = Some("cell"),
+      beforeFlip = v => writeQuantizer(root, v, newCents))
+  }
+
+  /** The single-query APIs ([[probeVersionedIvf]], [[truncatedRerank]])
+    * share one shortlist/top-k across their whole input: with more than
+    * one query row the scores would silently mix. Enforced loudly here;
+    * the cost is a bounded `limit(2)` count over a frame that is tiny
+    * by contract.
+    */
+  private def requireSingleQuery(query: DataFrame, api: String, batchApi: String): Unit = {
+    val n = query.limit(2).count()
+    require(n == 1,
+      s"$api answers ONE query per call (got ${if (n > 1) ">1" else "0"} rows): " +
+      s"its shortlist and top-k are global, so multiple query rows would mix " +
+      s"scores across queries — use $batchApi to thread a query id through a batch")
   }
 
   /** Probe the CURRENT version (or `version` for time travel) with the
     * quantizer persisted beside that version — old geometry probes old
-    * snapshots correctly forever.
+    * snapshots correctly forever. Single-query by contract (asserted):
+    * batch probes go through [[probeIvfIndexBatch]] against
+    * `TxStore.versionDir`, which threads a query id.
     */
   def probeVersionedIvf(spark: SparkSession, root: String, query: DataFrame,
       vecCol: String, nprobe: Int, version: Option[Long] = None): DataFrame = {
+    requireSingleQuery(query, "probeVersionedIvf",
+      "probeIvfIndexBatch(spark, TxStore.versionDir(root, v), ...)")
     val v = version.orElse(graft.store.TxStore.currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val cents = readQuantizer(root, v)
@@ -750,6 +780,8 @@ object VectorSearch {
     */
   def truncatedRerank(base: DataFrame, query: DataFrame, vecCol: String,
       idCols: Seq[String], coarseDims: Int, shortlist: Int, k: Int): DataFrame = {
+    requireSingleQuery(query, "truncatedRerank",
+      "a per-query_id composition over batchTopK")
     val coarse = base.crossJoin(broadcast(query.select(col(vecCol).as("_qv"))))
       .withColumn("_coarse", G.cosineSim(
         slice(col(vecCol), 1, coarseDims), slice(col("_qv"), 1, coarseDims)))

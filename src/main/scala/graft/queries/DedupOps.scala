@@ -639,8 +639,11 @@ object DedupOps {
     (s, dir) => {
       import graft.ops.{VectorSearch => V}
       val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // planted ids start at max+1 (mirrored as a scalar subquery in the
+      // oracle) — a bigger corpus can never collide into the planted range
+      val off = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
       val planted = e.filter(pmod(col("vec_id"), lit(13)) === 0)
-        .select((col("vec_id") + 10000).as("vec_id"),
+        .select((col("vec_id") + lit(off)).as("vec_id"),
           transform(col("embedding"),
             (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
       val all = e.unionByName(planted)
@@ -653,7 +656,7 @@ object DedupOps {
       WITH all_vecs AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         UNION ALL
-        SELECT vec_id + 10000,
+        SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings),
                CAST(list_transform(embedding,
                  (x, i) -> CASE WHEN i = 1 THEN CAST(x + CAST(0.01 AS FLOAT) AS FLOAT) ELSE x END)
                  AS DOUBLE[])

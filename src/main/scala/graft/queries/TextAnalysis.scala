@@ -718,19 +718,25 @@ object TextAnalysis {
     * prose sits well above the 0.35 threshold — asserted in-row, q52
     * stance, since no SQL engine exposes deflate). Pure per-row
     * codegen expression: scan → project, zero shuffle at any scale.
+    * Planted ids start at max(doc_id)+1 — derived, not a constant, so
+    * a larger corpus can never collide real ids into the planted range
+    * — and `is_planted` is CARRIED through the union rather than
+    * re-derived from the id.
     */
   val t20 = Q("t20_compression_gate",
     (s, dir) => {
       val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
       val planted = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
-        .select((col("doc_id") + 20000).as("doc_id"),
+        .select((col("doc_id") + lit(off)).as("doc_id"),
           array_join(array_repeat(element_at(split(trim(col("text")), "\\s+"), 1),
-            200), " ").as("text"))
-      docs.unionByName(planted)
+            200), " ").as("text"),
+          lit(true).as("is_planted"))
+      docs.withColumn("is_planted", lit(false)).unionByName(planted)
         .select(col("doc_id"),
           round(graft.functions.GraftFunctions.gzipRatio(col("text")), 4)
             .as("gzip_ratio"),
-          (col("doc_id") >= 20000).as("is_planted"))
+          col("is_planted"))
         .withColumn("flagged", col("gzip_ratio") < 0.35)
         .withColumn("gate_correct", col("flagged") === col("is_planted"))
         .orderBy(col("doc_id"))

@@ -523,7 +523,8 @@ object TxStore {
     */
   def commitReplace(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Option[String] = None,
-      expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
+      expectedVersion: Option[Long] = None,
+      beforeFlip: Long => Unit = _ => ()): Long = withCommitLock(root) {
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val next = expected + 1
@@ -542,6 +543,11 @@ object TxStore {
       throw new ConcurrentCommitException(
         s"table at $root moved past v$expected; retry on the new snapshot")
     }
+    // sidecars the candidate version must carry (e.g. the IVF quantizer
+    // geometry) are written BEFORE the pointer flip: a committed version
+    // always has its own sidecars on disk, while a sidecar orphaned by a
+    // crash in this window describes an uncommitted version and is inert
+    beforeFlip(next)
     writeManifest(root, next, "replace", Some(expected))
     flipPointer(root, Some(expected), next)
     next
