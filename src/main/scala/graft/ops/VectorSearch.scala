@@ -550,39 +550,40 @@ object VectorSearch {
     */
   def trainPqCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
       m: Int, c: Int, iters: Int = 2): Array[Array[Seq[Float]]] = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+    val base = vectors.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // read once per Lloyd round; a single seed pass + iters encode
+    // passes otherwise re-scan the input
+    val cached = if (iters > 1) base.cache() else base
+    // deterministic seeds: the first c VECTORS in (xxhash64(id), id)
+    // order — one TakeOrdered over n rows, sliced into every subspace
+    // driver-side. (Per-subspace seed order equals the id order, so
+    // this is exactly the per-subspace window it replaces — without
+    // sorting an n×m exploded subvector table.)
+    val seedRows = cached.orderBy(xxhash64(col("id")), col("id")).limit(c)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    require(seedRows.length == c, s"k-means needs ≥ $c rows (got ${seedRows.length})")
+    val dim = seedRows.head.size
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subLen = dim / m
-    val subs = vectors.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .select(col("id"), explode(array((0 until m).map(i =>
-        struct(lit(i).as("sub"),
-          slice(col("v"), i * subLen + 1, subLen).as("sv"))): _*)).as("e"))
-      .select(col("id"), col("e.sub"), col("e.sv"))
-      .cache() // read once per Lloyd round
-    // deterministic seeds: first c subvectors per subspace in hash order
-    val seedW = Window.partitionBy(col("sub")).orderBy(xxhash64(col("id")), col("id"))
-    var books: Map[Int, IndexedSeq[Seq[Float]]] = subs
-      .withColumn("rn", row_number().over(seedW)).filter(col("rn") <= c)
-      .select(col("sub"), col("rn"), col("sv"))
-      .as[(Int, Int, Seq[Double])].collect()
-      .groupBy(_._1).map { case (s, rows) =>
-        s -> rows.sortBy(_._2).map(_._3.map(_.toFloat)).toIndexedSeq
-      }
+    var books: Array[Array[Seq[Float]]] = Array.tabulate(m)(s =>
+      seedRows.map(v => v.slice(s * subLen, (s + 1) * subLen)
+        .map(_.toFloat).toSeq))
     for (_ <- 1 to iters) {
-      val centDf = broadcast(books.toSeq.flatMap { case (s, cs) =>
-        cs.zipWithIndex.map { case (cv, i) => (s, i, cv) }
-      }.toDF("sub", "cid", "cv"))
-      val l2 = aggregate(zip_with(col("sv"), col("cv"),
-        (a, b) => (a - b) * (a - b)), lit(0.0d), (s, x) => s + x)
-      val means = subs.join(centDf, Seq("sub"))
-        .select(col("id"), col("sub"), col("sv"), col("cid"), l2.as("d"))
-        .groupBy(col("id"), col("sub"))
-        .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cell"),
-          first(col("sv")).as("sv"))
-        .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+      // assignment IS the encoder: [[withPqCodes]] picks the
+      // codebook-literal codegen argmin under [[LiteralMaxCodebook]]
+      // entries and the broadcast-join argmin above it — all m
+      // subspaces in one pass either way (no n×m×c join fan-out), and
+      // the per-(subspace, cell, position) means come off one
+      // map-side-combined aggregation over m·c·subLen groups
+      val coded = withPqCodes(cached, "id", "v", books)
+      val means = coded
+        .select(explode(array((0 until m).map(i =>
+          struct(lit(i).as("sub"),
+            element_at(col("codes"), i + 1).as("cell"),
+            slice(col("v"), i * subLen + 1, subLen).as("sv"))): _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.cell").as("cell"),
+          posexplode(col("e.sv")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("cell"), col("pos")).agg(avg(col("x")).as("mu"))
         .collect() // m·c·subLen rows — driver-side by design
         .groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("cell")))
@@ -590,12 +591,11 @@ object VectorSearch {
           (s, cell) -> rows.sortBy(_.getAs[Int]("pos"))
             .map(_.getAs[Double]("mu").toFloat).toSeq
         }
-      books = books.map { case (s, cs) =>
-        s -> cs.zipWithIndex.map { case (old, i) => means.getOrElse((s, i), old) }
-      }
+      books = Array.tabulate(m)(s =>
+        books(s).zipWithIndex.map { case (old, i) => means.getOrElse((s, i), old) })
     }
-    subs.unpersist()
-    (0 until m).map(s => (0 until c).map(i => books(s)(i)).toArray).toArray
+    if (iters > 1) cached.unpersist()
+    books
   }
 
   /** Encode a vector as its `m` codebook cell ids (the PQ code:
