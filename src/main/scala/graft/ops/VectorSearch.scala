@@ -78,60 +78,55 @@ object VectorSearch {
     */
   private[graft] val LiteralMaxCells = 64
 
-  /** Cell assignment as data, not code: every vector meets the C-row
-    * broadcast centroid relation on a constant equi-key (a
-    * BroadcastHashJoin, not a nested-loop product), scores ride through
-    * codegen'd [[graft.functions.GraftFunctions.cosineSim]], and
-    * `max_by` takes the per-vector argmax with the SAME tie-break as
-    * [[nearestCell]] (highest sim, then lowest cid). Partial
-    * aggregation collapses the n×C fan-out back to n rows map-side, so
-    * the shuffle carries one row per vector. The regroup key is a
-    * ROW-unique surrogate (not the id), so rows sharing an id each get
-    * their own per-row argmax — exactly the literal path's multiplicity
-    * semantics (e.g. a streaming append batch with a repeated id);
-    * carried columns use `first` over the C identical duplicates of
-    * that single row. This is the shape [[trainCentroids]] already uses
-    * for training assignment, applied to the build/append/encode paths.
+  /** Cell assignment as data, not code: the centroid table rides in a
+    * ONE-ROW broadcast relation as an array column, and each vector
+    * takes its argmax with a single `aggregate` fold over that array.
+    * The plan stays constant-size at any C — centroids are DATA in the
+    * broadcast row, never literals in the expression tree — and the
+    * assignment adds ZERO shuffles and carries NO row-identity key.
+    * (An earlier form joined a C-row centroid relation and regrouped on
+    * `monotonically_increasing_id`, the classic nondeterministic-key-
+    * before-shuffle hazard: a task retry downstream of a shuffle can
+    * re-assign different ids and duplicate or drop rows. The fold form
+    * is per-row, so no recompute boundary can ever split a row from its
+    * argmax.) Tie-break matches [[nearestCell]] exactly: highest sim
+    * (lowest distance for l2), then lowest cid — the array is built in
+    * cid order and only a STRICT improvement advances the accumulator.
+    * A NULL vector folds to the literal path's -1 sentinel.
     */
   private[graft] def assignCellsJoin(vectors: DataFrame, idCol: String,
       vecCol: String, cents: Array[Seq[Float]], l2: Boolean = false): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val carried = (idCol +: vectors.columns.filterNot(_ == idCol).toSeq)
-      .map(cn => first(col(cn)).as(cn))
-    // the join key is a degenerate (single-valued) hash of the id, NOT a
-    // literal: a foldable constant key gets constant-folded into a cross
-    // product (BroadcastNestedLoopJoin); a non-foldable key keeps the
-    // hashed-relation BroadcastHashJoin
-    val centDf = broadcast(cents.toSeq.zipWithIndex
-      .map { case (cv, i) => (i, cv, 0) }.toDF("_cid", "_cv", "_one"))
-    val score =
-      if (l2) aggregate(zip_with(col(vecCol), col("_cv"),
+    val centRow = broadcast(
+      Seq(Tuple1(cents.toSeq.zipWithIndex.map { case (cv, i) => (i, cv) }))
+        .toDF("_cents"))
+    val accType = "struct<cid:int,best:double>"
+    val zero =
+      if (l2) struct(lit(-1).as("cid"), lit(Double.MaxValue).as("best")).cast(accType)
+      else struct(lit(-1).as("cid"), lit(-2.0).as("best")).cast(accType)
+    def score(cv: Column): Column =
+      if (l2) aggregate(zip_with(col(vecCol), cv,
         (a, b) => (a - b) * (a - b)), lit(0.0d), (s, x) => s + x)
-      else G.cosineSim(col(vecCol), col("_cv"))
-    val argmax =
-      if (l2) min_by(col("_cid"), struct(col("_score"), col("_cid")))
-      else max_by(col("_cid"), struct(col("_score"), -col("_cid")))
-    vectors
-      .withColumn("_rid", monotonically_increasing_id())
-      .withColumn("_one", pmod(xxhash64(col(idCol)), lit(1)).cast("int"))
-      .join(centDf, Seq("_one"))
-      .withColumn("_score", score)
-      .groupBy(col("_rid"))
-      .agg(carried.head, (carried.tail :+ argmax.as("cell")): _*)
-      .drop("_rid")
+      else G.cosineSim(col(vecCol), cv)
+    vectors.crossJoin(centRow)
+      .withColumn("cell", aggregate(col("_cents"), zero,
+        (acc, e) => {
+          val s = score(e.getField("_2"))
+          val better = if (l2) s < acc.getField("best") else s > acc.getField("best")
+          when(better, struct(e.getField("_1"), s).cast(accType)).otherwise(acc)
+        },
+        acc => acc.getField("cid")))
+      .drop("_cents")
   }
 
   /** Adds the Voronoi `cell` column: centroid-literal argmax under
     * [[LiteralMaxCells]] (zero extra shuffle), broadcast-join argmax
     * above it (constant-size plan at any C). Both paths produce
     * identical assignments (spec-asserted at the boundary) for every
-    * non-null vector — zero/empty vectors score 0 against every
-    * centroid and deterministically land in cell 0 on both paths; a
-    * NULL vector gets the literal path's -1 sentinel vs the join
-    * path's null, both outside every probeable cell id, so probes
-    * never see such rows either way (filter nulls upstream if the
-    * garbage rows themselves must be byte-identical).
+    * vector — zero/empty vectors score 0 against every centroid and
+    * deterministically land in cell 0 on both paths; a NULL vector
+    * gets the -1 sentinel on both, outside every probeable cell id.
     */
   def withNearestCell(vectors: DataFrame, idCol: String, vecCol: String,
       cents: Array[Seq[Float]]): DataFrame =
@@ -347,6 +342,15 @@ object VectorSearch {
     */
   def initVersionedIvf(vectors: DataFrame, idCol: String, vecCol: String,
       cents: Array[Seq[Float]], root: String): Long = {
+    // refuse BEFORE touching the sidecar: initPartitioned would throw
+    // on an already-initialized root anyway, but by then an
+    // unconditional writeQuantizer would have clobbered the existing v1
+    // geometry — and readQuantizer's at-or-below-v fallback would
+    // afterwards serve the WRONG centroids for v1 and every append
+    // version inheriting it, corrupting committed data
+    require(graft.store.TxStore.currentVersion(root).isEmpty,
+      s"initVersionedIvf: table already initialized at $root — " +
+      "retrain through retrainVersionedIvf, which swaps geometry atomically")
     // sidecar precedes the commit: init always publishes v1, and a v1
     // quantizer beside a table that never commits is inert, while the
     // reverse order would let a crash commit a version with no geometry

@@ -640,10 +640,15 @@ object DedupOps {
       import graft.ops.{VectorSearch => V}
       val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       // planted ids start at max+1 (mirrored as a scalar subquery in the
-      // oracle) — a bigger corpus can never collide into the planted range
-      val off = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      // oracle) — a bigger corpus can never collide into the planted
+      // range. The offset rides IN-PLAN as a 1-row broadcast scalar
+      // (coalesced, so an empty table yields offset 0 instead of an
+      // NPE) — no eager driver action at query-construction time
+      val off = broadcast(e.agg(
+        (coalesce(max(col("vec_id")), lit(-1L)) + lit(1L)).as("_off")))
       val planted = e.filter(pmod(col("vec_id"), lit(13)) === 0)
-        .select((col("vec_id") + lit(off)).as("vec_id"),
+        .crossJoin(off)
+        .select((col("vec_id") + col("_off")).as("vec_id"),
           transform(col("embedding"),
             (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
       val all = e.unionByName(planted)

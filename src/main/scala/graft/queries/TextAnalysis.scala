@@ -726,9 +726,13 @@ object TextAnalysis {
   val t20 = Q("t20_compression_gate",
     (s, dir) => {
       val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
-      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      // in-plan 1-row broadcast offset (null-safe on an empty corpus,
+      // no eager driver action) — same stance as d15's planted range
+      val off = broadcast(docs.agg(
+        (coalesce(max(col("doc_id")), lit(-1L)) + lit(1L)).as("_off")))
       val planted = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
-        .select((col("doc_id") + lit(off)).as("doc_id"),
+        .crossJoin(off)
+        .select((col("doc_id") + col("_off")).as("doc_id"),
           array_join(array_repeat(element_at(split(trim(col("text")), "\\s+"), 1),
             200), " ").as("text"),
           lit(true).as("is_planted"))

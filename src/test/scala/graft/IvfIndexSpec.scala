@@ -60,15 +60,19 @@ class IvfIndexSpec extends SparkSuite {
   private lazy val bigCents =
     V.trainCentroids(big, "vec_id", "embedding", c = 256, iters = 1)
 
-  test("C=256 assignment runs as a broadcast join and equals the literal argmax") {
+  test("C=256 assignment runs as a 1-row broadcast fold and equals the literal argmax") {
     assert(bigCents.length == 256)
     assert(bigCents.length > V.LiteralMaxCells,
-      "test must exercise the join regime")
+      "test must exercise the data-not-code regime")
     val joined = V.withNearestCell(big, "vec_id", "embedding", bigCents)
     val plan = joined.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"expected the C-row centroid broadcast join in:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // centroids ride as DATA in a one-row broadcast (constant-size
+    // plan at any C), the fold is per-row: no shuffle, no regroup key
+    assert(plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("IdentityBroadcastMode"),
+      s"expected the 1-row centroid-array broadcast in:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"cell assignment must not shuffle:\n$plan")
     val viaJoin = joined.select("vec_id", "cell")
       .as[(Long, Int)].collect().toMap
     val viaLiteral = big

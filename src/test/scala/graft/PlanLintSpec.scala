@@ -38,7 +38,9 @@ class PlanLintSpec extends SparkSuite {
     "t17_bm25_score",        // 1-row N/avgdl scalars against the tf table
     "t21_lm_surprisal",      // 1-row corpus-total scalar against the token stream
     "a23_matryoshka_rerank", // broadcast 1-row query vector (a01's shape, two stages)
-    "t25_dsir_resample"      // 1-row (tr, tt) corpus totals against the ≤64-row λ table
+    "t25_dsir_resample",     // 1-row (tr, tt) corpus totals against the ≤64-row λ table
+    "d15_semantic_dedup",    // 1-row max(vec_id)+1 planted-offset scalar
+    "t20_compression_gate"   // 1-row max(doc_id)+1 planted-offset scalar
   )
 
   /** Queries whose plan legitimately sorts a whole frame through one
