@@ -240,16 +240,28 @@ object Dedup {
   /** ASYMMETRIC containment join — |sh(small) ∩ sh(big)| / |sh(small)|
     * ≥ tau: finds probes quoted/excerpted INSIDE corpus documents,
     * which symmetric Jaccard misses completely (a 15-token excerpt of
-    * a 100-token doc has J ≈ 0.13 but containment 1.0). The probe side
-    * is small by contract (a batch of suspected excerpts, an eval set)
-    * and broadcasts; corpus shingles stream map-side through the hash
-    * join, and only co-occurring (probe, doc) pairs reach the count
-    * shuffle. Exact — every shared shingle counts, so the oracle
-    * brute-force matches (d14). At 100 TB with a LARGE probe side,
-    * shard the probes and run the same join per shard.
+    * a 100-token doc has J ≈ 0.13 but containment 1.0). Two regimes,
+    * the same switchover [[graft.ops.Curation.decontaminateBloom]]
+    * makes over its broadcast sibling:
+    *  - default (probe side small by contract — a batch of suspected
+    *    excerpts, an eval set): probe shingles broadcast, corpus
+    *    shingles stream map-side through the hash join, only
+    *    co-occurring (probe, doc) pairs reach the count shuffle;
+    *  - `bloomGate = true` (the 100 TB regime, when the probe set
+    *    outgrows the broadcast threshold): the probe shingle SET rides
+    *    as a 10-bits-per-shingle [[Bloom]] bit table — m/64 longs, one
+    *    broadcast, never the shingle hashes themselves — corpus
+    *    shingles failing the bit test never enter the exchange, and
+    *    the exact shuffle join over the ≈1% survivors removes every
+    *    false positive. The result provably EQUALS the broadcast path
+    *    (d18 runs under d14's oracle verbatim; BloomSemDedupSpec
+    *    asserts path equality directly).
+    * Exact either way — every shared shingle counts, so the oracle
+    * brute-force matches (d14).
     */
   def containmentJoin(corpus: DataFrame, probes: DataFrame, idCol: Column,
-      textCol: Column, k: Int = 3, tau: Double = 0.8): DataFrame = {
+      textCol: Column, k: Int = 3, tau: Double = 0.8,
+      bloomGate: Boolean = false): DataFrame = {
     val c = corpus.select(idCol.as("id_big"),
         explode(transform(shingles(textCol, k), x => xxhash64(x))).as("h"))
     val pFlat = probes.select(idCol.as("id_small"),
@@ -257,7 +269,13 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("id_small"), size(col("sh")).as("n_small"),
         explode(col("sh")).as("h"))
-    c.join(broadcast(pFlat), Seq("h"))
+    val hits =
+      if (bloomGate) {
+        val pKeys = pFlat.select(col("h")).distinct()
+        c.filter(Bloom.build(pKeys, "h", nRows = pKeys.count()).mightContain(col("h")))
+          .join(pFlat, Seq("h"))
+      } else c.join(broadcast(pFlat), Seq("h"))
+    hits
       .filter(col("id_big") =!= col("id_small"))
       .groupBy(col("id_small"), col("id_big"), col("n_small"))
       .agg(count(lit(1)).as("shared"))

@@ -625,6 +625,30 @@ object DedupOps {
       WHERE shared >= CEIL(0.8 * np.n - 1e-9)
       ORDER BY id_small, id_big"""))
 
+  /** d14 at the 100 TB operating point
+    * ([[graft.ops.Dedup.containmentJoin]] with `bloomGate = true`):
+    * when the probe set outgrows the broadcast threshold, its shingle
+    * set rides as a 10-bits-per-shingle Bloom bit table instead of a
+    * broadcast hash relation; corpus shingles that fail the bit test
+    * never enter the exchange, and the exact shuffle join removes the
+    * ≈1% false positives — so the result provably equals d14's, and
+    * this query runs under d14's ORACLE verbatim. The pair (d14, d18)
+    * is the broadcast-vs-bloom switchover a real excerpt-detection
+    * deployment makes as the probe batch grows — d16's stance, applied
+    * to the containment join.
+    */
+  val d18 = Q("d18_containment_bloom",
+    (s, dir) => {
+      val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probes = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + 60000).as("doc_id"),
+          concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 15)).as("text"))
+      Dedup.containmentJoin(docs, probes, col("doc_id"), col("text"),
+          k = 3, tau = 0.8, bloomGate = true)
+        .orderBy(col("id_small"), col("id_big"))
+    },
+    d14.oracle)
+
   /** SemDeDup over embeddings ([[graft.ops.VectorSearch.semDedup]],
     * Abbas et al. 2023): cluster-confined cosine pairs, drop every
     * vector with a smaller-id neighbor at cosine ≥ 0.99, keep-first.
@@ -760,5 +784,5 @@ object DedupOps {
       FROM l LEFT JOIN agg a USING (doc_id)
       ORDER BY l.doc_id"""))
 
-  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17)
+  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18)
 }

@@ -48,6 +48,36 @@ class BloomSemDedupSpec extends SparkSuite {
       s"bloom kept $kept of $total (true matches $trueMatches) — FP rate way past design")
   }
 
+  test("containment join: bloom-gated path == broadcast path on planted excerpts") {
+    import graft.ops.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    // d14's planting: every 17th doc yields a 15-token excerpt probe
+    val probes = docs.filter(pmod($"doc_id", lit(17)) === 0)
+      .select(($"doc_id" + 60000).as("doc_id"),
+        concat_ws(" ", slice(split(trim($"text"), "\\s+"), 1, 15)).as("text"))
+    def run(bloom: Boolean) =
+      Dedup.containmentJoin(docs, probes, $"doc_id", $"text",
+          k = 3, tau = 0.8, bloomGate = bloom)
+        .select($"id_small", $"id_big", $"shared", $"containment")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val viaBroadcast = run(bloom = false)
+    val viaBloom = run(bloom = true)
+    assert(viaBloom == viaBroadcast,
+      "bloom-gated containment must equal the broadcast path exactly")
+    assert(viaBroadcast.nonEmpty, "planting produced no containment hits")
+    // the gate is structural: the corpus shingle stream passes the
+    // bit-test filter (element_at + shiftleft over the word table)
+    // BEFORE any join — probe shingles never ride a forced broadcast.
+    // (AQE may still choose a broadcast for a small probe side at test
+    // scale; at production scale its size stats pick the shuffle join —
+    // that adaptivity is the point of the bloom regime.)
+    val plan = Dedup.containmentJoin(docs, probes, $"doc_id", $"text",
+      k = 3, tau = 0.8, bloomGate = true).queryExecution.executedPlan.toString
+    assert(plan.contains("shiftleft"),
+      s"expected the bloom bit-test filter in the bloom-gated plan:\n$plan")
+  }
+
   test("semDedup at C>1: planted exact duplicates always drop; pruning only ADDS survivors") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select($"vec_id", $"embedding")
