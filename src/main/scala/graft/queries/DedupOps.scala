@@ -649,6 +649,88 @@ object DedupOps {
     },
     d14.oracle)
 
+  /** d03's pigeonhole-EXACT configuration: at `maxHamming = 0` the
+    * banded SimHash join must find exactly the pairs with EQUAL
+    * sketches (hamming 0 ≤ bands−1, so pigeonhole guarantees a shared
+    * band — no recall loss is possible), and a TF-weighted SimHash is
+    * a function of the normalized token MULTISET, so equal-multiset
+    * documents — d01's case/whitespace-mutated planted copies — are
+    * exactly the expected answer. The oracle joins on the sorted token
+    * list (multiset key); a cross-multiset 64-bit sketch collision
+    * would surface as a hash mismatch, d01's accepted stance. This is
+    * the DuckDB-checkable twin certifying d03's banding/verify
+    * machinery (bands ≥ hamming budget ⇒ exact), the way d06
+    * certifies d02; banding ≡ brute force at maxHamming = bands−1 is
+    * DedupSketchSpec's job.
+    */
+  val d19 = Q("d19_simhash_exact_dups",
+    (s, dir) => Dedup.simhashPairs(withExactDups(s, dir), col("doc_id"), col("text"),
+        bands = 4, maxHamming = 0)
+      .orderBy(col("id1"), col("id2")),
+    Some("""
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000, concat('  ', upper(text), '  ')
+        FROM documents WHERE doc_id % 7 = 0),
+      norm AS (
+        SELECT doc_id,
+          array_to_string(list_sort(string_split(
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), ' ') AS mk
+        FROM all_docs)
+      SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(0 AS INTEGER) AS hamming
+      FROM norm a JOIN norm b ON a.mk = b.mk AND a.doc_id < b.doc_id
+      ORDER BY id1, id2"""))
+
+  /** d04's degenerate-EXACT configuration: winnowing with window
+    * `w = 1` selects the minimum of every 1-wide window — i.e. EVERY
+    * character k-gram hash — so the fingerprint set is the full
+    * distinct char-8-gram inventory and the overlap count is exact,
+    * brute-forceable in DuckDB over the same normalized text. The df
+    * and shared-fp thresholds mirror d04's pipeline shape (rare-gram
+    * guard, ≥ 20 shared); the only approximation left is 64-bit
+    * rolling-hash collisions, the accepted d01 stance. Real-window
+    * (w > 1) selection behavior stays DedupSketchSpec's job.
+    */
+  val d20 = Q("d20_winnow_all_grams",
+    (s, dir) => {
+      import graft.functions.{GraftFunctions => G}
+      val fpsAll = withNearDups(s, dir)
+        .select(col("doc_id"),
+          explode(G.winnowFingerprint(col("text"), k = 8, w = 1)).as("fp"))
+      val rare = fpsAll.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("fp")
+      val fps = fpsAll.join(rare, Seq("fp")).cache()
+      fps.select(col("fp"), col("doc_id").as("id1"))
+        .join(fps.select(col("fp"), col("doc_id").as("id2")), Seq("fp"))
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 20)
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 20000, concat(text, ' graft appended marker tokens')
+        FROM documents WHERE doc_id % 11 = 0),
+      norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM all_docs),
+      grams AS (
+        SELECT DISTINCT doc_id, substring(nt, i, 8) AS g
+        FROM norm, UNNEST(generate_series(1, greatest(length(nt) - 7, 0))) AS u(i)),
+      rare AS (
+        SELECT g FROM (SELECT g, COUNT(*) AS df FROM grams GROUP BY 1)
+        WHERE df <= 50)
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared_fps
+      FROM (SELECT doc_id, g FROM grams JOIN rare USING (g)) a
+      JOIN (SELECT doc_id, g FROM grams JOIN rare USING (g)) b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 20
+      ORDER BY id1, id2"""))
+
   /** SemDeDup over embeddings ([[graft.ops.VectorSearch.semDedup]],
     * Abbas et al. 2023): cluster-confined cosine pairs, drop every
     * vector with a smaller-id neighbor at cosine ≥ 0.99, keep-first.
@@ -784,5 +866,6 @@ object DedupOps {
       FROM l LEFT JOIN agg a USING (doc_id)
       ORDER BY l.doc_id"""))
 
-  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18)
+  def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
 }

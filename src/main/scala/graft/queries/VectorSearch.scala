@@ -795,6 +795,46 @@ object VectorSearch {
     },
     a01Top10Oracle)
 
+  /** a03's full-coverage configuration (a14's stance applied to the
+    * PAIR pipeline): 0 sign bits × 1 table puts the whole corpus in
+    * one LSH bucket, so the candidate join covers every pair and the
+    * exact-cosine verify must reproduce the brute-force all-pairs
+    * answer — DuckDB-checkable, certifying a03's bucket/verify
+    * machinery end-to-end. Runs on the `vec_id % 3` subset so the
+    * deliberately-degenerate single bucket stays bounded at bench SF
+    * (the production path is a03's bucketed config or a05's grid —
+    * this is the correctness certificate, not the scale path). The
+    * rounded-cosine threshold matches [[graft.ops.VectorSearch
+    * .nearDupPairs]]'s filter exactly.
+    */
+  val a24 = Q("a24_neardup_full_coverage",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .filter(pmod(col("vec_id"), lit(3)) === 0)
+      val planted = e.filter(pmod(col("vec_id"), lit(13)) === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+      V.nearDupPairs(e.unionByName(planted), "vec_id", "embedding",
+          nbits = 0, tables = 1, minCos = 0.99)
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""
+      WITH all_vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE vec_id % 3 = 0
+        UNION ALL
+        SELECT vec_id + 10000,
+               CAST(list_transform(embedding,
+                 (x, i) -> CASE WHEN i = 1 THEN CAST(x + CAST(0.01 AS FLOAT) AS FLOAT) ELSE x END)
+                 AS DOUBLE[])
+        FROM embeddings WHERE vec_id % 3 = 0 AND vec_id % 13 = 0)
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
+      FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.99
+      ORDER BY id1, id2"""))
+
   def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
-    a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23)
+    a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24)
 }
