@@ -271,9 +271,18 @@ object Dedup {
         explode(col("sh")).as("h"))
     val hits =
       if (bloomGate) {
-        val pKeys = pFlat.select(col("h")).distinct()
-        c.filter(Bloom.build(pKeys, "h", nRows = pKeys.count()).mightContain(col("h")))
-          .join(pFlat, Seq("h"))
+        // the bloom literal must exist before the probe plan is built, so
+        // ONE eager pass over the probe shingles is inherent to a
+        // driver-held filter — but only one: pFlat is cached (count, bloom
+        // build, and the exact join all read it), the sizing cardinality
+        // is a single mergeable HLL agg (no distinct shuffle — a Bloom
+        // doc says an estimate is fine), and the build skips dedup
+        // entirely because bit_or bit-setting is idempotent over
+        // duplicate keys
+        val pf = pFlat.cache()
+        val nKeys = pf.agg(approx_count_distinct(col("h"))).head().getLong(0)
+        c.filter(Bloom.build(pf, "h", nRows = nKeys).mightContain(col("h")))
+          .join(pf, Seq("h"))
       } else c.join(broadcast(pFlat), Seq("h"))
     hits
       .filter(col("id_big") =!= col("id_small"))

@@ -649,24 +649,41 @@ object DedupOps {
     },
     d14.oracle)
 
-  /** d03's pigeonhole-EXACT configuration: at `maxHamming = 0` the
-    * banded SimHash join must find exactly the pairs with EQUAL
-    * sketches (hamming 0 ≤ bands−1, so pigeonhole guarantees a shared
-    * band — no recall loss is possible), and a TF-weighted SimHash is
-    * a function of the normalized token MULTISET, so equal-multiset
-    * documents — d01's case/whitespace-mutated planted copies — are
-    * exactly the expected answer. The oracle joins on the sorted token
-    * list (multiset key); a cross-multiset 64-bit sketch collision
-    * would surface as a hash mismatch, d01's accepted stance. This is
-    * the DuckDB-checkable twin certifying d03's banding/verify
-    * machinery (bands ≥ hamming budget ⇒ exact), the way d06
-    * certifies d02; banding ≡ brute force at maxHamming = bands−1 is
+  /** d03's pigeonhole-EXACT configuration with exact verification: at
+    * `maxHamming = 0` the banded SimHash join finds every pair with
+    * EQUAL sketches (hamming 0 ≤ bands−1, so pigeonhole guarantees a
+    * shared band — no recall loss is possible), and a TF-weighted
+    * SimHash is a function of the normalized token MULTISET, so
+    * d01's case/whitespace-mutated planted copies are all candidates.
+    * But SimHash is locality-sensitive BY DESIGN — similar-but-unequal
+    * documents can share a sketch too — so candidates are then
+    * exact-verified by joining back to the documents and keeping only
+    * pairs whose sorted normalized token multisets are equal. Recall
+    * is exact (equal multiset ⇒ equal sketch ⇒ candidate), precision
+    * is exact (verify), so the output provably equals the oracle's
+    * multiset self-join. This is the candidate-generation + verify
+    * shape every production sketch dedup uses, DuckDB-certified;
+    * banding ≡ brute force at maxHamming = bands−1 stays
     * DedupSketchSpec's job.
     */
   val d19 = Q("d19_simhash_exact_dups",
-    (s, dir) => Dedup.simhashPairs(withExactDups(s, dir), col("doc_id"), col("text"),
+    (s, dir) => {
+      import graft.functions.{GraftFunctions => G}
+      val docs = withExactDups(s, dir)
+      val cands = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
         bands = 4, maxHamming = 0)
-      .orderBy(col("id1"), col("id2")),
+      // multiset key: sorted normalized tokens — candidates are few, so
+      // the two verify joins touch the docs table twice but move only
+      // (id, key) pairs through the exchange
+      val mk = docs.select(col("doc_id"),
+        array_join(array_sort(split(G.normalizeWs(col("text")), " ")), " ").as("mk"))
+      cands
+        .join(mk.select(col("doc_id").as("id1"), col("mk").as("mk1")), Seq("id1"))
+        .join(mk.select(col("doc_id").as("id2"), col("mk").as("mk2")), Seq("id2"))
+        .filter(col("mk1") === col("mk2"))
+        .select(col("id1"), col("id2"), col("hamming"))
+        .orderBy(col("id1"), col("id2"))
+    },
     Some("""
       WITH all_docs AS (
         SELECT doc_id, text FROM documents

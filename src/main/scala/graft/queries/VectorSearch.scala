@@ -811,8 +811,15 @@ object VectorSearch {
     (s, dir) => {
       val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
         .filter(pmod(col("vec_id"), lit(3)) === 0)
+      // planted ids start at max+1 (d15's stance, mirrored as a scalar
+      // subquery in the oracle) — a larger corpus can never collide into
+      // the planted range. The offset rides IN-PLAN as a 1-row broadcast
+      // scalar (coalesced so an empty table yields 0, not an NPE)
+      val off = broadcast(e.agg(
+        (coalesce(max(col("vec_id")), lit(-1L)) + lit(1L)).as("_off")))
       val planted = e.filter(pmod(col("vec_id"), lit(13)) === 0)
-        .select((col("vec_id") + 10000).as("vec_id"),
+        .crossJoin(off)
+        .select((col("vec_id") + col("_off")).as("vec_id"),
           transform(col("embedding"),
             (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
       V.nearDupPairs(e.unionByName(planted), "vec_id", "embedding",
@@ -820,11 +827,14 @@ object VectorSearch {
         .orderBy(col("id1"), col("id2"))
     },
     Some("""
-      WITH all_vecs AS (
+      WITH off AS (
+        SELECT coalesce(max(vec_id), -1) + 1 AS o FROM embeddings
+        WHERE vec_id % 3 = 0),
+      all_vecs AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         WHERE vec_id % 3 = 0
         UNION ALL
-        SELECT vec_id + 10000,
+        SELECT vec_id + (SELECT o FROM off),
                CAST(list_transform(embedding,
                  (x, i) -> CASE WHEN i = 1 THEN CAST(x + CAST(0.01 AS FLOAT) AS FLOAT) ELSE x END)
                  AS DOUBLE[])

@@ -72,10 +72,18 @@ class BloomSemDedupSpec extends SparkSuite {
     // (AQE may still choose a broadcast for a small probe side at test
     // scale; at production scale its size stats pick the shuffle join —
     // that adaptivity is the point of the bloom regime.)
-    val plan = Dedup.containmentJoin(docs, probes, $"doc_id", $"text",
-      k = 3, tau = 0.8, bloomGate = true).queryExecution.executedPlan.toString
-    assert(plan.contains("shiftleft"),
-      s"expected the bloom bit-test filter in the bloom-gated plan:\n$plan")
+    val gated = Dedup.containmentJoin(docs, probes, $"doc_id", $"text",
+      k = 3, tau = 0.8, bloomGate = true)
+    val hasBitTest = planNodes(gated).exists {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.exists {
+          case _: org.apache.spark.sql.catalyst.expressions.ShiftLeft => true
+          case _ => false
+        }
+      case _ => false
+    }
+    assert(hasBitTest,
+      "expected a Filter carrying the bloom bit-test (ShiftLeft over the word table) in the bloom-gated plan")
   }
 
   test("semDedup at C>1: planted exact duplicates always drop; pruning only ADDS survivors") {
