@@ -56,10 +56,15 @@ object Temporal {
     val packed = build.select(
       (keys :+ ts).map(col) :+
         struct(col(ts).as("bts"), col(payload).as("pv")).as("_pk"): _*)
+    // unix_millis only accepts the session-tz TIMESTAMP type; the cast
+    // admits TIMESTAMP_NTZ columns too, and any tz offset it introduces
+    // cancels in the subtraction (exact under graft's pinned-UTC sessions).
+    def epochMs(c: org.apache.spark.sql.Column) =
+      unix_millis(c.cast(org.apache.spark.sql.types.TimestampType))
     asofJoin(probe, packed, keys, ts, "_pk")
       .withColumn(payload,
         when(col("_pk").isNotNull &&
-          unix_millis(col(ts)) - unix_millis(col("_pk.bts")) <= toleranceMs,
+          epochMs(col(ts)) - epochMs(col("_pk.bts")) <= toleranceMs,
           col("_pk.pv")))
       .drop("_pk")
   }

@@ -751,8 +751,9 @@ object DedupOps {
   /** SemDeDup over embeddings ([[graft.ops.VectorSearch.semDedup]],
     * Abbas et al. 2023): cluster-confined cosine pairs, drop every
     * vector with a smaller-id neighbor at cosine ≥ 0.99, keep-first.
-    * Planting is a05's (every 13th vector gets a perturbed copy at
-    * id+10000 — always the larger id, so exactly the copies must go).
+    * Planting is a05's (every 13th vector gets a perturbed copy whose
+    * id starts at max+1 — always the larger id, so exactly the copies
+    * must go).
     * Run at C = 1, where the clustered algorithm provably equals the
     * brute-force rule the oracle states; C > 1 recall behavior (same
     * planted copies still always drop — identical vectors share a

@@ -28,33 +28,66 @@ object QueryRegistry {
 object T {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
-  import org.apache.spark.sql.types.DecimalType
+  import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
-  /** Reads a driver table. `events.parquet` stores `ts` as parquet
-    * TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * ([PARQUET_TYPE_ILLEGAL]); we read nanos as long via the legacy
-    * conf and restore a microsecond timestamp (what DuckDB also sees —
-    * its TIMESTAMP is µs), so oracle hashes line up.
+  /** Reads a driver table. The events `ts` column has shipped in two
+    * physical parquet layouts so far — TIMESTAMP(NANOS) (which Spark 4
+    * rejects outright, [PARQUET_TYPE_ILLEGAL], so it is read as raw
+    * longs via the legacy conf) and naive TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ). The loader branches on the schema it actually got
+    * and normalizes both to TIMESTAMP_NTZ — the timezone-free type
+    * whose values are exactly the naive microseconds DuckDB's TIMESTAMP
+    * sees, so oracle hashes are independent of any session timezone.
+    * The drift contract is pinned by EventsLayoutSpec.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") loadEventsRaw(spark, dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (name == "events") normalizeEventTs(spark, loadEventsRaw(spark, dir))
     else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Events with `ts` still as raw nanosecond longs: predicates that
-    * should reach the parquet scan (min/max pruning) must be applied on
-    * this column BEFORE the timestamp conversion — a filter on the
-    * derived `timestamp_micros(...)` expression cannot be pushed down.
+  /** Events exactly as stored: `ts` is raw nanosecond longs under the
+    * legacy layout (predicates that should reach the parquet scan must
+    * then be applied on the longs BEFORE conversion) and TIMESTAMP_NTZ
+    * under the µs layout (NTZ predicates push down natively — see q02's
+    * µs branch and the ApiSpec plan test).
     */
   def loadEventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
   }
 
-  /** Epoch nanoseconds of a UTC date literal, for raw-ts pushdown. */
+  /** Normalizes the `ts` column to TIMESTAMP_NTZ whatever the physical
+    * layout. The nanos→NTZ branch goes through an instant cast, which
+    * is exact because every graft entry point pins
+    * `spark.sql.session.timeZone=UTC` (Verify/Bench/tests/PlanReport).
+    */
+  def normalizeEventTs(spark: SparkSession, df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => // legacy TIMESTAMP(NANOS) read as raw longs
+        df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case TimestampNTZType => df
+      case TimestampType =>
+        df.withColumn("ts", col("ts").cast(TimestampNTZType))
+      case other =>
+        throw new IllegalStateException(s"unsupported events ts layout: $other")
+    }
+
+  /** Epoch nanoseconds of a UTC date literal, for raw-ts pushdown
+    * against the legacy long-nanos layout only.
+    */
   def dateNanos(date: String): Long =
     java.time.LocalDate.parse(date).toEpochDay * 86400L * 1000000000L
+
+  /** Epoch micros/millis of a naive (NTZ) timestamp — `unix_micros`/
+    * `unix_millis` only accept the session-tz TIMESTAMP type, so the
+    * NTZ column is cast through the session clock, which graft pins to
+    * UTC, making the result the same naive epoch DuckDB's
+    * `epoch_us`/`epoch_ms` computes. (Accepts LTZ input too, where the
+    * cast is a no-op.)
+    */
+  def epochUs(c: Column): Column = unix_micros(c.cast(TimestampType))
+  def epochMs(c: Column): Column = unix_millis(c.cast(TimestampType))
 
   /** Exact decimal view of a double column (oracle-parity arithmetic). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))

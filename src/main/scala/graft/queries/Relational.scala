@@ -44,17 +44,27 @@ object Relational {
       ORDER BY l_returnflag, l_linestatus"""),
     bench = true)
 
-  /** P2 — date-range filter pushed to the parquet scan: the range
-    * predicate is applied on the raw nanosecond longs (pushable,
-    * enables row-group min/max pruning) before the timestamp
-    * conversion, which a filter on the converted column would forfeit.
+  /** P2 — date-range filter pushed to the parquet scan, in whichever
+    * physical layout the events table shipped: under the µs layout the
+    * range predicate is native TIMESTAMP_NTZ literals (pushable as-is —
+    * the scan shows `PushedFilters: [GreaterThanOrEqual(ts,...)]`,
+    * asserted in ApiSpec); under the legacy nanos layout it is applied
+    * on the raw nanosecond longs BEFORE the timestamp conversion, which
+    * a filter on the converted column would forfeit. Either way the
+    * row-group min/max pruning fires.
     */
   val q02 = Q("q02_filter_daterange",
     (s, dir) => {
-      loadEventsRaw(s, dir)
-        .filter(col("ts") >= dateNanos("2024-01-10") &&
-          col("ts") < dateNanos("2024-01-13"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = loadEventsRaw(s, dir)
+      val filtered = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.filter(col("ts") >= dateNanos("2024-01-10") &&
+            col("ts") < dateNanos("2024-01-13"))
+        case _ =>
+          raw.filter(col("ts") >= lit("2024-01-10").cast("timestamp_ntz") &&
+            col("ts") < lit("2024-01-13").cast("timestamp_ntz"))
+      }
+      normalizeEventTs(s, filtered)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
           col("ts").cast("date").as("d"))
         .orderBy(col("event_id"))

@@ -46,12 +46,12 @@ object Temporal {
     (s, dir) => {
       val hourUs = 3600L * 1000000L
       val ev = load(s, dir, "events")
-        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pt"))
+        .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("pt"))
       val windows = load(s, dir, "events")
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("win_id"), col("user_id"),
-          (unix_micros(col("ts")) - hourUs).as("lo"),
-          (unix_micros(col("ts")) + hourUs).as("hi"))
+          (epochUs(col("ts")) - hourUs).as("lo"),
+          (epochUs(col("ts")) + hourUs).as("hi"))
       Tp.rangeJoinBinned(windows, ev, Seq("user_id"), "pt", "lo", "hi", hourUs)
         .groupBy(col("win_id"))
         .agg(count(lit(1)).as("n_events"))
@@ -87,13 +87,13 @@ object Temporal {
         .withColumn("v_sparse", when(col("value") >= 5.0, col("value")))
         .withColumn("pv", last(col("v_sparse"), ignoreNulls = true).over(prec))
         .withColumn("pt", last(when(col("v_sparse").isNotNull,
-          unix_millis(col("ts"))), ignoreNulls = true).over(prec))
+          epochMs(col("ts"))), ignoreNulls = true).over(prec))
         .withColumn("nv", first(col("v_sparse"), ignoreNulls = true).over(foll))
         .withColumn("nt", first(when(col("v_sparse").isNotNull,
-          unix_millis(col("ts"))), ignoreNulls = true).over(foll))
+          epochMs(col("ts"))), ignoreNulls = true).over(foll))
         .withColumn("v_interp", round(coalesce(col("v_sparse"),
           col("pv") + (col("nv") - col("pv")) *
-            (unix_millis(col("ts")) - col("pt")) / (col("nt") - col("pt"))), 6))
+            (epochMs(col("ts")) - col("pt")) / (col("nt") - col("pt"))), 6))
         .select(col("event_id"), col("user_id"), col("v_sparse"), col("v_interp"))
         .orderBy(col("user_id"), col("event_id"))
     },
@@ -128,7 +128,7 @@ object Temporal {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val threeDaysMs = 3L * 86400L * 1000L
-      val w = Window.partitionBy(col("user_id")).orderBy(unix_millis(col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(epochMs(col("ts")))
         .rangeBetween(-threeDaysMs, 0)
       load(s, dir, "events")
         .filter(col("user_id") < 50)

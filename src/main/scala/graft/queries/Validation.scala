@@ -465,7 +465,7 @@ object Validation {
           // data has post-reference rows (negative spans), exactly
           // where the conventions can drift. Floor is the semantics
           // "hours behind" means, stated identically in both engines.
-          floor((lit(refMs) - unix_millis(col("max_ts"))) / lit(3600000.0))
+          floor((lit(refMs) - epochMs(col("max_ts"))) / lit(3600000.0))
             .cast("long").as("hours_behind"))
         .withColumn("is_stale", col("hours_behind") > 24 * 30)
         .orderBy(col("event_type"))

@@ -56,8 +56,14 @@ object VectorSearch {
   val a03 = Q("a03_embedding_neardups",
     (s, dir) => {
       val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // planted ids start at max+1 (a24/d15's stance): an in-plan 1-row
+      // broadcast scalar, so a larger corpus can never collide real ids
+      // into the planted range
+      val off = broadcast(e.agg(
+        (coalesce(max(col("vec_id")), lit(-1L)) + lit(1L)).as("_off")))
       val planted = e.filter(pmod(col("vec_id"), lit(13)) === 0)
-        .select((col("vec_id") + 10000).as("vec_id"),
+        .crossJoin(off)
+        .select((col("vec_id") + col("_off")).as("vec_id"),
           transform(col("embedding"),
             (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
       V.nearDupPairs(e.unionByName(planted), "vec_id", "embedding",
@@ -95,8 +101,13 @@ object VectorSearch {
   val a05 = Q("a05_cosine_pairs_exact",
     (s, dir) => {
       val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // planted ids start at max+1 — same collision-proof in-plan scalar
+      // as a24/d15, mirrored in the oracle's scalar subquery
+      val off = broadcast(e.agg(
+        (coalesce(max(col("vec_id")), lit(-1L)) + lit(1L)).as("_off")))
       val planted = e.filter(pmod(col("vec_id"), lit(13)) === 0)
-        .select((col("vec_id") + 10000).as("vec_id"),
+        .crossJoin(off)
+        .select((col("vec_id") + col("_off")).as("vec_id"),
           transform(col("embedding"),
             (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
       V.cosinePairsExact(e.unionByName(planted), "vec_id", "embedding",
@@ -104,10 +115,12 @@ object VectorSearch {
         .orderBy(col("id1"), col("id2"))
     },
     Some("""
-      WITH all_vecs AS (
+      WITH off AS (
+        SELECT coalesce(max(vec_id), -1) + 1 AS o FROM embeddings),
+      all_vecs AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         UNION ALL
-        SELECT vec_id + 10000,
+        SELECT vec_id + (SELECT o FROM off),
                CAST(list_transform(embedding,
                  (x, i) -> CASE WHEN i = 1 THEN CAST(x + CAST(0.01 AS FLOAT) AS FLOAT) ELSE x END)
                  AS DOUBLE[])

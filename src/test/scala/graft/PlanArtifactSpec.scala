@@ -16,6 +16,11 @@ class PlanArtifactSpec extends SparkSuite {
 
   test("committed PLANS.md matches the live plans row-for-row") {
     graft.functions.GraftFunctions.register(spark)
+    // Earlier suites cache frames over the same testdata parquet; the
+    // shared CacheManager would then swap InMemoryRelation into the
+    // recomputed plans and report phantom drift (scan/pushdown cells).
+    // PlanReport's main runs in a fresh session; match that here.
+    spark.catalog.clearCache()
     val path = Paths.get("PLANS.md")
     assert(Files.exists(path), "PLANS.md missing — run graft.tools.PlanReport")
     val committed = Files.readString(path)
