@@ -10,6 +10,15 @@ import org.apache.spark.sql.SparkSession
   * identical (Spark's CacheManager dedupes by plan), so combined
   * numbers approximate WARM steady-state — consistent across rounds.
   * The one-time COLD costs are what the `*_build` rows isolate.
+  * Queries run in NAME order (the sortBy below) in one shared session —
+  * pinned since round 6, so round-over-round deltas compare like with
+  * like. Caveat observed in round 7: when a query family FAILS mid-run
+  * (the events-loader regression), the thrown analyses and abandoned
+  * jobs perturb JVM/GC state for alphabetically-adjacent families (the
+  * s-family sits right after q*) — store timings inflated 3-4× with
+  * zero store-code changes, and returned below their round-6 numbers
+  * the moment the failures were fixed. A bench with a non-empty
+  * `failed` list is not comparable round-over-round.
   *
   * Queries with a one-time construction phase ([[BenchPhases.phased]])
   * additionally report `<name>_build` (index/table construction, timed

@@ -223,6 +223,35 @@ class ApiSpec extends SparkSuite {
     assert(surviving == 0, s"$surviving duplicated grams survived the scrub")
   }
 
+  test("a registered validator plugin runs inside the fused validation pass") {
+    import graft.plugins._
+    import graft.validate.AggRule
+    Plugins.clear()
+    var setUp = 0
+    Plugins.register(new ValidatorPlugin {
+      val meta = PluginMeta("nonneg-values", "1.0", "no negative event values")
+      override def setup(): Unit = setUp += 1
+      def rules(df: org.apache.spark.sql.DataFrame) = Seq(
+        AggRule("plugin_value_nonneg", "error",
+          sum(when($"value" < 0, 1L).otherwise(0L))))
+    })
+    val ev = graft.queries.T.load(spark, "/root/testdata/sf0.001", "events")
+    val report = Plugins.validate(ev,
+      baseRules = graft.validate.Semantic.eventSeriesRules())
+    val byName = report.collect().map(r => r.getString(0) -> r).toMap
+    // the plugin's rule is in the SAME report as the base rules —
+    // i.e. it joined the fused pass, not a private scan
+    assert(byName.contains("plugin_value_nonneg"))
+    assert(byName.contains("value_not_null"))
+    assert(setUp == 1, "plugin setup must run exactly once (lazy, deduped)")
+    // the reference-parity (ok, messages) surface over the same rules
+    val (ok, failed) = Plugins.get("nonneg-values").get
+      .asInstanceOf[ValidatorPlugin].validate(ev)
+    assert(ok && failed.isEmpty)
+    assert(setUp == 1)
+    Plugins.clear()
+  }
+
   test("plan regression: events range predicates stay pushed down") {
     val q = graft.queries.QueryRegistry.byName("q02_filter_daterange")
       .fn(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,75 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import graft.store.{KvCache, Policies}
+
+/** D10 — each CLI verb drives the library against temp stores
+  * (reference `cli.py:23-419`'s cache/snapshot/health commands; the
+  * fetch verbs are covered by `verify`, exercised by the driver).
+  */
+class CliSpec extends SparkSuite {
+
+  private def run(args: String*): String = {
+    val buf = new ByteArrayOutputStream()
+    Console.withOut(new PrintStream(buf, true, "UTF-8")) {
+      // Cli prints via println (Console.out); System.out stays untouched
+      Cli.main(args.toArray)
+    }
+    buf.toString("UTF-8")
+  }
+
+  test("queries verb lists the whole registry with oracle kinds") {
+    val out = run("queries")
+    assert(out.linesIterator.size == graft.queries.QueryRegistry.all.size)
+    assert(out.contains("q01_pricing_summary") && out.contains("oracle"))
+  }
+
+  test("plugins verb lists registered plugin metadata") {
+    graft.plugins.Plugins.clear()
+    assert(run("plugins").contains("no plugins registered"))
+    graft.plugins.Plugins.register(new graft.plugins.ValidatorPlugin {
+      val meta = graft.plugins.PluginMeta("cli-probe", "2.1", "cli listing probe")
+      def rules(df: org.apache.spark.sql.DataFrame) = Nil
+    })
+    val out = run("plugins")
+    assert(out.contains("cli-probe") && out.contains("2.1"))
+    graft.plugins.Plugins.clear()
+  }
+
+  test("cache stats + purge-legacy verbs over a temp KV store") {
+    val path = s"${Files.createTempDirectory("graft_cli_cache")}/kv"
+    val kv = new KvCache(spark, path)
+    val now = LocalDateTime.of(2024, 1, 10, 12, 0)
+    kv.put(Policies.cacheKey("cepea", Map("produto" -> "soja"), "v2"),
+      "cached-payload", ttlSeconds = 3600, staleMaxSeconds = 86400, now = now)
+    kv.put("legacy-key-no-version", "old", 3600, 86400, now)
+    kv.persist()
+
+    val stats = run("cache", "stats", path)
+    assert(stats.contains("entries: 2") && stats.contains("legacy keys: 1"))
+
+    assert(run("cache", "purge-legacy", path).contains("purged 1 legacy keys"))
+    val after = run("cache", "stats", path)
+    assert(after.contains("entries: 1") && after.contains("legacy keys: 0"))
+  }
+
+  test("snapshot create/list/show verbs over a temp snapshot root") {
+    val base = Files.createTempDirectory("graft_cli_snap").toString
+    assert(run("snapshot", "list", base).contains("no snapshots"))
+    val created = run("snapshot", "create", base, "jan", "/root/testdata/sf0.001",
+      "region", "nation")
+    assert(created.contains("captured driver/region") &&
+      created.contains("captured driver/nation"))
+    assert(run("snapshot", "list", base).linesIterator.toSeq == Seq("jan"))
+    val manifest = run("snapshot", "show", base, "jan")
+    assert(manifest.contains("\"name\": \"jan\"") && manifest.contains("region"))
+  }
+
+  test("health verb prints one status row per probed source") {
+    val out = run("health")
+    assert(out.contains("cepea") && out.contains("conab") && out.contains("ibge"))
+  }
+}
