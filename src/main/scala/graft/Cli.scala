@@ -17,12 +17,21 @@ import org.apache.spark.sql.SparkSession
   * sbt "runMain graft.Cli queries"                   # list registered queries
   * sbt "runMain graft.Cli plugins"                   # list registered plugins
   * sbt "runMain graft.Cli health"                    # probe sweep + alerts
+  * sbt "runMain graft.Cli doctor"                    # environment diagnostics
+  * sbt "runMain graft.Cli config show"               # effective policy/config table
   * sbt "runMain graft.Cli cache stats <path>"        # KV cache audit
   * sbt "runMain graft.Cli cache purge-legacy <path>" # drop pre-versioning keys
-  * sbt "runMain graft.Cli snapshot list <base>"      # snapshots under a root
+  * sbt "runMain graft.Cli cache clear <path> [dataset] [olderThanSec]"
+  * sbt "runMain graft.Cli snapshot list <base>"      # snapshots + size/file facts
   * sbt "runMain graft.Cli snapshot show <base> <name>"        # manifest
   * sbt "runMain graft.Cli snapshot create <base> <name> <sfDir> <table...>"
+  * sbt "runMain graft.Cli snapshot delete <base> <name>"
   * }}}
+  *
+  * The reference's `snapshot use` (a config-file default) has no CLI
+  * analogue here by design: deterministic replay is session-scoped in
+  * the engine (D6 — `store/Snapshots` + the as-of filter), so the
+  * library seam is the right place, not a process-global file.
   */
 object Cli {
 
@@ -71,6 +80,52 @@ object Cli {
         println(f"${r.source}%-8s ${r.status}%-8s ${r.latencyMs}%6d ms  ${r.message}"))
       new AlertService(Seq(new LogNotifier)).dispatch(sweep)
       ()
+    case "doctor" :: _ =>
+      // environment diagnostics (reference `doctor` runs health/doctor
+      // run_diagnostics): every fact below is live, not hardcoded
+      val s = session()
+      println(f"${"spark.version"}%-32s ${s.version}")
+      println(f"${"java.version"}%-32s ${sys.props("java.version")}")
+      println(f"${"scala.version"}%-32s ${util.Properties.versionNumberString}")
+      println(f"${"spark.master"}%-32s ${s.sparkContext.master}")
+      println(f"${"defaultParallelism"}%-32s ${s.sparkContext.defaultParallelism}")
+      println(f"${"shuffle.partitions"}%-32s ${s.conf.get("spark.sql.shuffle.partitions")}")
+      println(f"${"session.timeZone"}%-32s ${s.conf.get("spark.sql.session.timeZone")}")
+      println(f"${"aqe.enabled"}%-32s ${s.conf.get("spark.sql.adaptive.enabled")}")
+      println(f"${"registered queries"}%-32s ${queries.QueryRegistry.all.size}")
+      println(f"${"registered plugins"}%-32s ${plugins.Plugins.list.size}")
+      println(f"${"registered contracts"}%-32s ${validate.ContractRegistry.all.size}")
+      graft.functions.GraftFunctions.register(s)
+      val fnOk = scala.util.Try(
+        s.sql("SELECT parse_br_decimal('1.234,5')").head.getDecimal(0)).isSuccess
+      println(f"${"custom function registry"}%-32s ${if (fnOk) "ok" else "BROKEN"}")
+      Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+        val present = new java.io.File(s"/root/testdata/$sf").isDirectory
+        println(f"${s"testdata $sf"}%-32s ${if (present) "present" else "missing"}")
+      }
+    case "config" :: "show" :: _ =>
+      println("=== Cache policies (per-source TTL / stale-max / smart expiry) ===")
+      store.Policies.policies.toSeq.sortBy(_._1).foreach { case (src, p) =>
+        println(f"  $src%-22s ttl=${p.ttlSeconds}%-8d staleMax=${p.staleMaxSeconds}%-8d smartExpiry=${p.smartExpiry}")
+      }
+      println(s"  default                ttl=${store.Policies.default.ttlSeconds}")
+      println("=== KV cache ===")
+      println(s"  maxEntries: ${store.KvCache.DefaultMaxEntries}")
+      println("=== SLA tiers ===")
+      health.Sla.tierSummary.toSeq.sortBy(_._1).foreach { case (t, d) =>
+        println(f"  $t%-12s $d")
+      }
+      health.Sla.list.foreach { sla =>
+        println(f"  ${sla.source}%-20s tier=${sla.tier}%-12s p95=${sla.latency.p95Ms}ms uptime=${sla.availability.uptimePct}%%")
+      }
+    case "cache" :: "clear" :: path :: rest if rest.size <= 2 =>
+      val kv = new store.KvCache(session(), path)
+      kv.load()
+      val n = kv.clear(
+        source = rest.headOption.filter(_ != "-"),
+        olderThanSeconds = rest.drop(1).headOption.map(_.toLong))
+      kv.persist()
+      println(s"cleared $n entries")
     case "cache" :: "stats" :: path :: Nil =>
       val kv = new store.KvCache(session(), path)
       kv.load()
@@ -92,7 +147,16 @@ object Cli {
     case "snapshot" :: "list" :: base :: Nil =>
       val names = store.Snapshots.list(base)
       if (names.isEmpty) println(s"no snapshots under $base")
-      else names.foreach(println)
+      else names.foreach { n =>
+        val i = store.Snapshots.info(base, n)
+        println(f"$n%-24s ${i.sizeBytes / 1024.0 / 1024.0}%8.2f MB  ${i.fileCount}%4d files  sources: ${i.sources.mkString(", ")}")
+      }
+    case "snapshot" :: "delete" :: base :: name :: Nil =>
+      if (store.Snapshots.delete(base, name)) println(s"deleted snapshot '$name'")
+      else {
+        System.err.println(s"'$name' under $base is not a snapshot (no manifest)")
+        sys.exit(1)
+      }
     case "snapshot" :: "show" :: base :: name :: Nil =>
       println(store.Snapshots.manifest(base, name))
     case "snapshot" :: "create" :: base :: name :: sfDir :: tables if tables.nonEmpty =>

@@ -47,6 +47,23 @@ final class KvCache(spark: SparkSession, path: String,
 
   def hitCount(key: String): Long = entries.get(key).map(_.hitCount).getOrElse(0L)
 
+  /** Drop entries: all of them, one source's (key prefix up to the
+    * first `|`), or only those older than `olderThanSeconds` — the
+    * reference's `cache clear [--source] [--older-than]` surface.
+    * Returns how many were removed.
+    */
+  def clear(source: Option[String] = None,
+      olderThanSeconds: Option[Long] = None,
+      now: LocalDateTime = LocalDateTime.now(ZoneOffset.UTC)): Int = {
+    val cutoff = olderThanSeconds.map(epoch(now) - _)
+    val doomed = entries.values.filter { e =>
+      source.forall(s => e.key.takeWhile(_ != '|') == s) &&
+        cutoff.forall(e.createdAtEpochSec < _)
+    }.map(_.key).toSeq
+    doomed.foreach(entries.remove)
+    doomed.size
+  }
+
   /** Drop pre-versioning keys (reference legacy-key migration,
     * `cache/duckdb_store.py:216-251`).
     */

@@ -53,4 +53,43 @@ object Snapshots {
 
   def manifest(baseDir: String, name: String): String =
     Files.readString(Paths.get(baseDir, name, "manifest.json"))
+
+  final case class SnapshotInfo(name: String, sizeBytes: Long,
+      fileCount: Long, sources: Seq[String])
+
+  /** Size/file/source facts for `snapshot list` (reference
+    * `snapshots.py` SnapshotInfo: name, size_mb, sources, files).
+    */
+  def info(baseDir: String, name: String): SnapshotInfo = {
+    val root = Paths.get(baseDir, name)
+    val s = Files.walk(root)
+    val (bytes, files) =
+      try {
+        val fs = s.filter(Files.isRegularFile(_)).toArray.toSeq
+          .map(_.asInstanceOf[java.nio.file.Path])
+        (fs.map(Files.size).sum, fs.size.toLong)
+      } finally s.close()
+    val d = Files.list(root)
+    val sources =
+      try d.filter(Files.isDirectory(_)).map[String](_.getFileName.toString)
+        .sorted().toArray.toSeq.map(_.toString)
+      finally d.close()
+    SnapshotInfo(name, bytes, files, sources)
+  }
+
+  /** Deletes a snapshot — refuses anything that is not a snapshot
+    * directory (must carry a manifest), so a mistyped base dir can
+    * never recursively remove arbitrary data.
+    */
+  def delete(baseDir: String, name: String): Boolean = {
+    val root = Paths.get(baseDir, name)
+    if (!Files.exists(root.resolve("manifest.json"))) false
+    else {
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.delete(_))
+      finally s.close()
+      true
+    }
+  }
 }

@@ -56,16 +56,46 @@ class CliSpec extends SparkSuite {
     assert(after.contains("entries: 1") && after.contains("legacy keys: 0"))
   }
 
-  test("snapshot create/list/show verbs over a temp snapshot root") {
+  test("snapshot create/list/show/delete verbs over a temp snapshot root") {
     val base = Files.createTempDirectory("graft_cli_snap").toString
     assert(run("snapshot", "list", base).contains("no snapshots"))
     val created = run("snapshot", "create", base, "jan", "/root/testdata/sf0.001",
       "region", "nation")
     assert(created.contains("captured driver/region") &&
       created.contains("captured driver/nation"))
-    assert(run("snapshot", "list", base).linesIterator.toSeq == Seq("jan"))
+    val listed = run("snapshot", "list", base)
+    assert(listed.linesIterator.size == 1 && listed.startsWith("jan") &&
+      listed.contains("MB") && listed.contains("sources: driver"))
     val manifest = run("snapshot", "show", base, "jan")
     assert(manifest.contains("\"name\": \"jan\"") && manifest.contains("region"))
+    assert(run("snapshot", "delete", base, "jan").contains("deleted snapshot 'jan'"))
+    assert(run("snapshot", "list", base).contains("no snapshots"))
+  }
+
+  test("cache clear verb: by dataset prefix, then everything") {
+    val path = s"${Files.createTempDirectory("graft_cli_cc")}/kv"
+    val kv = new KvCache(spark, path)
+    val now = LocalDateTime.of(2024, 1, 10, 12, 0)
+    kv.put(Policies.cacheKey("cepea", Map("p" -> "soja"), "v2"), "a", 3600, 86400, now)
+    kv.put(Policies.cacheKey("conab", Map("p" -> "milho"), "v2"), "b", 3600, 86400, now)
+    kv.persist()
+    assert(run("cache", "clear", path, "cepea").contains("cleared 1 entries"))
+    assert(run("cache", "stats", path).contains("entries: 1"))
+    assert(run("cache", "clear", path).contains("cleared 1 entries"))
+    assert(run("cache", "stats", path).contains("entries: 0"))
+  }
+
+  test("doctor reports live environment facts; config show prints policies") {
+    val doc = run("doctor")
+    assert(doc.contains("spark.version") && doc.contains(spark.version))
+    assert(doc.contains("registered queries") &&
+      doc.contains(graft.queries.QueryRegistry.all.size.toString))
+    assert(doc.contains("custom function registry") && doc.contains("ok") &&
+      !doc.contains("BROKEN"))
+    assert(doc.contains("testdata sf0.01") && doc.contains("present"))
+    val cfg = run("config", "show")
+    assert(cfg.contains("cepea") && cfg.contains("ttl=") &&
+      cfg.contains("SLA tiers") && cfg.contains("critical"))
   }
 
   test("health verb prints one status row per probed source") {

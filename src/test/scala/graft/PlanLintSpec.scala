@@ -41,7 +41,9 @@ class PlanLintSpec extends SparkSuite {
     "t25_dsir_resample",     // 1-row (tr, tt) corpus totals against the ≤64-row λ table
     "d15_semantic_dedup",    // 1-row max(vec_id)+1 planted-offset scalar
     "t20_compression_gate",  // 1-row max(doc_id)+1 planted-offset scalar
-    "a24_neardup_full_coverage" // 1-row max(vec_id)+1 planted-offset scalar (d15's stance)
+    "a24_neardup_full_coverage", // 1-row max(vec_id)+1 planted-offset scalar (d15's stance)
+    "a03_embedding_neardups", // 1-row max(vec_id)+1 planted-offset scalar (d15's stance)
+    "a05_cosine_pairs_exact"  // 1-row max(vec_id)+1 planted-offset scalar (d15's stance)
   )
 
   /** Queries whose plan legitimately sorts a whole frame through one
