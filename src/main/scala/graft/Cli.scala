@@ -26,6 +26,8 @@ import org.apache.spark.sql.SparkSession
   * sbt "runMain graft.Cli snapshot show <base> <name>"        # manifest
   * sbt "runMain graft.Cli snapshot create <base> <name> <sfDir> <table...>"
   * sbt "runMain graft.Cli snapshot delete <base> <name>"
+  * sbt "runMain graft.Cli dataset list <landingDir>"  # registered catalog
+  * sbt "runMain graft.Cli dataset fetch <landingDir> <name> [limit]"
   * }}}
   *
   * The reference's `snapshot use` (a config-file default) has no CLI
@@ -164,11 +166,41 @@ object Cli {
       val entries = store.Snapshots.create(s, base, name,
         tables.map(t => s"driver/$t" -> queries.T.load(s, sfDir, t)).toMap)
       entries.foreach(e => println(s"captured ${e.source}/${e.dataset}: ${e.rows} rows"))
+    case "dataset" :: "list" :: landing :: Nil =>
+      // the engine analogue of the reference's conab/ibge `produtos`
+      // listings: what the catalog serves, with its contract identity
+      val s = session()
+      datasets.StandardDatasets.register(s, landing)
+      datasets.DatasetRegistry.list().foreach { n =>
+        val d = datasets.DatasetRegistry.get(n).get
+        println(f"$n%-20s contract=${d.contract.name}%-24s sources=${d.sources.sortBy(_.priority).map(_.name).mkString(",")}")
+      }
+    case "dataset" :: "fetch" :: landing :: name :: rest if rest.size <= 1 =>
+      // fetch through the prioritized fallback chain → normalize →
+      // contract-validate, then print provenance + a bounded preview
+      // (the reference's cepea/conab/ibge fetch commands' shape)
+      val s = session()
+      datasets.StandardDatasets.register(s, landing)
+      datasets.DatasetRegistry.get(name) match {
+        case None =>
+          System.err.println(
+            s"unknown dataset '$name'; have: ${datasets.DatasetRegistry.list().mkString(", ")}")
+          sys.exit(1)
+        case Some(d) =>
+          val (df, meta) = d.fetch()
+          println(s"dataset: ${meta.dataset}")
+          println(s"source: ${meta.source}")
+          println(s"records: ${meta.records}")
+          println(s"contract: ${meta.contractVersion}")
+          println(s"attempted: ${meta.attemptedSources.map(a => s"${a._1}=${a._2}").mkString(", ")}")
+          df.show(rest.headOption.map(_.toInt).getOrElse(10), truncate = false)
+      }
     case other =>
       System.err.println(
         s"unknown command ${other.mkString(" ")}; use: verify <sfDir> <outDir> | bench | " +
-          "explain [q...] | scale [q...] | demo | queries | plugins | health | " +
-          "cache stats|purge-legacy <path> | snapshot list|show|create ...")
+          "explain [q...] | scale [q...] | demo | queries | plugins | health | doctor | " +
+          "config show | cache stats|purge-legacy|clear <path> | " +
+          "snapshot list|show|create|delete ... | dataset list|fetch <landing> ...")
       sys.exit(2)
   }
 }

@@ -98,6 +98,30 @@ class CliSpec extends SparkSuite {
       cfg.contains("SLA tiers") && cfg.contains("critical"))
   }
 
+  test("dataset list/fetch verbs over a temp landing dir") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft_cli_ds").toString
+    Seq(("2024-01-10", "Soja", "BRL/sc60kg", 130.5))
+      .toDF("data", "produto", "unidade", "valor")
+      .withColumn("data", col("data").cast("date"))
+      .withColumn("valor", col("valor").cast("decimal(18,4)"))
+      .withColumn("praca", lit(null).cast("string"))
+      .withColumn("variacao_percentual", lit(null).cast("decimal(18,4)"))
+      .write.parquet(s"$landing/preco_diario")
+
+    val listed = run("dataset", "list", landing)
+    assert(listed.contains("preco_diario") && listed.contains("landing:preco_diario"))
+    assert(listed.linesIterator.size ==
+      graft.datasets.DatasetRegistry.list().size)
+
+    val fetched = run("dataset", "fetch", landing, "preco_diario", "5")
+    assert(fetched.contains("source: landing:preco_diario"))
+    assert(fetched.contains("records: 1"))
+    assert(fetched.contains("landing:preco_diario=ok"))
+    assert(fetched.contains("soja")) // normalize ran (lower + accent strip)
+  }
+
   test("health verb prints one status row per probed source") {
     val out = run("health")
     assert(out.contains("cepea") && out.contains("conab") && out.contains("ibge"))
