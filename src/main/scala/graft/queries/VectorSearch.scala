@@ -858,6 +858,107 @@ object VectorSearch {
       WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.99
       ORDER BY id1, id2"""))
 
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009,
+    * k = 60): the lexical retriever (t17's BM25 over the fixed query
+    * terms) and the dense retriever (a01's cosine against vec_id 0's
+    * embedding) each return their top-50, ranks fuse as
+    * Σ 1/(60+rank) over the lists a document appears in, top-10 out.
+    * This is the DEPLOYED shape — each retriever limits BEFORE any
+    * ranking window, so the row_number frames are structurally bounded
+    * (50 rows) and the fusion join touches 50+50 rows no matter the
+    * corpus size; the full scored frames never meet. Fully
+    * DuckDB-oracle-checked by composing the two sides' oracles.
+    */
+  val a25 = Q("a25_hybrid_rrf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = 50
+      // lexical side: t17's BM25 pipeline verbatim (same constants)
+      val terms = Seq("spark", "table", "hash")
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .withColumn("dl", size(col("toks")).cast("long"))
+      val scalars = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+        .filter(col("token").isInCollection(terms))
+        .groupBy(col("doc_id"), col("dl"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfs = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val bm25 = tf.join(broadcast(dfs), Seq("token"))
+        .crossJoin(broadcast(scalars))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+        .withColumn("idf", log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("sat", (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .withColumn("contrib", round(col("idf") * col("sat"), 6)
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("contrib")).cast("double").as("bm25"))
+      val bmTop = bm25.orderBy(col("bm25").desc, col("doc_id")).limit(n)
+        .withColumn("bm25_rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("bm25_rank"))
+      // dense side: a01's brute-force cosine, top-50
+      val e = load(s, dir, "embeddings")
+      val cosTop = V.bruteForceTopK(e.filter(col("vec_id") =!= 0),
+          e.filter(col("vec_id") === 0), "embedding", n)
+        .select(col("vec_id"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(n)
+        .withColumn("cos_rank", row_number().over(
+          Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id"), col("cos_rank"))
+      bmTop.join(cosTop, col("doc_id") === col("vec_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+          round(coalesce(lit(1.0) / (lit(60) + col("bm25_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("cos_rank")), lit(0.0)), 6).as("rrf"),
+          col("bm25_rank"), col("cos_rank"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      dl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+      sc AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      tf AS (
+        SELECT doc_id, dl, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS token FROM dl) x
+        WHERE token IN ('spark', 'table', 'hash')
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      bm AS (
+        SELECT doc_id,
+          CAST(SUM(CAST(ROUND(
+            LN(1.0 + (sc.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+            ((tf.tf * 2.2) /
+             (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (CAST(sc.sum_dl AS DOUBLE) / sc.n_docs)))),
+            6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM tf JOIN dfs USING (token), sc
+        GROUP BY doc_id),
+      bmtop AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+        FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      cos AS (
+        SELECT vec_id,
+          ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[])), 6) AS sim
+        FROM embeddings, q WHERE vec_id <> 0),
+      costop AS (
+        SELECT vec_id,
+          ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS cos_rank
+        FROM cos ORDER BY sim DESC, vec_id LIMIT 50)
+      SELECT COALESCE(b.doc_id, c.vec_id) AS doc_id,
+        ROUND(COALESCE(1.0 / (60 + b.bm25_rank), 0) +
+              COALESCE(1.0 / (60 + c.cos_rank), 0), 6) AS rrf,
+        b.bm25_rank, c.cos_rank
+      FROM bmtop b FULL OUTER JOIN costop c ON b.doc_id = c.vec_id
+      ORDER BY rrf DESC, doc_id LIMIT 10"""))
+
   def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
-    a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24)
+    a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
+    a25)
 }

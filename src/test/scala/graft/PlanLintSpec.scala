@@ -43,7 +43,8 @@ class PlanLintSpec extends SparkSuite {
     "t20_compression_gate",  // 1-row max(doc_id)+1 planted-offset scalar
     "a24_neardup_full_coverage", // 1-row max(vec_id)+1 planted-offset scalar (d15's stance)
     "a03_embedding_neardups", // 1-row max(vec_id)+1 planted-offset scalar (d15's stance)
-    "a05_cosine_pairs_exact"  // 1-row max(vec_id)+1 planted-offset scalar (d15's stance)
+    "a05_cosine_pairs_exact", // 1-row max(vec_id)+1 planted-offset scalar (d15's stance)
+    "a25_hybrid_rrf"          // t17's 1-row N/avgdl scalars (lexical side, same shape)
   )
 
   /** Queries whose plan legitimately sorts a whole frame through one
