@@ -97,6 +97,24 @@ object Demo {
       Structural.validate(fp.copy(structureHash = "h2",
         tableHeaders = Seq(Seq("X"))), fp))
 
+    // plugin registry — a validator plugin joins the fused validation scan
+    import graft.plugins._
+    Plugins.register(new ValidatorPlugin {
+      val meta = PluginMeta("demo-nonneg", "1.0", "values must be non-negative")
+      def rules(df: org.apache.spark.sql.DataFrame) = Seq(
+        AggRule("demo_nonneg", "error",
+          sum(when(col("valor") < 0, 1L).otherwise(0L))))
+    })
+    println("[demo] plugin validator in fused pass: " +
+      Plugins.validate(fact).collect().map(r =>
+        s"${r.getString(0)}=${if (r.getBoolean(3)) "pass" else "FAIL"}").mkString(", "))
+
+    // SLA — observed latencies scored against the catalogue targets
+    println("[demo] SLA latency findings (cepea, 20 obs): " +
+      health.Sla.evaluateLatency(health.Sla.get("cepea").get,
+        Seq.fill(19)(120L) :+ 900L)
+        .map(f => s"${f.objective}:${if (f.met) "met" else "MISS"}").mkString(", "))
+
     spark.stop()
   }
 }

@@ -112,6 +112,76 @@ object Checker {
   }
 }
 
+/** Sweep report (reference `health/reporter.py:16-140`: summary with
+  * counts/success-rate/avg-latency, failures/warnings views, JSON and
+  * markdown rendering, save-to-path). Same derivations; JSON via the
+  * repo-standard manual escaping (zero deps).
+  */
+final case class HealthReport(results: Seq[CheckResult],
+    at: Instant = Instant.now()) {
+
+  lazy val totalChecks: Int = results.size
+  lazy val okCount: Int = results.count(_.status == CheckStatus.Ok)
+  lazy val warningCount: Int = results.count(_.status == CheckStatus.Warning)
+  lazy val failedCount: Int = results.count(_.status == CheckStatus.Failed)
+  lazy val successRate: Double =
+    if (totalChecks == 0) 0.0 else okCount.toDouble / totalChecks
+  lazy val avgLatencyMs: Double =
+    if (totalChecks == 0) 0.0 else results.map(_.latencyMs).sum.toDouble / totalChecks
+  def allPassed: Boolean = failedCount == 0
+  def hasWarnings: Boolean = warningCount > 0
+  def failures: Seq[CheckResult] = results.filter(_.status == CheckStatus.Failed)
+  def warnings: Seq[CheckResult] = results.filter(_.status == CheckStatus.Warning)
+
+  private def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"'  => "\\\""
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  def toJson: String = {
+    val checks = results.map(r =>
+      s"""{"source":"${esc(r.source)}","status":"${r.status}",""" +
+        s""""latency_ms":${r.latencyMs},"message":"${esc(r.message)}",""" +
+        s""""checked_at":"${r.checkedAt}"}""").mkString("[", ",", "]")
+    s"""{"timestamp":"$at","summary":{"total_checks":$totalChecks,""" +
+      s""""ok":$okCount,"warnings":$warningCount,"failures":$failedCount,""" +
+      s""""success_rate":$successRate,"avg_latency_ms":$avgLatencyMs,""" +
+      s""""all_passed":$allPassed,"has_warnings":$hasWarnings},""" +
+      s""""checks":$checks}"""
+  }
+
+  def toMarkdown: String = {
+    val rows = results.map(r =>
+      s"| ${r.source} | ${r.status} | ${r.latencyMs} ms | ${r.message} |")
+    (Seq("# Health Check Report", "", s"**Timestamp:** $at", "",
+      "## Summary", "",
+      s"- Total checks: $totalChecks", s"- OK: $okCount",
+      s"- Warnings: $warningCount", s"- Failures: $failedCount",
+      f"- Success rate: ${successRate * 100}%.1f%%",
+      f"- Average latency: $avgLatencyMs%.0fms", "",
+      "## Results", "", "| source | status | latency | message |",
+      "| --- | --- | --- | --- |") ++ rows).mkString("\n") + "\n"
+  }
+
+  /** Writes the report; format from the extension-style argument. */
+  def save(path: String, format: String = "json"): Unit = {
+    val body = format match {
+      case "json" => toJson
+      case "md" => toMarkdown
+      case other => throw new IllegalArgumentException(
+        s"unsupported report format: $other (json|md)")
+    }
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, body)
+  }
+}
+
 object AlertLevel {
   val Info = "info"
   val Warning = "warning"
