@@ -66,6 +66,7 @@ object BenchPhases {
     "d08_neardup_clusters" -> 6.0, // full pair-graph connected-components closure (multi-round large/small-star)
     "d10_cjk_char_dedup" -> 4.5,   // char-gram shingling is ~5x the token count of word grams
     "d14_containment_join" -> 4.5, // asymmetric probe join counts every shared shingle exactly
-    "d15_semantic_dedup" -> 4.0    // C=1 oracle degeneracy is deliberately all-pairs (25M cosines); production C>1 is cell-confined (spec)
+    "d15_semantic_dedup" -> 4.0,   // C=1 oracle degeneracy is deliberately all-pairs (25M cosines); production C>1 is cell-confined (spec)
+    "d18_containment_bloom" -> 4.5 // d14's work PLUS the bloom-gate build pass — the past-the-broadcast-wall path exercised at a scale where broadcast still fits (BloomSemDedupSpec proves path equality); strictly more work than its twin by design
   )
 }
