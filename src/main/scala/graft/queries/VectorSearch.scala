@@ -958,7 +958,74 @@ object VectorSearch {
       FROM bmtop b FULL OUTER JOIN costop c ON b.doc_id = c.vec_id
       ORDER BY rrf DESC, doc_id LIMIT 10"""))
 
+  /** Corpus-scale model evaluation: tie-aware Mann-Whitney AUC of
+    * a22's classifier scores against a binary label (label parity).
+    * The rank computation is the SCALE-CORRECT form: scores are
+    * 6-dp-rounded sigmoids, so grouping by score value yields at most
+    * 1,000,001 buckets BY CONSTRUCTION — per-bucket (pos, total)
+    * counts aggregate map-side, the cumulative window runs over the
+    * bounded bucket frame (never per-row), and average-rank tie
+    * handling falls out exactly: items in a bucket share rank
+    * cum_before + (cnt+1)/2, so
+    * AUC = (Σ_pos avg_rank − P(P+1)/2) / (P·N). A 100 TB corpus
+    * shuffles ≤ 1e6 bucket rows through the window; the per-row work
+    * is one groupBy.
+    */
+  val a26 = Q("a26_model_auc",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w: Seq[Double] = (0 until 64).map(i => ((i * 37) % 19 - 9) / 10.0)
+      val scored = load(s, dir, "embeddings")
+        .withColumn("z", round(aggregate(
+          zip_with(col("embedding"), typedlit(w), (x, wi) => x * wi),
+          lit(0.1), (acc, p) => acc + p), 6))
+        .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+        .withColumn("pos", (col("label") % 2 === 1).cast("long"))
+      val buckets = scored.groupBy(col("score"))
+        .agg(sum(col("pos")).as("p_b"), count(lit(1)).as("c_b"))
+      val wOrd = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      buckets
+        .withColumn("cum_before", coalesce(sum(col("c_b")).over(wOrd), lit(0L)))
+        .select((col("p_b") * (col("cum_before").cast("double") +
+          (col("c_b") + lit(1)).cast("double") / 2.0)).as("rank_sum"),
+          col("p_b"), col("c_b"))
+        .agg(sum(col("p_b")).as("p"), sum(col("c_b") - col("p_b")).as("n"),
+          sum(col("rank_sum")).as("rs"))
+        .select(col("p"), col("n"),
+          round((col("rs") - col("p").cast("double") * (col("p") + lit(1)) / 2.0) /
+            (col("p").cast("double") * col("n")), 6).as("auc"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      z AS (
+        SELECT vec_id, label,
+          ROUND(list_reduce(list_prepend(0.1, list_transform(
+            generate_series(1, 64),
+            i -> v[i] * ([${(0 until 64).map(i => ((i * 37) % 19 - 9) / 10.0).mkString(", ")}])[i])),
+            (a, x) -> a + x), 6) AS zv
+        FROM e),
+      scored AS (
+        SELECT ROUND(1.0 / (1.0 + EXP(-zv)), 6) AS score,
+          CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos
+        FROM z),
+      buckets AS (
+        SELECT score, SUM(pos) AS p_b, COUNT(*) AS c_b
+        FROM scored GROUP BY 1),
+      ranked AS (
+        SELECT p_b, c_b,
+          COALESCE(SUM(c_b) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM buckets)
+      SELECT CAST(SUM(p_b) AS BIGINT) AS p,
+        CAST(SUM(c_b - p_b) AS BIGINT) AS n,
+        ROUND((SUM(p_b * (CAST(cum_before AS DOUBLE) + (c_b + 1) / 2.0))
+          - CAST(SUM(p_b) AS DOUBLE) * (SUM(p_b) + 1) / 2.0)
+          / (CAST(SUM(p_b) AS DOUBLE) * SUM(c_b - p_b)), 6) AS auc
+      FROM ranked"""))
+
   def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
     a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
-    a25)
+    a25, a26)
 }
