@@ -1025,7 +1025,52 @@ object VectorSearch {
           / (CAST(SUM(p_b) AS DOUBLE) * SUM(c_b - p_b)), 6) AS auc
       FROM ranked"""))
 
+  /** Classifier calibration (reliability-diagram bins, AUC's standard
+    * companion): scores bucketed to 10 fixed-width bins — a constant-
+    * cardinality groupBy, map-side combinable, zero windows — each bin
+    * reporting count, mean predicted probability (exact DECIMAL sum ÷
+    * count, engine-order independent) and empirical positive rate. The
+    * whole query is one aggregation pass at any corpus size.
+    */
+  val a27 = Q("a27_model_calibration",
+    (s, dir) => {
+      val w: Seq[Double] = (0 until 64).map(i => ((i * 37) % 19 - 9) / 10.0)
+      load(s, dir, "embeddings")
+        .withColumn("z", round(aggregate(
+          zip_with(col("embedding"), typedlit(w), (x, wi) => x * wi),
+          lit(0.1), (acc, p) => acc + p), 6))
+        .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+        .withColumn("pos", (col("label") % 2 === 1).cast("long"))
+        .groupBy(least(floor(col("score") * 10), lit(9L)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          (sum(dec(col("score"))).cast("double") / count(lit(1)))
+            .as("mean_pred"),
+          round(sum(col("pos")).cast("double") / count(lit(1)), 6)
+            .as("pos_rate"))
+        .withColumn("mean_pred", round(col("mean_pred"), 6))
+        .orderBy(col("bin"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      z AS (
+        SELECT vec_id, label,
+          ROUND(list_reduce(list_prepend(0.1, list_transform(
+            generate_series(1, 64),
+            i -> v[i] * ([${(0 until 64).map(i => ((i * 37) % 19 - 9) / 10.0).mkString(", ")}])[i])),
+            (a, x) -> a + x), 6) AS zv
+        FROM e),
+      scored AS (
+        SELECT ROUND(1.0 / (1.0 + EXP(-zv)), 6) AS score,
+          CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos
+        FROM z)
+      SELECT CAST(LEAST(FLOOR(score * 10), 9) AS BIGINT) AS bin,
+        COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(score AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS mean_pred,
+        ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+      FROM scored GROUP BY 1 ORDER BY 1"""))
+
   def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
     a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
-    a25, a26)
+    a25, a26, a27)
 }
