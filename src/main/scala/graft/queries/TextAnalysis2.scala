@@ -211,5 +211,105 @@ object TextAnalysis2 {
         CAST(ROW_NUMBER() OVER (ORDER BY dsir_w DESC, doc_id) AS INT) AS rank
       FROM w QUALIFY rank <= 100 ORDER BY rank"""))
 
-  def qs: Seq[Q] = Seq(t23, t24, t25)
+  /** Adjacent token-pair (bigram) frequency count — the statistic BPE
+    * merge selection is built on (Sennrich et al. 2016: each merge
+    * round promotes the most frequent adjacent symbol pair; reference
+    * tokenization shape `transform/text.py`'s whitespace pipeline) and
+    * equally the bigram-LM numerator. Pairs are formed INSIDE the row
+    * by zipping the token array against its own tail — no self-join,
+    * no window, no positional explode-then-rejoin: the plan is
+    * scan → explode → partial+final count → TakeOrdered(20), every
+    * stage map-side combinable. At 100 TB the only data-sized exchange
+    * is the pair-count aggregate, whose key space is the vocabulary
+    * squared *observed* (Heaps-law bounded), not the corpus.
+    */
+  val t26 = Q("t26_bpe_pair_counts",
+    (s, dir) => {
+      load(s, dir, "documents")
+        .select(split(lower(trim(col("text"))), "\\s+").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    },
+    Some("""
+      WITH d AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      p AS (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1])) AS pair
+        FROM d WHERE len(t) >= 2)
+      SELECT pair, COUNT(*) AS cnt FROM p
+      GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20"""))
+
+  /** Per-document bigram-LM surprisal with add-one smoothing — t21's
+    * CCNet-style perplexity filter upgraded from unigram to 2-gram
+    * context, the corpus as its own LM: P(cur|prev) =
+    * (c(prev,cur)+1) / (c(prev,·)+V). Pairs come from t26's in-row
+    * tail-zip (one generator, no positional self-join); the count
+    * tables are OBSERVED-vocab-bounded (Heaps law), so the two count
+    * joins key on vocabulary, not corpus; per-bigram NLL is
+    * 6-dp-rounded and decimal-summed per doc (engine-order-free); the
+    * final top-100-most-surprising is TakeOrdered, never a global
+    * sort. The highest-NLL tail is exactly the gibberish/boilerplate
+    * slice a perplexity gate drops.
+    */
+  val t27 = Q("t27_bigram_surprisal",
+    (s, dir) => {
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+      val vocab = docs
+        .select(explode(col("t")).as("token"))
+        .agg(countDistinct(col("token")).as("_v"))
+      val bge = docs.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      val biCnt = bge.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c_bi"))
+      val ctxCnt = bge.groupBy(col("prev")).agg(count(lit(1)).as("c_ctx"))
+      bge.join(biCnt, Seq("prev", "cur"))
+        .join(ctxCnt, Seq("prev"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("nll",
+          round(-log((col("c_bi") + lit(1.0)) / (col("c_ctx") + col("_v"))), 6)
+            .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("mean_nll"))
+        .withColumn("ppl", round(exp(col("mean_nll")), 4))
+        .orderBy(col("mean_nll").desc, col("doc_id"))
+        .limit(100)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      v AS (
+        SELECT COUNT(DISTINCT token) AS vs
+        FROM (SELECT unnest(t) AS token FROM d)),
+      bge AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS prev,
+          unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i + 1])) AS cur
+        FROM d WHERE len(t) >= 2),
+      bc AS (SELECT prev, cur, COUNT(*) AS c_bi FROM bge GROUP BY 1, 2),
+      cc AS (SELECT prev, COUNT(*) AS c_ctx FROM bge GROUP BY 1),
+      nll AS (
+        SELECT doc_id,
+          CAST(ROUND(-LN((c_bi + 1.0) / (c_ctx + v.vs)), 6) AS DECIMAL(18,6)) AS nll
+        FROM bge JOIN bc USING (prev, cur) JOIN cc USING (prev), v)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll,
+        ROUND(EXP(ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6)), 4) AS ppl
+      FROM nll GROUP BY doc_id
+      ORDER BY mean_nll DESC, doc_id LIMIT 100"""))
+
+  def qs: Seq[Q] = Seq(t23, t24, t25, t26, t27)
 }

@@ -1070,7 +1070,150 @@ object VectorSearch {
         ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS pos_rate
       FROM scored GROUP BY 1 ORDER BY 1"""))
 
+  /** Corpus-scale model TRAINING ([[graft.ops.Model.trainLogReg]]):
+    * two full-batch gradient-descent epochs of logistic regression on
+    * the embeddings against the parity label a26/a27 evaluate — the
+    * rung of the classifier ladder where a22's weights come FROM.
+    * Each epoch is ONE aggregation pass of dim+1 exact DECIMAL
+    * gradient sums (map-side combinable, O(dim) state — the k-means
+    * pattern); the driver's update arithmetic is 6-dp-mirrored, which
+    * is what lets an ITERATIVE training trajectory be DuckDB-hash-
+    * checked: the oracle re-derives epoch 1 in closed form (σ(0)=0.5
+    * makes it linear) and epoch 2 through the learned-weight sigmoid,
+    * certifying the non-linear update machinery, not just the first
+    * step. Output: 65 rows (j=0 bias, j=1..64 features), both epochs'
+    * weights. Multi-epoch convergence on separable data is spec-proven
+    * (ModelSpec).
+    */
+  val a28 = Q("a28_logreg_train",
+    (s, dir) => {
+      import s.implicits._
+      val models = graft.ops.Model.trainLogReg(
+        load(s, dir, "embeddings"),
+        "embedding", (col("label") % 2 === 1).cast("double"),
+        dims = 64, epochs = 2, lr = 1.0)
+      val Seq(m1, m2) = models
+      ((0L, m1.bias, m2.bias) +: (1 to 64).map(j =>
+        (j.toLong, m1.weights(j - 1), m2.weights(j - 1))))
+        .toDF("j", "w1", "w2")
+        .orderBy(col("j"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v,
+               CASE WHEN label % 2 = 1 THEN 1.0 ELSE 0.0 END AS y
+        FROM embeddings),
+      n AS (SELECT COUNT(*) AS c FROM e),
+      g1 AS (
+        SELECT j,
+          CAST(SUM(CAST(ROUND((0.5 - y) * v[j], 6) AS DECIMAL(28,6))) AS DOUBLE) AS s
+        FROM e, generate_series(1, 64) t(j)
+        GROUP BY j),
+      b1v AS (
+        SELECT ROUND(0.0 - CAST(SUM(CAST(ROUND(0.5 - y, 6) AS DECIMAL(28,6))) AS DOUBLE)
+          / (SELECT c FROM n), 6) AS b1
+        FROM e),
+      wa AS (SELECT j, ROUND(0.0 - s / (SELECT c FROM n), 6) AS w FROM g1),
+      wal AS (SELECT list(w ORDER BY j) AS wl FROM wa),
+      err2 AS (
+        SELECT v,
+          ROUND(1.0 / (1.0 + EXP(-ROUND(list_reduce(
+            list_prepend(b1v.b1,
+              list_transform(generate_series(1, 64),
+                i -> v[i] * wal.wl[i])),
+            (a, x) -> a + x), 6))), 6) - y AS err
+        FROM e, wal, b1v),
+      g2 AS (
+        SELECT j,
+          CAST(SUM(CAST(ROUND(err * v[j], 6) AS DECIMAL(28,6))) AS DOUBLE) AS s
+        FROM err2, generate_series(1, 64) t(j)
+        GROUP BY j),
+      b2v AS (
+        SELECT ROUND((SELECT b1 FROM b1v)
+          - CAST(SUM(CAST(ROUND(err, 6) AS DECIMAL(28,6))) AS DOUBLE)
+          / (SELECT c FROM n), 6) AS b2
+        FROM err2),
+      wb AS (
+        SELECT g2.j, ROUND(wa.w - g2.s / (SELECT c FROM n), 6) AS w
+        FROM g2 JOIN wa ON g2.j = wa.j)
+      SELECT CAST(0 AS BIGINT) AS j,
+        (SELECT b1 FROM b1v) AS w1, (SELECT b2 FROM b2v) AS w2
+      UNION ALL
+      SELECT wa.j, wa.w AS w1, wb.w AS w2 FROM wa JOIN wb ON wa.j = wb.j
+      ORDER BY j"""))
+
+  /** Distributed PCA, the O(dim) way ([[graft.ops.Model
+    * .powerIterationPc1]]): mean-center + two power-iteration rounds
+    * for the top principal component — no dim×dim covariance
+    * materialization, each round one aggregation pass of dim exact
+    * DECIMAL sums. Both iterates are emitted and hash-checked: the
+    * oracle replays mean, matvec, normalize with the identical fold
+    * order and 6-dp rounding, certifying the whole iterative chain.
+    * Planted-direction recovery at more iterations is spec-proven
+    * (ModelSpec). This is the embedding-whitening / dimensionality-
+    * reduction primitive a23's Matryoshka rerank assumes upstream
+    * models provide.
+    */
+  val a29 = Q("a29_pca_power_iteration",
+    (s, dir) => {
+      import s.implicits._
+      val (_, iters) = graft.ops.Model.powerIterationPc1(
+        load(s, dir, "embeddings"), "embedding", dims = 64, iters = 2)
+      val Seq(v1, v2) = iters
+      (1 to 64).map(j => (j.toLong, v1(j - 1), v2(j - 1)))
+        .toDF("j", "p1", "p2")
+        .orderBy(col("j"))
+    },
+    Some("""
+      WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT COUNT(*) AS c FROM e),
+      m AS (
+        SELECT j, ROUND(CAST(SUM(CAST(ROUND(v[j], 6) AS DECIMAL(28,6))) AS DOUBLE)
+          / (SELECT c FROM n), 6) AS mu
+        FROM e, generate_series(1, 64) t(j) GROUP BY j),
+      ml AS (SELECT list(mu ORDER BY j) AS mul FROM m),
+      cent AS (
+        SELECT list_transform(generate_series(1, 64),
+                 i -> v[i] - ml.mul[i]) AS cv
+        FROM e, ml),
+      d1 AS (
+        SELECT cv, list_reduce(list_prepend(0.0,
+          list_transform(generate_series(1, 64),
+            i -> cv[i] * (CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END))),
+          (a, x) -> a + x) AS d
+        FROM cent),
+      u1 AS (
+        SELECT j, ROUND(CAST(SUM(CAST(ROUND(cv[j] * d, 6) AS DECIMAL(28,6))) AS DOUBLE)
+          / (SELECT c FROM n), 6) AS u
+        FROM d1, generate_series(1, 64) t(j) GROUP BY j),
+      n1 AS (
+        SELECT SQRT(list_reduce(list_prepend(0.0,
+          list_transform(list(u ORDER BY j), x -> x * x)),
+          (a, x) -> a + x)) AS nrm
+        FROM u1),
+      v1 AS (SELECT j, ROUND(u / (SELECT nrm FROM n1), 6) AS p FROM u1),
+      v1l AS (SELECT list(p ORDER BY j) AS pl FROM v1),
+      d2 AS (
+        SELECT cv, list_reduce(list_prepend(0.0,
+          list_transform(generate_series(1, 64),
+            i -> cv[i] * v1l.pl[i])),
+          (a, x) -> a + x) AS d
+        FROM cent, v1l),
+      u2 AS (
+        SELECT j, ROUND(CAST(SUM(CAST(ROUND(cv[j] * d, 6) AS DECIMAL(28,6))) AS DOUBLE)
+          / (SELECT c FROM n), 6) AS u
+        FROM d2, generate_series(1, 64) t(j) GROUP BY j),
+      n2 AS (
+        SELECT SQRT(list_reduce(list_prepend(0.0,
+          list_transform(list(u ORDER BY j), x -> x * x)),
+          (a, x) -> a + x)) AS nrm
+        FROM u2),
+      v2 AS (SELECT j, ROUND(u / (SELECT nrm FROM n2), 6) AS p FROM u2)
+      SELECT v1.j, v1.p AS p1, v2.p AS p2
+      FROM v1 JOIN v2 ON v1.j = v2.j
+      ORDER BY v1.j"""))
+
   def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
     a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
-    a25, a26, a27)
+    a25, a26, a27, a28, a29)
 }
