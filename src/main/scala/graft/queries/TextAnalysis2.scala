@@ -311,5 +311,118 @@ object TextAnalysis2 {
       FROM nll GROUP BY doc_id
       ORDER BY mean_nll DESC, doc_id LIMIT 100"""))
 
-  def qs: Seq[Q] = Seq(t23, t24, t25, t26, t27)
+  /** Fused multi-signal quality gate (the Gopher/RedPajama rule-stack
+    * shape: Rae et al. 2021 §A1.1.2): SIX document-quality rules —
+    * length bounds, mean token length, stopword floor, digit-density
+    * ceiling, duplicate-token dominance — evaluated in ONE projection
+    * over one scan. No joins, no shuffle, no UDF: every signal is
+    * in-row array/string arithmetic, and every rule COMPARISON is
+    * exact integer cross-multiplication (stop·50 < n_tok encodes
+    * ratio < 0.02), so the keep/drop decision and the reason BITMASK
+    * are float-free and engine-exact. This is the fusion stance of
+    * `validate/Semantic` applied to corpus curation: N rules never
+    * cost N scans, and at 100 TB the gate is embarrassingly parallel
+    * (a single WholeStageCodegen span — see PLANS.md).
+    */
+  val t28 = Q("t28_quality_gate_fused",
+    (s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on",
+        "for", "with")
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("t"),
+          length(col("text")).as("n_chars"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", ""))).as("digits"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tok"),
+          aggregate(transform(col("t"), x => length(x)), lit(0),
+            (acc, x) => acc + x).cast("long").as("tok_chars"),
+          size(filter(col("t"), x => x.isInCollection(stop)))
+            .cast("long").as("stop_cnt"),
+          col("digits").cast("long").as("digit_cnt"),
+          col("n_chars").cast("long").as("n_chars"),
+          size(array_distinct(col("t"))).cast("long").as("n_distinct"))
+        .withColumn("mask",
+          (when(col("n_tok") < 5, 1L).otherwise(0L) +
+            when(col("n_tok") > 5000, 2L).otherwise(0L) +
+            when(col("tok_chars") < lit(2L) * col("n_tok") ||
+              col("tok_chars") > lit(12L) * col("n_tok"), 4L).otherwise(0L) +
+            when(col("stop_cnt") * 50L < col("n_tok"), 8L).otherwise(0L) +
+            when(col("digit_cnt") * 5L > col("n_chars"), 16L).otherwise(0L) +
+            when((col("n_tok") - col("n_distinct")) * 2L > col("n_tok"), 32L)
+              .otherwise(0L)).as("mask"))
+        .withColumn("keep", (col("mask") === 0L).cast("boolean"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS t,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+            AS BIGINT) AS digit_cnt
+        FROM documents),
+      sig AS (
+        SELECT doc_id,
+          CAST(len(t) AS BIGINT) AS n_tok,
+          CAST(list_reduce(list_prepend(0, list_transform(t, x -> length(x))),
+            (a, x) -> a + x) AS BIGINT) AS tok_chars,
+          CAST(len(list_filter(t, x -> list_contains(
+            ['the','a','of','and','to','in','is','on','for','with'], x)))
+            AS BIGINT) AS stop_cnt,
+          digit_cnt, n_chars,
+          CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+        FROM d)
+      SELECT doc_id, n_tok, tok_chars, stop_cnt, digit_cnt, n_chars,
+        n_distinct,
+        (CASE WHEN n_tok < 5 THEN 1 ELSE 0 END +
+         CASE WHEN n_tok > 5000 THEN 2 ELSE 0 END +
+         CASE WHEN tok_chars < 2 * n_tok OR tok_chars > 12 * n_tok
+              THEN 4 ELSE 0 END +
+         CASE WHEN stop_cnt * 50 < n_tok THEN 8 ELSE 0 END +
+         CASE WHEN digit_cnt * 5 > n_chars THEN 16 ELSE 0 END +
+         CASE WHEN (n_tok - n_distinct) * 2 > n_tok THEN 32 ELSE 0 END)
+          AS mask,
+        ((CASE WHEN n_tok < 5 THEN 1 ELSE 0 END +
+          CASE WHEN n_tok > 5000 THEN 2 ELSE 0 END +
+          CASE WHEN tok_chars < 2 * n_tok OR tok_chars > 12 * n_tok
+               THEN 4 ELSE 0 END +
+          CASE WHEN stop_cnt * 50 < n_tok THEN 8 ELSE 0 END +
+          CASE WHEN digit_cnt * 5 > n_chars THEN 16 ELSE 0 END +
+          CASE WHEN (n_tok - n_distinct) * 2 > n_tok THEN 32 ELSE 0 END) = 0)
+          AS keep
+      FROM sig ORDER BY doc_id"""))
+
+  /** Mergeable distinct-counting (Apache DataSketches HLL via Spark's
+    * native hll_sketch_agg/hll_union_agg): per-source token sketches
+    * built independently — the shape of per-day/per-shard corpus
+    * statistics at 100 TB — then UNIONED into the global estimate
+    * without touching the data again. Sketch union is exact over
+    * sketch state (sketch(A) ∪ sketch(B) ≡ sketch(A ∪ B)), so
+    * incremental maintenance gives the SAME estimate as a full rebuild
+    * — asserted in SketchMergeSpec; q25/q29 pin the approx-vs-exact
+    * twin discipline. Rows-only here by design: the estimate is
+    * DataSketches-implementation-specific, which no SQL oracle
+    * reproduces (the spec anchors it within 5% of exact distinct).
+    */
+  val t29 = Q("t29_mergeable_distinct",
+    (s, dir) => {
+      val toks = load(s, dir, "documents")
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      val perSource = toks.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("token"), lit(12)).as("sk"))
+      val global = perSource
+        .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+        .select(lit("__all__").as("source"),
+          hll_sketch_estimate(col("sk")).as("est_distinct"))
+      perSource
+        .select(col("source"), hll_sketch_estimate(col("sk")).as("est_distinct"))
+        .unionByName(global)
+        .orderBy(col("source"))
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(t23, t24, t25, t26, t27, t28, t29)
 }
