@@ -810,6 +810,39 @@ object VectorSearch {
     * configuration is the oracle query (d15); identical vectors always
     * share a cell, so planted duplicates are removed at ANY C.
     */
+  /** IVF-cell-confined kNN GRAPH: every node's top-k cosine neighbors
+    * in one job — the batch-all-nodes primitive SemDeDup-style
+    * clustering, HNSW bottom-layer bootstrap, and graph-based dedup
+    * sit on. Each node is replicated to its `nprobe` nearest cells
+    * (probe side); neighbors live only in their PRIMARY cell (member
+    * side), so a candidate pair meets in at most ONE cell — no
+    * dedup pass — and the join fan-in per node is its probed cells'
+    * population, never the corpus. Ranking reuses [[batchTopK]]'s
+    * two-level shape (per-partition heap, then a window over ≤ k·P
+    * partial rows per node). Degeneracies are the exactness
+    * certificates: C=1 ⇒ the exact kNN graph (a30's DuckDB oracle),
+    * and nprobe=C ⇒ brute force at any C (spec-asserted).
+    */
+  def knnGraph(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Seq[Float]], k: Int, nprobe: Int = 1): DataFrame = {
+    val base = vectors.select(col(idCol), col(vecCol))
+    val members = withNearestCell(base, idCol, vecCol, cents)
+      .select(col("cell"), col(idCol).as("nbr_id"), col(vecCol).as("nbr_v"))
+    val sims = transform(centroidArray(cents),
+      e => struct(G.cosineSim(col(vecCol), e.getField("c")).as("sim"),
+        e.getField("cid").as("cid")))
+    val probes = transform(slice(reverse(array_sort(sims)), 1, nprobe),
+      s => s.getField("cid"))
+    val scored = base
+      .withColumn("cell", explode(probes))
+      .select(col("cell"), col(idCol).as("src_id"), col(vecCol).as("src_v"))
+      .join(members, Seq("cell"))
+      .filter(col("src_id") =!= col("nbr_id"))
+      .withColumn("sim", round(G.cosineSim(col("src_v"), col("nbr_v")), 6))
+      .select(col("src_id"), col("nbr_id"), col("sim"))
+    batchTopK(scored, "src_id", "nbr_id", "sim", k)
+  }
+
   def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
       cents: Array[Seq[Float]], tau: Double): DataFrame = {
     val assigned = withNearestCell(

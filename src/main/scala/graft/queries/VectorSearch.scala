@@ -1213,7 +1213,42 @@ object VectorSearch {
       FROM v1 JOIN v2 ON v1.j = v2.j
       ORDER BY v1.j"""))
 
+  /** kNN-graph construction ([[graft.ops.VectorSearch.knnGraph]]) in
+    * its C=1 exactness configuration: one Voronoi cell puts every
+    * node's candidates at the whole (subset) corpus, so the cell-
+    * confined graph provably equals the exact all-pairs kNN graph —
+    * DuckDB-hash-checked per node (top-5, rank included). The
+    * production path is C cells × nprobe probes, where the join
+    * fan-in per node is its probed cells' population; nprobe=C
+    * brute-force equality at real C and planted-copy rank-1 recovery
+    * at small nprobe are spec-asserted (KnnGraphSpec).
+    */
+  val a30 = Q("a30_knn_graph",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(5)) === 0)
+      V.knnGraph(e, "vec_id", "embedding",
+          cents = Array(Seq.fill(64)(0.0f)), k = 5, nprobe = 1)
+        .select(col("src_id"), col("nbr_id"), col("sim"), col("rank"))
+        .orderBy(col("src_id"), col("rank"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 5 = 0),
+      p AS (
+        SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+          ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      r AS (
+        SELECT src_id, nbr_id, sim,
+          CAST(ROW_NUMBER() OVER (PARTITION BY src_id
+            ORDER BY sim DESC, nbr_id) AS INT) AS rank
+        FROM p)
+      SELECT src_id, nbr_id, sim, rank FROM r
+      WHERE rank <= 5 ORDER BY src_id, rank"""))
+
   def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
     a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
-    a25, a26, a27, a28, a29)
+    a25, a26, a27, a28, a29, a30)
 }
