@@ -113,10 +113,26 @@ object Dedup {
     */
   def simhashPairs(
       df: DataFrame, idCol: Column, textCol: Column,
-      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+      bands: Int = 4, maxHamming: Int = 3): DataFrame =
+    hammingPairsFromSketch(
+      df.select(idCol.as("doc_id"), G.simhash64(textCol).as("sim")),
+      col("doc_id"), col("sim"), bands, maxHamming)
+
+  /** The banded hamming self-join over any precomputed 64-bit sketch
+    * column (text SimHash, media perceptual hash, …) — pigeonhole
+    * blocking: hamming ≤ bands-1 guarantees some band chunk equal, so
+    * the bucket join is EXACT for maxHamming ≤ bands-1 (d10/m05's
+    * configs; DedupSketchSpec asserts the equality) and a documented
+    * recall heuristic above it (d03's maxHamming=6 at 4 bands); the
+    * verify is one bit_count(xor). Only (id, long) pairs ride the
+    * shuffle.
+    */
+  def hammingPairsFromSketch(
+      sketches: DataFrame, idCol: Column, sketchCol: Column,
+      bands: Int, maxHamming: Int): DataFrame = {
     val width = 64 / bands
     val mask = (1L << width) - 1
-    val sk = df.select(idCol.as("doc_id"), G.simhash64(textCol).as("sim"))
+    val sk = sketches.select(idCol.as("doc_id"), sketchCol.as("sim"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sim"), b * width).bitwiseAND(lit(mask)).as("chunk"))

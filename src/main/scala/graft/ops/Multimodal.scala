@@ -84,6 +84,32 @@ object Multimodal {
     }
   }
 
+  case class PhashRow(doc_id: Long, format: String, phash: Long)
+
+  /** Perceptual fingerprint of a media payload — the dHash gradient
+    * scheme (bit i = feature(i) > feature(i+1)) over the stub
+    * decoder's 65 chunked-byte-sum features, packed into one 64-bit
+    * long. A real deployment swaps the stub features for decoded
+    * pixel/spectrogram intensities and keeps EVERYTHING downstream:
+    * the fingerprint is one long per asset, so media near-dup becomes
+    * [[Dedup.hammingPairsFromSketch]]'s banded join — bits, not
+    * payloads, ride the shuffle. Gradient hashing is what makes small
+    * payload edits small hamming moves: a k-byte append touches ≤ k
+    * feature buckets ⇒ ≤ 2k bits.
+    */
+  def perceptualHash(media: Dataset[MediaRow]): Dataset[PhashRow] = {
+    implicit val enc = Encoders.product[PhashRow]
+    extractFeatures(media, dim = 65).map { r =>
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        if (r.features(i) > r.features(i + 1)) h |= (1L << i)
+        i += 1
+      }
+      PhashRow(r.doc_id, r.format, h)
+    }
+  }
+
   /** Contiguous fixed-size chunking of the binary payload — the shard
     * plan for parallel decode of LARGE media (one blob too big for one
     * task → its chunks decode on many): pure column HOFs (sequence →

@@ -100,5 +100,35 @@ object MultimodalOps {
           CAST(CEIL(octet_length(encode(text)) / 512.0) AS BIGINT) - 1)) t(i)
       ORDER BY doc_id, chunk_idx"""))
 
-  def qs: Seq[Q] = Seq(m01, m02, m03, m04)
+  /** Media near-duplicate pairs: perceptual dHash fingerprints
+    * ([[graft.ops.Multimodal.perceptualHash]] — gradient bits over the
+    * stub decoder's features, one 64-bit long per asset) through the
+    * banded hamming self-join ([[graft.ops.Dedup
+    * .hammingPairsFromSketch]], pigeonhole-EXACT at hamming ≤ 3 with
+    * 4 bands). Every 17th document gets a planted one-byte-appended
+    * copy (id = in-plan max+1 offset): a 1-byte edit moves ≤ 1 stub
+    * feature ⇒ ≤ 2 gradient bits, so each copy MUST pair with its
+    * original. Rows-only by design (byte-level hash math has no SQL
+    * oracle); MediaNearDupSpec pins banded == brute-force hamming
+    * equality and 100% planted recall. At 100 TB only (id, long)
+    * pairs shuffle — payloads are read once and never again.
+    */
+  val m05 = Q("m05_media_neardup",
+    (s, dir) => {
+      val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val off = broadcast(docs.agg(
+        (coalesce(max(col("doc_id")), lit(-1L)) + lit(1L)).as("_off")))
+      val planted = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .crossJoin(off)
+        .select((col("doc_id") + col("_off")).as("doc_id"),
+          concat(col("text"), lit(" ")).as("text"))
+      val media = Multimodal.asMedia(docs.unionByName(planted), "doc_id", "text")
+      val ph = Multimodal.perceptualHash(media).toDF()
+      graft.ops.Dedup.hammingPairsFromSketch(ph, col("doc_id"), col("phash"),
+          bands = 4, maxHamming = 3)
+        .orderBy(col("id1"), col("id2"))
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(m01, m02, m03, m04, m05)
 }

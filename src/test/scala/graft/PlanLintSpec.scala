@@ -45,7 +45,8 @@ class PlanLintSpec extends SparkSuite {
     "a03_embedding_neardups", // 1-row max(vec_id)+1 planted-offset scalar (d15's stance)
     "a05_cosine_pairs_exact", // 1-row max(vec_id)+1 planted-offset scalar (d15's stance)
     "a25_hybrid_rrf",         // t17's 1-row N/avgdl scalars (lexical side, same shape)
-    "t27_bigram_surprisal"    // 1-row vocab-size scalar against the bigram stream (t21's shape)
+    "t27_bigram_surprisal",   // 1-row vocab-size scalar against the bigram stream (t21's shape)
+    "m05_media_neardup"       // 1-row max(doc_id)+1 planted-offset scalar (d15's stance)
   )
 
   /** Queries whose plan legitimately sorts a whole frame through one
