@@ -255,6 +255,75 @@ object Streaming {
     * the batch path, so a batch recount over the candidates makes it
     * exact. State is O(k) per bucket, forever.
     */
+  /** One microbatch of the live sketch table: per-key HLL sketches of
+    * the batch, unioned with the current table, written as a new
+    * version + pointer flip. Exposed separately so the replay algebra
+    * is directly testable: HLL union is commutative, associative and
+    * IDEMPOTENT (sketch ∪ sketch = sketch — the CRDT property), so
+    * re-merging a replayed batch yields the byte-identical estimate —
+    * at-least-once delivery gives exactly-once STATISTICS with no
+    * batch-id bookkeeping at all.
+    */
+  private[graft] def sketchMergeBatch(batch: DataFrame, batchId: Long,
+      keyCol: String, tokenCol: String, path: String, lgK: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val bs = batch.groupBy(col(keyCol))
+      .agg(hll_sketch_agg(col(tokenCol), lit(lgK)).as("sk"))
+    val merged = currentSketches(spark, path) match {
+      case Some(cur) => cur.unionByName(bs)
+        .groupBy(col(keyCol))
+        .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+      case None => bs
+    }
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(dir)
+    merged.write.mode("overwrite")
+      .parquet(dir.resolve(s"v$batchId").toString)
+    // readers follow the pointer; the flip is the one mutable byte-write
+    java.nio.file.Files.writeString(dir.resolve("_version"), batchId.toString)
+  }
+
+  private def currentSketches(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val ptr = java.nio.file.Paths.get(path, "_version")
+    if (java.nio.file.Files.exists(ptr))
+      Some(spark.read.parquet(
+        java.nio.file.Paths.get(path,
+          s"v${java.nio.file.Files.readString(ptr).trim}").toString))
+    else None
+  }
+
+  /** Live corpus statistics: per-key distinct-token HLL sketches
+    * maintained incrementally — each microbatch unions its own sketch
+    * into the versioned sketch table (t29's mergeable-summaries law,
+    * run forever). The table stays O(keys × 2^lgK) bytes no matter how
+    * much data streams through, and by union losslessness the merged
+    * state always equals the single-pass sketch of everything seen
+    * (asserted live in SketchMergeSpec's streaming test).
+    */
+  def sketchSink(items: DataFrame, keyCol: String, tokenCol: String,
+      path: String, checkpoint: String, lgK: Int = 12)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val commit: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, id) => sketchMergeBatch(batch.toDF(), id, keyCol, tokenCol, path, lgK)
+    items.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(commit)
+      .start()
+  }
+
+  /** Estimates off the live sketch table — metadata-scale read. */
+  def sketchEstimates(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    currentSketches(spark, path) match {
+      case Some(cur) => cur.select(col("*"))
+        .withColumn("est_distinct", hll_sketch_estimate(col("sk")))
+        .drop("sk")
+      case None => spark.emptyDataFrame
+    }
+
   def heavyHittersStream(items: DataFrame, itemCol: String, k: Int,
       buckets: Int = 16): Dataset[HHOut] = {
     import items.sparkSession.implicits._

@@ -42,6 +42,35 @@ class SketchMergeSpec extends SparkSuite {
     assert(halves == whole)
   }
 
+  test("streaming sketch sink: live merged state == one-shot batch sketch; replay is estimate-idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sketch_sink").toString
+    val rows = toks.select(col("source"), col("token"))
+      .as[(String, String)].collect().toSeq
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(String, String)]
+    val q = graft.streaming.Streaming.sketchSink(
+      in.toDF().toDF("source", "token"), "source", "token",
+      path = root, checkpoint = root + "_ckpt")
+    try {
+      in.addData(h1: _*); q.processAllAvailable()
+      in.addData(h2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val live = graft.streaming.Streaming.sketchEstimates(spark, root)
+      .as[(String, Long)].collect().toMap
+    val batch = toks.groupBy(col("source"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("token"), lit(12))).as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(live == batch, s"live $live vs batch $batch")
+    // replay algebra: re-merging an already-absorbed batch changes nothing
+    graft.streaming.Streaming.sketchMergeBatch(
+      h2.toDF("source", "token"), 99L, "source", "token", root, 12)
+    val replayed = graft.streaming.Streaming.sketchEstimates(spark, root)
+      .as[(String, Long)].collect().toMap
+    assert(replayed == live)
+  }
+
   test("estimate within the precision envelope of exact distinct") {
     val exact = toks.select(col("token")).distinct().count().toDouble
     val est = toks
