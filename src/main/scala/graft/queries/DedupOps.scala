@@ -884,6 +884,85 @@ object DedupOps {
       FROM l LEFT JOIN agg a USING (doc_id)
       ORDER BY l.doc_id"""))
 
+  /** Canonical-representative selection — the step AFTER d08's
+    * clustering that a dedup pipeline actually ships: each near-dup
+    * cluster keeps exactly one survivor (the longest-by-token-count
+    * document, ties to the lowest id — the "keep the most complete
+    * copy" heuristic) and reports how many it drops. Selection is a
+    * single `max_by` aggregate over the component labels (no window,
+    * no sort — cluster sizes bound the agg state), so the whole
+    * survivor table costs one key-sized shuffle beyond the clustering
+    * itself. Token counts, not char lengths, so the quality key uses
+    * the same whitespace arithmetic both engines already agree on.
+    */
+  val d21 = Q("d21_canonical_selection",
+    (s, dir) => {
+      val docs = withNearDupChains(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs,
+        col("doc_id"), col("text"), k = 3, tau = 0.6)
+      val labels = graft.ops.Graph.connectedComponents(
+        pairs.select(col("id1"), col("id2")))
+      labels
+        .join(docs.select(col("doc_id").as("id"),
+          size(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+            .cast("long").as("n_tok")), Seq("id"))
+        .groupBy(col("component").as("cluster_id"))
+        .agg(max_by(col("id"), struct(col("n_tok"), -col("id"))).as("keep_id"),
+          count(lit(1)).as("n_docs"),
+          (count(lit(1)) - lit(1)).as("n_dropped"))
+        .orderBy(col("cluster_id"))
+    },
+    Some("""
+      WITH RECURSIVE all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 20000, concat(text, ' graft appended marker tokens')
+        FROM documents WHERE doc_id % 11 = 0
+        UNION ALL
+        SELECT doc_id + 40000, concat(text, ' graft appended marker tokens second extension run')
+        FROM documents WHERE doc_id % 11 = 0),
+      norm AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM all_docs),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      common AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+        FROM sh a JOIN sh b USING (s)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id1, id2
+        FROM common
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6),
+      edges AS (
+        SELECT id1 AS u, id2 AS v FROM pairs
+        UNION
+        SELECT id2, id1 FROM pairs),
+      reach(src, dst) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+      lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+      sel AS (
+        SELECT lab.cluster_id, lab.doc_id,
+          CAST(len(n.toks) AS BIGINT) AS n_tok
+        FROM lab JOIN norm n ON n.doc_id = lab.doc_id),
+      r AS (
+        SELECT cluster_id, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY cluster_id
+            ORDER BY n_tok DESC, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY cluster_id) AS n
+        FROM sel)
+      SELECT cluster_id, doc_id AS keep_id, n AS n_docs, n - 1 AS n_dropped
+      FROM r WHERE rn = 1 ORDER BY cluster_id"""))
+
   def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21)
 }

@@ -478,5 +478,67 @@ object Validation {
           / 3600000.0) AS BIGINT) > 720 AS is_stale
       FROM events GROUP BY 1 ORDER BY 1"""))
 
-  def qs: Seq[Q] = Seq(v01, v02, v03, v04, v05, v07, v08, v09, v10, v11, v12, v13)
+  /** Embedding-space drift between two corpus snapshots (v10's
+    * distribution-drift monitor lifted to vector columns; cohorts =
+    * vec_id parity as the two-snapshot stand-in): per-dimension mean
+    * vectors, compared by cosine and L2. The plan is drift-monitor-
+    * shaped for 100 TB: posexplode inflates rows ×dim but partial
+    * aggregation collapses it map-side to 2×dim (coh, j) cells, the
+    * only shuffle is those ≤128 rows, and the final comparison folds
+    * 64 rows to one. All float work runs through 6/12-dp-rounded
+    * DECIMAL sums, so the two engines agree bit-for-bit.
+    */
+  val v14 = Q("v14_embedding_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DataTypes
+      val dec6 = DataTypes.createDecimalType(28, 6)
+      val dec12 = DataTypes.createDecimalType(30, 12)
+      val e = load(s, dir, "embeddings")
+        .select(pmod(col("vec_id"), lit(2)).as("coh"),
+          posexplode(col("embedding")).as(Seq("j", "x")))
+      val m = e.groupBy(col("coh"), col("j"))
+        .agg(round(sum(round(col("x").cast("double"), 6).cast(dec6))
+          .cast("double") / count(lit(1)), 6).as("mu"))
+      val a = m.filter(col("coh") === 0).select(col("j"), col("mu").as("ma"))
+      val b = m.filter(col("coh") === 1).select(col("j"), col("mu").as("mb"))
+      a.join(b, Seq("j"))
+        .agg(
+          sum(round(col("ma") * col("mb"), 12).cast(dec12))
+            .cast("double").as("s_ab"),
+          sum(round(col("ma") * col("ma"), 12).cast(dec12))
+            .cast("double").as("s_aa"),
+          sum(round(col("mb") * col("mb"), 12).cast(dec12))
+            .cast("double").as("s_bb"),
+          sum(round((col("ma") - col("mb")) * (col("ma") - col("mb")), 12)
+            .cast(dec12)).cast("double").as("s_dd"))
+        .select(
+          round(col("s_ab") / (sqrt(col("s_aa")) * sqrt(col("s_bb"))), 6)
+            .as("mean_cos"),
+          round(sqrt(col("s_dd")), 6).as("mean_l2"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id % 2 AS coh, j,
+          CAST(embedding[j] AS DOUBLE) AS x
+        FROM embeddings, generate_series(1, 64) t(j)),
+      m AS (
+        SELECT coh, j,
+          ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            / COUNT(*), 6) AS mu
+        FROM e GROUP BY 1, 2),
+      ab AS (
+        SELECT a.mu AS ma, b.mu AS mb
+        FROM m a JOIN m b ON a.j = b.j AND a.coh = 0 AND b.coh = 1),
+      sums AS (
+        SELECT
+          CAST(SUM(CAST(ROUND(ma * mb, 12) AS DECIMAL(30,12))) AS DOUBLE) AS s_ab,
+          CAST(SUM(CAST(ROUND(ma * ma, 12) AS DECIMAL(30,12))) AS DOUBLE) AS s_aa,
+          CAST(SUM(CAST(ROUND(mb * mb, 12) AS DECIMAL(30,12))) AS DOUBLE) AS s_bb,
+          CAST(SUM(CAST(ROUND((ma - mb) * (ma - mb), 12) AS DECIMAL(30,12))) AS DOUBLE) AS s_dd
+        FROM ab)
+      SELECT ROUND(s_ab / (SQRT(s_aa) * SQRT(s_bb)), 6) AS mean_cos,
+        ROUND(SQRT(s_dd), 6) AS mean_l2
+      FROM sums"""))
+
+  def qs: Seq[Q] = Seq(v01, v02, v03, v04, v05, v07, v08, v09, v10, v11, v12, v13, v14)
 }
