@@ -115,6 +115,26 @@ object Demo {
         Seq.fill(19)(120L) :+ 900L)
         .map(f => s"${f.objective}:${if (f.met) "met" else "MISS"}").mkString(", "))
 
+    // training-data pipeline in four lines: train a quality classifier
+    // (distributed full-batch GD), score+gate the corpus, and keep one
+    // canonical survivor per near-dup cluster
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = ops.Model.trainLogReg(emb, "embedding",
+      (col("label") % 2 === 1).cast("double"), dims = 64, epochs = 3).last
+    val kept = emb.filter(ops.Model.predict(col("embedding"), model) >= 0.5)
+    println(s"[demo] trained gate keeps ${kept.count()}/${emb.count()} vectors")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val clusters = ops.Graph.nearDupClusters(ops.Dedup.minhashLshPairs(
+      docs, col("doc_id"), col("text")))
+    println(s"[demo] near-dup clusters found: ${clusters.count()}")
+    println("[demo] per-source distinct tokens (mergeable HLL): " +
+      docs.select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .groupBy(col("source"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("tok"), lit(12))).as("est"))
+        .orderBy(col("source"))
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+
     spark.stop()
   }
 }

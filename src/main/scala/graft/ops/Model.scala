@@ -70,6 +70,8 @@ object Model {
           sum(round(err, 6).cast(dec6)).as("gb") :+
           count(lit(1)).as("n"): _*)
         .head()
+      require(sums.getAs[Long]("n") > 0L,
+        "trainLogReg: empty training set (zero rows after projection)")
       val n = sums.getAs[Long]("n").toDouble
       w = (0 until dims).map(j =>
         r6(w(j) - lr * sums.getAs[java.math.BigDecimal](s"g$j").doubleValue / n))
@@ -108,6 +110,8 @@ object Model {
         sum(round(col("v")(j), 6).cast(dec6)).as(s"m$j")) :+
         count(lit(1)).as("n"): _*)
       .head()
+    require(mRow.getAs[Long]("n") > 0L,
+      "powerIterationPc1: empty input (zero vectors)")
     val n = mRow.getAs[Long]("n").toDouble
     val mean = (0 until dims).map(j =>
       r6(mRow.getAs[java.math.BigDecimal](s"m$j").doubleValue / n))
@@ -126,6 +130,8 @@ object Model {
       val u = (0 until dims).map(j =>
         r6(uRow.getAs[java.math.BigDecimal](s"u$j").doubleValue / n))
       val norm = math.sqrt(u.foldLeft(0.0)((acc, x) => acc + x * x))
+      require(norm > 0.0, "powerIterationPc1: zero-variance input " +
+        "(all vectors equal after centering) has no principal direction")
       v = u.map(x => r6(x / norm))
       iterates += v
     }

@@ -128,4 +128,38 @@ class EdgeCasesSpec extends SparkSuite {
       .select($"doc_id", $"payload").as[(Long, Array[Byte])].collect().toMap
     assert(new String(rebuilt(2L), "UTF-8") == "abcdef")
   }
+
+  test("knnGraph: empty input, and k beyond the corpus") {
+    val empty = spark.emptyDataset[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val cents = Array(Seq.fill(4)(0.0f))
+    assert(V.knnGraph(empty, "vec_id", "embedding", cents, k = 3).count() == 0)
+    val two = Seq((1L, Seq(1.0f, 0f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    // k far beyond corpus: each node still gets its single real neighbor
+    val g = V.knnGraph(two, "vec_id", "embedding", cents, k = 100)
+      .select(col("src_id"), col("nbr_id")).as[(Long, Long)].collect().toSet
+    assert(g == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("model trainers fail fast (not NaN) on empty or degenerate input") {
+    val empty = spark.emptyDataset[(Seq[Float], Double)].toDF("v", "y")
+    intercept[IllegalArgumentException] {
+      graft.ops.Model.trainLogReg(empty, "v", col("y"), dims = 4, epochs = 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Model.powerIterationPc1(
+        empty.select(col("v")), "v", dims = 4, iters = 1)
+    }
+    // zero-variance corpus: no principal direction exists
+    val const = Seq.fill(5)(Seq(1.0f, 2.0f, 3.0f, 4.0f)).toDF("v")
+    intercept[IllegalArgumentException] {
+      graft.ops.Model.powerIterationPc1(const, "v", dims = 4, iters = 1)
+    }
+  }
+
+  test("hammingPairsFromSketch: empty sketch table yields no pairs") {
+    val empty = spark.emptyDataset[(Long, Long)].toDF("doc_id", "phash")
+    assert(Dedup.hammingPairsFromSketch(empty, col("doc_id"), col("phash"),
+      bands = 4, maxHamming = 3).count() == 0)
+  }
 }
