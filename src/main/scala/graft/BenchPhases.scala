@@ -56,6 +56,10 @@ object BenchPhases {
     "s09_time_travel" -> { (s, dir) =>
       val root = queries.StoreOps.s09Build(s, dir)
       () => queries.StoreOps.s09Probe(s, dir, root)
+    },
+    "s13_bloom_point_skipping" -> { (s, dir) =>
+      val root = queries.StoreOps.s13Build(s, dir)
+      () => queries.StoreOps.s13Probe(s, dir, root)
     })
 
   /** Per-query budget overrides (seconds) for queries that are heavy BY

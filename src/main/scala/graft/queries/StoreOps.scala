@@ -428,5 +428,52 @@ object StoreOps {
       UNION ALL SELECT * FROM updates
       ORDER BY o_orderkey"""))
 
-  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12)
+  private[graft] def s13Build(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_bloomskip")
+      .resolve("t").toString
+    // DELIBERATELY not clustered by the lookup key: hash-layout on
+    // o_custkey makes every file's o_orderkey [min,max] span the whole
+    // keyspace — min/max skipping prunes NOTHING here (SkippingSpec
+    // asserts that), which is exactly the case the Bloom tier exists for
+    val base = load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(8, col("o_custkey"))
+    graft.store.TxStore.init(base, root)
+    graft.store.TxStore.writeBloomStats(s, root, "o_orderkey")
+    root
+  }
+
+  private[graft] def s13Probe(s: org.apache.spark.sql.SparkSession, dir: String,
+      root: String): org.apache.spark.sql.DataFrame = {
+    // 3 deterministic probe keys (bounded driver pull, metadata-scale)
+    val keys = load(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(32)) === 0)
+      .orderBy(col("o_orderkey")).limit(3)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    keys.map(k => graft.store.TxStore.readPoint(s, root, "o_orderkey", lit(k)))
+      .reduce(_ unionByName _)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Bloom-sidecar point lookups ([[graft.store.Skipping
+    * .writeBloomStats]]/[[graft.store.Skipping.readPoint]] — the THIRD
+    * pruning tier, Delta's bloom-filter-index idea on plain parquet):
+    * the table is hash-laid-out on o_custkey, so every file's
+    * o_orderkey interval spans the keyspace and min/max skipping is
+    * useless — the per-file Bloom still routes each point lookup to
+    * the one file holding the key (plus rare FPs the exact filter
+    * empties). Oracle is the plain IN-list scan; the prune rate and
+    * the min/max-prunes-nothing contrast are SkippingSpec territory.
+    */
+  val s13 = Q("s13_bloom_point_skipping",
+    (s, dir) => s13Probe(s, dir, s13Build(s, dir)),
+    Some("""
+      WITH keys AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 32 = 0
+        ORDER BY 1 LIMIT 3)
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey IN (SELECT o_orderkey FROM keys)
+      ORDER BY o_orderkey"""))
+
+  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13)
 }

@@ -96,4 +96,76 @@ object Skipping {
     if (kept.isEmpty) spark.read.parquet(dir).filter(lit(false))
     else spark.read.parquet(kept: _*).filter(pred)
   }
+
+  // ---- third pruning tier: per-file BLOOM sidecars (point lookups) ----
+  //
+  // min/max intervals prune RANGES on clustered columns; they are
+  // useless for point lookups on a column the layout was not sorted by
+  // (every file's interval spans the key). A small Bloom filter per
+  // file answers "could this key be in this file?" for ANY layout —
+  // Delta's bloom-filter-index idea on plain parquet. Build is one
+  // distributed aggregate (k bit positions per row, bit_or per 64-bit
+  // word, sparse words as a map — files only pay for bits they set);
+  // the probe evaluates the k-bit test over the metadata-scale sidecar
+  // and reads surviving files only. No false negatives by
+  // construction, so pruning is never lossy; false positives only cost
+  // an extra file read that the exact filter then empties.
+
+  private def bloomPath(dir: String) = s"$dir/_blooms"
+
+  /** 2^16 bits = 8 KiB/file: ~1% FP at 5 hashes up to ~6.5k distinct
+    * keys per file; undersizing only raises FP rate, never correctness.
+    */
+  private val BloomFileBits = 1L << 16
+  private val BloomFileK = 5
+
+  /** Build (or rebuild) the per-file Bloom sidecar for point lookups on
+    * `c`. Probe keys must be literals of `c`'s exact type — xxhash64 is
+    * type-sensitive ([[ops.Bloom]]'s contract).
+    */
+  def writeBloomStats(spark: SparkSession, dir: String, c: String): Unit = {
+    val positions = array((0 until BloomFileK).map(i =>
+      pmod(xxhash64(col(c), lit(i)), lit(BloomFileBits))): _*)
+    spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("file"), explode(positions).as("pos"))
+      .select(col("file"), shiftright(col("pos"), 6).cast("int").as("idx"),
+        call_function("shiftleft", lit(1L),
+          col("pos").bitwiseAND(lit(63L)).cast("int")).as("bit"))
+      .groupBy(col("file"), col("idx")).agg(bit_or(col("bit")).as("word"))
+      .groupBy(col("file"))
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("word"))))
+        .as("words"))
+      .withColumn("mbits", lit(BloomFileBits))
+      .coalesce(1) // one row per data file — metadata-scale
+      .write.mode(SaveMode.Overwrite).parquet(bloomPath(dir))
+  }
+
+  /** Files whose Bloom admits `key`, plus the total file count. */
+  def pruneFilesByBloom(spark: SparkSession, dir: String,
+      key: Column): (Seq[String], Long) = {
+    val blooms = spark.read.parquet(bloomPath(dir))
+    val total = blooms.count()
+    val test = (0 until BloomFileK).map { i =>
+      val pos = pmod(xxhash64(key, lit(i)), col("mbits"))
+      val word = coalesce(
+        element_at(col("words"), shiftright(pos, 6).cast("int")), lit(0L))
+      word.bitwiseAND(call_function("shiftleft", lit(1L),
+        pos.bitwiseAND(lit(63L)).cast("int"))) =!= lit(0L)
+    }.reduce(_ && _)
+    val kept = blooms.filter(test)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    (kept, total)
+  }
+
+  /** Point read with Bloom file skipping: scan only files that might
+    * contain `c` = key, then apply the exact predicate. Identical
+    * result to a full scan + filter, I/O ∝ files that (probably)
+    * contain the key.
+    */
+  def readPoint(spark: SparkSession, dir: String, c: String,
+      key: Column): DataFrame = {
+    val (kept, _) = pruneFilesByBloom(spark, dir, key)
+    if (kept.isEmpty) spark.read.parquet(dir).filter(lit(false))
+    else spark.read.parquet(kept: _*).filter(col(c) === key)
+  }
 }

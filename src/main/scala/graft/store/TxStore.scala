@@ -575,6 +575,27 @@ object TxStore {
     Skipping.readRange(spark, versionDir(root, v), c, lo, hi)
   }
 
+  /** Per-file Bloom sidecar over the committed snapshot — the
+    * point-lookup pruning tier ([[Skipping.writeBloomStats]]).
+    */
+  def writeBloomStats(spark: SparkSession, root: String, c: String,
+      version: Option[Long] = None): Unit = {
+    val v = version.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    Skipping.writeBloomStats(spark, versionDir(root, v), c)
+  }
+
+  /** Point read over the committed snapshot with Bloom file skipping —
+    * requires [[writeBloomStats]] for that version; key literal must
+    * match `c`'s type exactly (xxhash64 is type-sensitive).
+    */
+  def readPoint(spark: SparkSession, root: String, c: String,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val v = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    Skipping.readPoint(spark, versionDir(root, v), c, key)
+  }
+
   /** Highest streaming batch id already folded into the table. */
   def lastBatchId(root: String): Option[Long] = {
     val f = Paths.get(root, "_last_batch")

@@ -43,4 +43,30 @@ class SkippingSpec extends SparkSuite {
       assert(got == want, s"$c skipping changed the result")
     }
   }
+
+  test("bloom tier: point lookups prune to ~1 file where min/max prunes nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomspec")
+      .resolve("t").toString
+    // hash layout on y: every file's x-interval spans the keyspace
+    val df = (0L until 4096L).map(i => (i, i % 97L, i * 3L))
+      .toDF("x", "y", "payload")
+    df.repartition(8, col("y")).write.parquet(dir)
+    Skipping.writeStats(spark, dir, Seq("x"))
+    Skipping.writeBloomStats(spark, dir, "x")
+    // min/max: the point range [1234, 1234] intersects EVERY file
+    val (rangeKept, totalR) = Skipping.pruneFiles(spark, dir, "x",
+      lit(1234L), lit(1234L))
+    assert(totalR == 8 && rangeKept.size == 8,
+      s"layout should defeat min/max: kept ${rangeKept.size}")
+    // bloom: at most a couple of FP files survive alongside the true one
+    val (bloomKept, totalB) = Skipping.pruneFilesByBloom(spark, dir, lit(1234L))
+    assert(totalB == 8 && bloomKept.nonEmpty && bloomKept.size <= 2,
+      s"bloom should prune to ~1 file: kept ${bloomKept.size}")
+    // result identity, present and absent keys
+    val hit = Skipping.readPoint(spark, dir, "x", lit(1234L))
+      .select(col("x"), col("y"), col("payload"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hit == Set((1234L, 1234L % 97L, 3702L)))
+    assert(Skipping.readPoint(spark, dir, "x", lit(999999L)).count() == 0)
+  }
 }
