@@ -475,5 +475,71 @@ object StoreOps {
       WHERE o_orderkey IN (SELECT o_orderkey FROM keys)
       ORDER BY o_orderkey"""))
 
-  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13)
+  /** Writes a private base copy + its monthly summary, registers the
+    * summary with [[graft.plans.MvRewrite]], installs the rewrite rule,
+    * and returns the registered base scan. Split out so the spec can
+    * assert the plan-level rewrite on the same wiring s14 runs.
+    */
+  private[graft] def s14Setup(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.plans.MvRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mv")
+    val basePath = tmp.resolve("orders").toString
+    val mvPath = tmp.resolve("orders_monthly").toString
+    load(s, dir, "orders").write.mode("overwrite").parquet(basePath)
+    val base = s.read.parquet(basePath)
+    val key = date_trunc("month", col("o_orderdate")).cast("date")
+    // the maintained summary (the s07 mergeAggregates artifact): one
+    // partial per algebraic aggregate the rewrite may need
+    base.groupBy(key.as("mes"))
+      .agg(sum(T.dec(col("o_totalprice"))).as("total_dec"),
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      .write.mode("overwrite").parquet(mvPath)
+    MvRewrite.clear()
+    MvRewrite.register("orders_monthly", base,
+      keys = Seq((key, "mes")),
+      measures = Seq(
+        ("sum", T.dec(col("o_totalprice")), "total_dec"),
+        ("count", lit(1L), "n"),
+        ("min", col("o_totalprice"), "mn"),
+        ("max", col("o_totalprice"), "mx")),
+      mv = s.read.parquet(mvPath))
+    if (!s.experimental.extraOptimizations.contains(MvRewrite.RewriteAggregateToMv))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ MvRewrite.RewriteAggregateToMv
+    base
+  }
+
+  /** Materialized-view rewrite ([[graft.plans.MvRewrite]] — the
+    * query-side half of s07's aggregate maintenance): the query below
+    * is written against the FACT table; the optimizer proves the
+    * registered monthly summary answers it and swaps the scan — a
+    * full-fact aggregation becomes a read of |months| rows, the
+    * workhorse acceleration for recurring rollups at 100 TB. The
+    * oracle aggregates the fact table directly, so correctness here
+    * IS rewrite-transparency (SUM of partial SUMs, SUM of COUNTs,
+    * MIN/MAX of MIN/MAXs); MvRewriteSpec asserts the plan actually
+    * scans the summary and that filters block the rewrite.
+    */
+  val s14 = Q("s14_mv_rewrite",
+    (s, dir) => {
+      val base = s14Setup(s, dir)
+      base.groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mes"))
+        .agg(sum(T.dec(col("o_totalprice"))).cast("double").as("total"),
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+        .orderBy(col("mes"))
+    },
+    Some("""
+      SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mes,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        COUNT(*) AS n,
+        MIN(o_totalprice) AS mn,
+        MAX(o_totalprice) AS mx
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14)
 }
