@@ -45,5 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("mg_topk"), info("mg_topk"),
       (e: Seq[Expression]) => MisraGriesTopK(e(0),
         GraftFunctions.literalK(e(1), "mg_topk"))))
+    ext.injectFunction((FunctionIdentifier("kll_quantiles"), info("kll_quantiles"),
+      (e: Seq[Expression]) => KllQuantiles(e(0),
+        GraftFunctions.literalK(e(1), "kll_quantiles"), Seq(0.25, 0.5, 0.75))))
   }
 }

@@ -63,6 +63,13 @@ object GraftFunctions {
   def mgTopK(col: Column, k: Int): Column =
     c(MisraGriesTopK(e(col), k).toAggregateExpression())
 
+  /** KLL-style mergeable quantile sketch ([[KllQuantiles]]): O(k)
+    * state, map-side combinable, exact while n ≤ k —
+    * `array<double>` aligned with `probs`.
+    */
+  def kllQuantiles(col: Column, k: Int, probs: Seq[Double]): Column =
+    c(KllQuantiles(e(col), k, probs).toAggregateExpression())
+
   // ---- sketches (dedup / similarity) ----
   def hash64(col: Column, seed: Long = 0L): Column = c(Hash64(e(col), seed))
   def simhash64(col: Column): Column = c(SimHash64(e(col)))
@@ -169,6 +176,10 @@ object GraftFunctions {
     // aggregate: the analyzer wraps a bare AggregateFunction builder
     reg.createOrReplaceTempFunction("mg_topk",
       exprs => MisraGriesTopK(exprs(0), literalK(exprs(1), "mg_topk")), "built-in")
+    // SQL form pins the quartiles; arbitrary probs via the Scala API
+    reg.createOrReplaceTempFunction("kll_quantiles",
+      exprs => KllQuantiles(exprs(0), literalK(exprs(1), "kll_quantiles"),
+        Seq(0.25, 0.5, 0.75)), "built-in")
   }
 
   /** k arguments of SQL-registered sketch functions must be literal

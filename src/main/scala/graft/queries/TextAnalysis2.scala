@@ -424,5 +424,49 @@ object TextAnalysis2 {
     },
     None)
 
-  def qs: Seq[Q] = Seq(t23, t24, t25, t26, t27, t28, t29)
+  /** Mergeable quantile sketch ([[graft.functions.KllQuantiles]] — the
+    * rank-statistics sibling of t29's HLL distinct sketch): per-source
+    * document-length quantiles via a KLL-style compactor ladder that
+    * aggregates with O(k) state and map-side combine, replacing the
+    * full per-group sort at 100 TB. Probabilities are binary-exact
+    * (0, ¼, ½, ¾, 1) so ⌈p·n⌉ computes identically in double and
+    * DECIMAL arithmetic; k=8192 keeps every sf0.01/sf0.1 group in the
+    * sketch's EXACT regime, which is what the DuckDB rank-selection
+    * oracle checks (the t25-style degenerate-twin discipline — the
+    * sketchy regime's error bound is KllQuantilesSpec territory).
+    */
+  val t30 = Q("t30_kll_quantiles",
+    (s, dir) => {
+      val probs = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+      load(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          graft.functions.GraftFunctions
+            .kllQuantiles(col("n_chars").cast("double"), 8192, probs).as("qs"))
+        .select(col("source"), col("n_docs"),
+          element_at(col("qs"), 1).as("q00"),
+          element_at(col("qs"), 2).as("q25"),
+          element_at(col("qs"), 3).as("q50"),
+          element_at(col("qs"), 4).as("q75"),
+          element_at(col("qs"), 5).as("q100"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT source, CAST(n_chars AS DOUBLE) AS v,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+          COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+      SELECT source, MAX(n) AS n_docs,
+        MIN(v) AS q00,
+        MIN(CASE WHEN rn >= GREATEST(1, CAST(CEIL(0.25 * n) AS BIGINT))
+            THEN v END) AS q25,
+        MIN(CASE WHEN rn >= GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+            THEN v END) AS q50,
+        MIN(CASE WHEN rn >= GREATEST(1, CAST(CEIL(0.75 * n) AS BIGINT))
+            THEN v END) AS q75,
+        MAX(v) AS q100
+      FROM r GROUP BY source ORDER BY source"""))
+
+  def qs: Seq[Q] = Seq(t23, t24, t25, t26, t27, t28, t29, t30)
 }
