@@ -70,6 +70,17 @@ object GraftFunctions {
   def kllQuantiles(col: Column, k: Int, probs: Seq[Double]): Column =
     c(KllQuantiles(e(col), k, probs).toAggregateExpression())
 
+  /** State-valued KLL forms (the hll_sketch_agg/hll_union_agg
+    * analogues): persist per-shard sketches, merge later, read
+    * quantiles at metadata scale.
+    */
+  def kllSketchAgg(col: Column, k: Int): Column =
+    c(KllSketchAgg(e(col), k).toAggregateExpression())
+  def kllMergeAgg(col: Column): Column =
+    c(KllMergeAgg(e(col)).toAggregateExpression())
+  def kllSketchQuantiles(col: Column, probs: Seq[Double]): Column =
+    c(KllSketchQuantiles(e(col), probs))
+
   // ---- sketches (dedup / similarity) ----
   def hash64(col: Column, seed: Long = 0L): Column = c(Hash64(e(col), seed))
   def simhash64(col: Column): Column = c(SimHash64(e(col)))

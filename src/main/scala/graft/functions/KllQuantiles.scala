@@ -119,6 +119,45 @@ final class KllBuffer(val k: Int) {
   }
 }
 
+object KllBuffer {
+  def serialize(buffer: KllBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.k)
+    out.writeLong(buffer.n)
+    out.writeInt(buffer.levels.length)
+    var i = 0
+    while (i < buffer.levels.length) {
+      out.writeBoolean(buffer.parities(i))
+      out.writeInt(buffer.levels(i).length)
+      buffer.levels(i).foreach(out.writeDouble)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): KllBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new KllBuffer(in.readInt())
+    buf.n = in.readLong()
+    val depth = in.readInt()
+    buf.levels.clear()
+    buf.parities.clear()
+    var i = 0
+    while (i < depth) {
+      buf.parities += in.readBoolean()
+      val len = in.readInt()
+      val lvl = new mutable.ArrayBuffer[Double](len)
+      var j = 0
+      while (j < len) { lvl += in.readDouble(); j += 1 }
+      buf.levels += lvl
+      i += 1
+    }
+    buf
+  }
+}
+
 /** `kll_quantiles(expr, k, probs)` — mergeable quantile sketch as a
   * native aggregate (TypedImperativeAggregate): O(k) state per
   * partial, partials combine associatively, so per-shard sketches
@@ -168,42 +207,11 @@ case class KllQuantiles(
   override def eval(buffer: KllBuffer): Any =
     new GenericArrayData(buffer.quantiles(probs))
 
-  override def serialize(buffer: KllBuffer): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buffer.k)
-    out.writeLong(buffer.n)
-    out.writeInt(buffer.levels.length)
-    var i = 0
-    while (i < buffer.levels.length) {
-      out.writeBoolean(buffer.parities(i))
-      out.writeInt(buffer.levels(i).length)
-      buffer.levels(i).foreach(out.writeDouble)
-      i += 1
-    }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buffer: KllBuffer): Array[Byte] =
+    KllBuffer.serialize(buffer)
 
-  override def deserialize(bytes: Array[Byte]): KllBuffer = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val buf = new KllBuffer(in.readInt())
-    buf.n = in.readLong()
-    val depth = in.readInt()
-    buf.levels.clear()
-    buf.parities.clear()
-    var i = 0
-    while (i < depth) {
-      buf.parities += in.readBoolean()
-      val len = in.readInt()
-      val lvl = new mutable.ArrayBuffer[Double](len)
-      var j = 0
-      while (j < len) { lvl += in.readDouble(); j += 1 }
-      buf.levels += lvl
-      i += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): KllBuffer =
+    KllBuffer.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(offset: Int): KllQuantiles =
     copy(mutableAggBufferOffset = offset)
@@ -213,4 +221,122 @@ case class KllQuantiles(
       newChildren: IndexedSeq[Expression]): KllQuantiles =
     copy(child = newChildren.head)
   override def prettyName: String = "kll_quantiles"
+}
+
+/** `kll_sketch_agg(expr, k)` — the STATE-valued sibling of
+  * [[KllQuantiles]] (DataSketches-style API, mirroring Spark's
+  * `hll_sketch_agg`): returns the serialized sketch itself, so
+  * per-shard / per-day sketches can be PERSISTED and re-merged later
+  * with [[KllMergeAgg]] without touching the data again — the shape
+  * [[graft.streaming.Streaming.quantileSink]] maintains live. Unlike
+  * HLL union, KLL merge is NOT idempotent (weights add), so replay
+  * safety must come from batch-id fencing, not from the merge algebra
+  * — the sink documents and tests exactly that.
+  */
+@ExpressionDescription(
+  usage = "_FUNC_(expr, k) - serialized KLL quantile sketch of expr.")
+case class KllSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuffer] with ExpectsInputTypes {
+
+  require(k >= 8, "kll_sketch_agg needs k >= 8")
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.GraftTypes.AbstractDataType] =
+    Seq(DoubleType)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
+  override def update(buffer: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Double])
+    buffer
+  }
+  override def merge(buffer: KllBuffer, input: KllBuffer): KllBuffer = {
+    buffer.merge(input); buffer
+  }
+  override def eval(buffer: KllBuffer): Any = KllBuffer.serialize(buffer)
+  override def serialize(buffer: KllBuffer): Array[Byte] = KllBuffer.serialize(buffer)
+  override def deserialize(bytes: Array[Byte]): KllBuffer = KllBuffer.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(offset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllSketchAgg =
+    copy(child = newChildren.head)
+  override def prettyName: String = "kll_sketch_agg"
+}
+
+/** `kll_merge_agg(sketch)` — merges serialized KLL sketches (the
+  * `hll_union_agg` analogue). The buffer adopts the first input's `k`;
+  * mixed-k merges keep the smaller k's guarantees.
+  */
+@ExpressionDescription(
+  usage = "_FUNC_(sketch) - merge serialized KLL sketches.")
+case class KllMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuffer] with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.GraftTypes.AbstractDataType] =
+    Seq(BinaryType)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  // k=8 placeholder: an empty buffer merged with the first real input
+  // adopts the input's content; k stays the min of the participants'
+  // effective capacities (conservative)
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer(8)
+  override def update(buffer: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val in = KllBuffer.deserialize(v.asInstanceOf[Array[Byte]])
+    if (buffer.n == 0L && buffer.levels.forall(_.isEmpty)) in
+    else { buffer.merge(in); buffer }
+  }
+  override def merge(buffer: KllBuffer, input: KllBuffer): KllBuffer =
+    if (buffer.n == 0L && buffer.levels.forall(_.isEmpty)) input
+    else { buffer.merge(input); buffer }
+  override def eval(buffer: KllBuffer): Any = KllBuffer.serialize(buffer)
+  override def serialize(buffer: KllBuffer): Array[Byte] = KllBuffer.serialize(buffer)
+  override def deserialize(bytes: Array[Byte]): KllBuffer = KllBuffer.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(offset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllMergeAgg =
+    copy(child = newChildren.head)
+  override def prettyName: String = "kll_merge_agg"
+}
+
+/** `kll_sketch_quantiles(sketch, probs)` — reads quantiles out of a
+  * serialized sketch. Runs at metadata scale (one row per key of a
+  * sketch table), so interpreted eval is the right cost point —
+  * deliberately not codegen'd.
+  */
+case class KllSketchQuantiles(child: Expression, probs: Seq[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+  with ExpectsInputTypes {
+
+  require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+    "kll_sketch_quantiles probs must be in [0, 1]")
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.GraftTypes.AbstractDataType] =
+    Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      KllBuffer.deserialize(input.asInstanceOf[Array[Byte]]).quantiles(probs))
+  override protected def withNewChildInternal(newChild: Expression): KllSketchQuantiles =
+    copy(child = newChild)
+  override def prettyName: String = "kll_sketch_quantiles"
 }

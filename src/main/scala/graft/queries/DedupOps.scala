@@ -963,6 +963,92 @@ object DedupOps {
       SELECT cluster_id, doc_id AS keep_id, n AS n_docs, n - 1 AS n_dropped
       FROM r WHERE rn = 1 ORDER BY cluster_id"""))
 
+  /** Boilerplate-frequency line filter (the OTHER C4 line rule — d17
+    * keeps the FIRST occurrence of every duplicate line; this one
+    * strips a line from EVERY document once it appears in >= 3 distinct
+    * documents, the cookie-banner/nav/footer scrub). Same planted-line
+    * construction as d17 so the two rules are directly comparable.
+    * Plan shape: one distinct-count aggregate on the line key produces
+    * the boilerplate set — tiny by construction (only lines shared
+    * across docs survive the HAVING), so it BROADCASTS into a
+    * left-anti join; no second corpus-sized shuffle. At 100 TB the
+    * line key rides as a 64-bit hash with the strings resolved only
+    * for the broadcast set; the shape here is already that one.
+    */
+  val d22 = Q("d22_boilerplate_strip",
+    (s, dir) => {
+      val lineLen = 10
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          split(trim(col("text")), "\\s+").as("toks"))
+        .withColumn("nl",
+          ceil(size(col("toks")) / lit(lineLen.toDouble)).cast("int"))
+        .withColumn("lines", concat(
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            array(lit("aceite os cookies para continuar")))
+            .otherwise(array().cast("array<string>")),
+          transform(sequence(lit(0), col("nl") - 1),
+            i => array_join(slice(col("toks"), i * lineLen + 1, lit(lineLen)), " ")),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            array(concat(lit("fonte "), col("source"))))
+            .otherwise(array().cast("array<string>"))))
+      val exploded = docs
+        .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos0", "line")))
+        .withColumn("pos", (col("pos0") + 1).cast("long")).drop("pos0")
+      val boiler = exploded.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 3)
+        .select(col("line"))
+      val kept = exploded.join(broadcast(boiler), Seq("line"), "left_anti")
+      val reassembled = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("text_kept"))
+      docs.select(col("doc_id"), size(col("lines")).cast("long").as("n_lines"))
+        .join(reassembled, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("text_kept"), lit("")).as("text_kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+          regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      l AS (
+        SELECT doc_id,
+          list_concat(list_concat(
+            CASE WHEN doc_id % 5 = 0
+              THEN ['aceite os cookies para continuar']
+              ELSE CAST([] AS VARCHAR[]) END,
+            list_transform(
+              generate_series(1, CAST(CEIL(len(toks) / 10.0) AS INT)),
+              i -> array_to_string(toks[(i - 1) * 10 + 1 : i * 10], ' '))),
+            CASE WHEN doc_id % 3 = 0
+              THEN ['fonte ' || source]
+              ELSE CAST([] AS VARCHAR[]) END) AS lines
+        FROM d),
+      e AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS pos, lines[t.i] AS line
+        FROM l, UNNEST(generate_series(1, len(lines))) AS t(i)),
+      bp AS (
+        SELECT line FROM e GROUP BY line
+        HAVING COUNT(DISTINCT doc_id) >= 3),
+      k AS (
+        SELECT doc_id, pos, line FROM e
+        WHERE line NOT IN (SELECT line FROM bp)),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+          string_agg(line, chr(10) ORDER BY pos) AS text_kept
+        FROM k GROUP BY 1)
+      SELECT l.doc_id, CAST(len(l.lines) AS BIGINT) AS n_lines,
+        COALESCE(a.n_kept, 0) AS n_kept,
+        COALESCE(a.text_kept, '') AS text_kept
+      FROM l LEFT JOIN agg a USING (doc_id)
+      ORDER BY l.doc_id"""))
+
   def qs: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22)
 }

@@ -314,6 +314,70 @@ object Streaming {
       .start()
   }
 
+  /** One microbatch of the live QUANTILE sketch table
+    * ([[sketchMergeBatch]]'s rank-statistics sibling, using
+    * [[graft.functions.KllSketchAgg]]/[[graft.functions.KllMergeAgg]]).
+    * KLL merge is NOT idempotent — weights ADD, so re-merging a
+    * replayed batch would double-count it; HLL's CRDT trick does not
+    * carry over. Exactly-once statistics therefore come from BATCH-ID
+    * FENCING instead: a batch whose id is ≤ the committed version
+    * pointer is dropped wholesale (foreachBatch replays always re-run
+    * the same batchId). The version directory + atomic pointer flip
+    * are the same as the HLL sink's.
+    */
+  private[graft] def kllMergeBatch(batch: DataFrame, batchId: Long,
+      keyCol: String, valCol: String, path: String, k: Int): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    val ptr = dir.resolve("_version")
+    if (java.nio.file.Files.exists(ptr) &&
+        java.nio.file.Files.readString(ptr).trim.toLong >= batchId)
+      return // replayed batch: already merged — the fence IS the exactly-once
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val bs = batch.groupBy(col(keyCol))
+      .agg(graft.functions.GraftFunctions
+        .kllSketchAgg(col(valCol).cast("double"), k).as("sk"))
+    val merged = currentSketches(spark, path) match {
+      case Some(cur) => cur.unionByName(bs)
+        .groupBy(col(keyCol))
+        .agg(graft.functions.GraftFunctions.kllMergeAgg(col("sk")).as("sk"))
+      case None => bs
+    }
+    java.nio.file.Files.createDirectories(dir)
+    merged.write.mode("overwrite")
+      .parquet(dir.resolve(s"v$batchId").toString)
+    java.nio.file.Files.writeString(ptr, batchId.toString)
+  }
+
+  /** Live rank statistics: per-key KLL quantile sketches maintained
+    * incrementally — O(keys × k) state no matter how much data streams
+    * through; quantiles read at metadata scale via
+    * [[quantileEstimates]]. Replay-safe through batch-id fencing (see
+    * [[kllMergeBatch]] — the merge algebra alone is not idempotent).
+    */
+  def quantileSink(items: DataFrame, keyCol: String, valCol: String,
+      path: String, checkpoint: String, k: Int = 2048)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val commit: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, id) => kllMergeBatch(batch.toDF(), id, keyCol, valCol, path, k)
+    items.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(commit)
+      .start()
+  }
+
+  /** Quantiles off the live sketch table — metadata-scale read. */
+  def quantileEstimates(spark: org.apache.spark.sql.SparkSession,
+      path: String, probs: Seq[Double]): DataFrame =
+    currentSketches(spark, path) match {
+      case Some(cur) => cur
+        .withColumn("quantiles",
+          graft.functions.GraftFunctions.kllSketchQuantiles(col("sk"), probs))
+        .drop("sk")
+      case None => spark.emptyDataFrame
+    }
+
   /** Estimates off the live sketch table — metadata-scale read. */
   def sketchEstimates(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =

@@ -95,6 +95,59 @@ class KllQuantilesSpec extends SparkSuite {
     assert(out == exactQuantiles(vs, Seq(0.25, 0.5, 0.75)))
   }
 
+  test("state forms: persisted per-shard sketches re-merge to the whole, exact regime") {
+    val vs = stream(1200)
+    val df = vs.zipWithIndex.map { case (v, i) => (i % 3, v) }
+      .toSeq.toDF("shard", "v")
+    // shard-wise STATE sketches (what a 100 TB pipeline persists)...
+    val shards = df.groupBy(col("shard"))
+      .agg(GraftFunctions.kllSketchAgg(col("v"), 4096).as("sk"))
+    // ...merged later without re-reading the data
+    val merged = shards
+      .agg(GraftFunctions.kllMergeAgg(col("sk")).as("sk"))
+      .select(GraftFunctions.kllSketchQuantiles(col("sk"), probs).as("q"))
+      .head().getSeq[Double](0)
+    assert(merged == exactQuantiles(vs, probs))
+  }
+
+  test("streaming quantile sink: live merged state == batch quantiles; replay is fenced") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("kll_sink").toString
+    val vs = stream(900)
+    val rows = vs.zipWithIndex.map { case (v, i) => (s"k${i % 2}", v) }.toSeq
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(String, Double)]
+    val q = graft.streaming.Streaming.quantileSink(
+      in.toDF().toDF("key", "v"), "key", "v",
+      path = root, checkpoint = root + "_ckpt", k = 4096)
+    try {
+      in.addData(h1: _*); q.processAllAvailable()
+      in.addData(h2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val live = graft.streaming.Streaming.quantileEstimates(spark, root, probs)
+      .select(col("key"), col("quantiles")).as[(String, Seq[Double])]
+      .collect().toMap
+    val expected = rows.groupBy(_._1).map { case (k, kv) =>
+      k -> exactQuantiles(kv.map(_._2).toArray, probs).toSeq
+    }
+    assert(live == expected, s"live $live vs expected $expected")
+    // KLL merge is NOT idempotent — the batch-id fence must drop a replay
+    graft.streaming.Streaming.kllMergeBatch(
+      h2.toDF("key", "v"), 1L, "key", "v", root, 4096)
+    val replayed = graft.streaming.Streaming.quantileEstimates(spark, root, probs)
+      .select(col("key"), col("quantiles")).as[(String, Seq[Double])]
+      .collect().toMap
+    assert(replayed == live, "replayed batch must be fenced, not re-merged")
+    // a NEW batch id past the pointer does merge (the fence is not a wall)
+    graft.streaming.Streaming.kllMergeBatch(
+      Seq(("k0", 1.0)).toDF("key", "v"), 50L, "key", "v", root, 4096)
+    val after = graft.streaming.Streaming.quantileEstimates(spark, root, probs)
+      .select(col("key"), col("quantiles")).as[(String, Seq[Double])]
+      .collect().toMap
+    assert(after("k0") != live("k0"), "new batch past the fence must merge")
+  }
+
   test("nulls are skipped, empty input yields NaNs") {
     val df = Seq[(Long, Option[Double])]((1L, Some(5.0)), (2L, None), (3L, Some(1.0)))
       .toDF("id", "v")
