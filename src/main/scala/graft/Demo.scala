@@ -134,6 +134,19 @@ object Demo {
         .agg(hll_sketch_estimate(hll_sketch_agg(col("tok"), lit(12))).as("est"))
         .orderBy(col("source"))
         .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+    println("[demo] corpus length quantiles (mergeable KLL, p25/p50/p75): " +
+      docs.agg(functions.GraftFunctions.kllQuantiles(
+          col("n_chars").cast("double"), 1024, Seq(0.25, 0.5, 0.75)).as("q"))
+        .head().getSeq[Double](0).mkString(", "))
+
+    // MV rewrite — the same aggregate, answered from the maintained
+    // summary: the optimizer swaps the fact scan for the |months|-row MV
+    val mvBase = queries.StoreOps.s14Setup(spark, "/root/testdata/sf0.001")
+    val mvQ = mvBase
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mes"))
+      .agg(count(lit(1)).as("n"))
+    val usedMv = mvQ.queryExecution.executedPlan.toString.contains("orders_monthly")
+    println(s"[demo] MV rewrite: ${mvQ.count()} month rows, plan reads summary=$usedMv")
 
     spark.stop()
   }

@@ -679,6 +679,77 @@ object VectorSearch {
       element_at(typedlit(row.toSeq), element_at(codes, i + 1) + 1)
     }.reduce(_ + _)
 
+  // ---- SQ8 scalar quantization (faiss's ScalarQuantizer QT_8bit) ----
+
+  /** Train SQ8 bounds: per-DIMENSION [min, max] over the corpus — ONE
+    * map-side-combined aggregation (dim groups), collected state is
+    * 2·dim doubles. Where PQ learns a geometry, SQ8 just spans each
+    * dimension — no iterations, no codebooks, and 4× the corpus
+    * compression of raw floats with one uniform byte per dimension.
+    */
+  def trainSqBounds(vectors: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val rows = vectors
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect() // dim rows — driver-side by design
+    val dim = rows.length
+    val mins = new Array[Double](dim)
+    val maxs = new Array[Double](dim)
+    rows.foreach { r =>
+      val p = r.getAs[Int]("pos")
+      mins(p) = r.getAs[Double]("mn")
+      maxs(p) = r.getAs[Double]("mx")
+    }
+    (mins, maxs)
+  }
+
+  /** Encode a vector to one byte per dimension:
+    * code_i = round((x_i − min_i)/span_i · 255), clamped to [0, 255]
+    * (out-of-range values from drifted inputs saturate, zero-span
+    * dimensions encode 0). Codegen'd index-lambda transform — the
+    * bounds ride as array literals (2·dim doubles, configuration-sized
+    * like the toy-C centroid literals; they never grow with the data).
+    */
+  def sqEncode(vec: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    val minsC = typedlit(mins.toSeq)
+    val spanC = typedlit(mins.indices.map(i =>
+      math.max(maxs(i) - mins(i), 0.0)).toSeq)
+    transform(vec.cast("array<double>"), (x, i) => {
+      val mn = element_at(minsC, i + 1)
+      val sp = element_at(spanC, i + 1)
+      when(sp > 0,
+        least(greatest(round((x - mn) / sp * 255).cast("int"), lit(0)), lit(255)))
+        .otherwise(lit(0))
+    })
+  }
+
+  /** SQ8 asymmetric score: decode_i = min_i + code_i·span_i/255, so
+    * q·decode = Σ q_i·min_i (a CONSTANT) + Σ (q_i·span_i/255)·code_i —
+    * the per-query weights fold driver-side and the row work collapses
+    * to one small-int dot product. No lookup table at all (PQ's LUT
+    * exists because its cells are vectors; SQ8's "cells" are scalars).
+    */
+  def sqScore(codes: Column, query: Seq[Double],
+      mins: Array[Double], maxs: Array[Double]): Column = {
+    val const = query.indices.map(i => query(i) * mins(i)).sum
+    val w = query.indices.map(i =>
+      query(i) * math.max(maxs(i) - mins(i), 0.0) / 255.0)
+    aggregate(zip_with(codes, typedlit(w), (c, ww) => c * ww),
+      lit(0.0d), (a, x) => a + x) + lit(const)
+  }
+
+  /** Decode back to the approximate vector (spec tooling: the
+    * quantization error contract |x − decode(encode(x))| ≤ span/510
+    * per dimension is asserted on real data).
+    */
+  def sqDecode(codes: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    val minsC = typedlit(mins.toSeq)
+    val spanC = typedlit(mins.indices.map(i =>
+      math.max(maxs(i) - mins(i), 0.0)).toSeq)
+    transform(codes, (c, i) =>
+      element_at(minsC, i + 1) + c * element_at(spanC, i + 1) / 255.0)
+  }
+
   /** Materialize the FULL IVF-PQ index: PQ codes partitioned by
     * Voronoi cell (`<path>/codes/cell=N/`, each row id + 8 small ints)
     * beside a full-vector side table (`<path>/vectors/`) used only to

@@ -91,6 +91,9 @@ object MvRewrite {
       val sql = if (fn == "count") "" else resolvedSql(c)
       Measure(fn, sql, mvCol)
     }
+    // re-registration REPLACES: after an incremental refresh the new
+    // summary version supersedes the old one for the same name/base
+    defs.filterInPlace(d => d.name != name && d.basePath != path)
     defs += MvDef(name, path, keyDefs, ms, mv.queryExecution.analyzed)
   }
 

@@ -39,11 +39,27 @@ object T {
     * whose values are exactly the naive microseconds DuckDB's TIMESTAMP
     * sees, so oracle hashes are independent of any session timezone.
     * The drift contract is pinned by EventsLayoutSpec.
+    *
+    * The same normalization guards EVERY known timestamp column
+    * ([[timestampCols]]) — the driver regenerates testdata between
+    * rounds and has already flipped one table's physical layout once
+    * (round 7 cost: 33 queries); any table's timestamp drifting to
+    * LTZ, NANOS-as-long, or µs-NTZ now lands in the identical NTZ
+    * shape instead of failing analysis.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") normalizeEventTs(spark, loadEventsRaw(spark, dir))
-    else spark.read.parquet(s"$dir/$name.parquet")
+    val raw = if (name == "events") loadEventsRaw(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    timestampCols.get(name).fold(raw)(cols => normalizeTs(raw, cols))
   }
+
+  /** Columns with timestamp semantics per driver table (TESTDATA.md).
+    * LongType under a listed name means the legacy nanos layout.
+    */
+  private val timestampCols: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"),
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
 
   /** Events exactly as stored: `ts` is raw nanosecond longs under the
     * legacy layout (predicates that should reach the parquet scan must
@@ -56,22 +72,28 @@ object T {
     spark.read.parquet(s"$dir/events.parquet")
   }
 
-  /** Normalizes the `ts` column to TIMESTAMP_NTZ whatever the physical
-    * layout. The nanos→NTZ branch goes through an instant cast, which
-    * is exact because every graft entry point pins
+  /** Normalizes the named columns to TIMESTAMP_NTZ whatever the
+    * physical layout. The nanos→NTZ branch goes through an instant
+    * cast, which is exact because every graft entry point pins
     * `spark.sql.session.timeZone=UTC` (Verify/Bench/tests/PlanReport).
     */
-  def normalizeEventTs(spark: SparkSession, df: DataFrame): DataFrame =
-    df.schema("ts").dataType match {
-      case LongType => // legacy TIMESTAMP(NANOS) read as raw longs
-        df.withColumn("ts",
-          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
-      case TimestampNTZType => df
-      case TimestampType =>
-        df.withColumn("ts", col("ts").cast(TimestampNTZType))
-      case other =>
-        throw new IllegalStateException(s"unsupported events ts layout: $other")
+  def normalizeTs(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.filter(df.columns.contains).foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case LongType => // legacy TIMESTAMP(NANOS) read as raw longs
+          d.withColumn(c,
+            timestamp_micros(expr(s"$c div 1000")).cast(TimestampNTZType))
+        case TimestampNTZType => d
+        case TimestampType =>
+          d.withColumn(c, col(c).cast(TimestampNTZType))
+        case other =>
+          throw new IllegalStateException(s"unsupported $c layout: $other")
+      }
     }
+
+  /** The events-specific entry (kept for callers and EventsLayoutSpec). */
+  def normalizeEventTs(spark: SparkSession, df: DataFrame): DataFrame =
+    normalizeTs(df, Seq("ts"))
 
   /** Epoch nanoseconds of a UTC date literal, for raw-ts pushdown
     * against the legacy long-nanos layout only.

@@ -1248,7 +1248,52 @@ object VectorSearch {
       SELECT src_id, nbr_id, sim, rank FROM r
       WHERE rank <= 5 ORDER BY src_id, rank"""))
 
+  /** SQ8 scalar quantization ([[graft.ops.VectorSearch.trainSqBounds]]
+    * — faiss's QT_8bit, the remaining classic quantizer next to PQ/
+    * IVF-PQ/Matryoshka): one byte per DIMENSION under per-dim [min,max]
+    * bounds trained in a single aggregation pass (no Lloyd rounds at
+    * all — SQ8's train cost is one scan, its 4× compression and
+    * LUT-free integer-dot ADC are why it is the default first rung of
+    * production quantization ladders). a31 is the shortlist-all
+    * degenerate twin (ADC ordering computed, then EVERY id re-ranked
+    * exactly → must equal brute force, a01's oracle); the lossy
+    * shortlist quality — recall of the top-50 ADC cut and the
+    * per-dimension decode error bound — is SqSpec territory.
+    */
+  private[graft] def a31Build(s: SparkSession, dir: String): (String, (Array[Double], Array[Double])) = {
+    val e = load(s, dir, "embeddings")
+    val base = a10Normalized(e.filter(col("vec_id") =!= 0))
+    val bounds = V.trainSqBounds(base, "nv")
+    val out = java.nio.file.Files.createTempDirectory("graft_sq8")
+      .resolve("codes").toString
+    base.select(col("vec_id"),
+        V.sqEncode(col("nv"), bounds._1, bounds._2).as("codes"))
+      .coalesce(4)
+      .write.mode("overwrite").parquet(out)
+    (out, bounds)
+  }
+
+  private[graft] def a31Probe(s: SparkSession, dir: String, path: String,
+      bounds: (Array[Double], Array[Double]), shortlist: Int): DataFrame = {
+    val e = load(s, dir, "embeddings")
+    val qv = a10Normalized(e.filter(col("vec_id") === 0))
+      .select(col("nv")).head().getSeq[Double](0)
+    val coded = s.read.parquet(path)
+      .withColumn("adc", V.sqScore(col("codes"), qv, bounds._1, bounds._2))
+    val cand = V.batchTopK(coded.select(lit(0L).as("qid"),
+        col("vec_id"), col("adc")), "qid", "vec_id", "adc", k = shortlist)
+      .select(col("vec_id"))
+    exactTop10From(e, cand)
+  }
+
+  val a31 = Q("a31_sq8_shortlist_all",
+    (s, dir) => {
+      val (path, bounds) = a31Build(s, dir)
+      a31Probe(s, dir, path, bounds, shortlist = 1000000)
+    },
+    a01Top10Oracle)
+
   def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
     a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
-    a25, a26, a27, a28, a29, a30)
+    a25, a26, a27, a28, a29, a30, a31)
 }

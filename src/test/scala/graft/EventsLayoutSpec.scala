@@ -50,4 +50,28 @@ class EventsLayoutSpec extends SparkSuite {
       "ltz layout loads differently from the ntz layout")
     assert(loaded(0).size == 500)
   }
+
+  test("every known timestamp column is drift-guarded, not just events.ts") {
+    import spark.implicits._
+    val base = T.load(spark, "/root/testdata/sf0.001", "orders")
+      .orderBy($"o_orderkey").limit(300)
+    val root = Files.createTempDirectory("graft_orders_layouts")
+    val ntzDir = s"$root/ntz"
+    val ltzDir = s"$root/ltz"
+    base.write.parquet(s"$ntzDir/orders.parquet")
+    // the drift that killed round 7, replayed on orders: the date
+    // column ships UTC-adjusted and reads back as session-tz TIMESTAMP
+    base.withColumn("o_orderdate", $"o_orderdate".cast("timestamp"))
+      .write.parquet(s"$ltzDir/orders.parquet")
+    val loaded = Seq(ntzDir, ltzDir).map { d =>
+      val df = T.load(spark, d, "orders")
+      assert(df.schema("o_orderdate").dataType == TimestampNTZType,
+        s"$d: o_orderdate must normalize to TIMESTAMP_NTZ")
+      df.select(base.columns.map(col): _*)
+        .orderBy($"o_orderkey").collect().toSeq
+    }
+    assert(loaded(0) == loaded(1),
+      "ltz orders layout loads differently from the ntz layout")
+    assert(loaded(0).size == 300)
+  }
 }

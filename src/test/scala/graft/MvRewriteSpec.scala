@@ -87,4 +87,51 @@ class MvRewriteSpec extends SparkSuite {
       .orderBy(col("mes"))
     assert(ratio.collect().toSeq == direct.collect().toSeq)
   }
+
+  test("incremental maintenance round-trip: delta-merged summary answers the refreshed base") {
+    import graft.store.Store
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mv_incr")
+    val basePath = tmp.resolve("orders").toString
+    val mvPath1 = tmp.resolve("orders_monthly_v1").toString
+    val mvPath2 = tmp.resolve("orders_monthly_v2").toString
+    val key = date_trunc("month", col("o_orderdate")).cast("date")
+    val cut = lit("1997-01-01").cast("timestamp_ntz")
+    val all = spark.read.parquet(s"$dir/orders.parquet")
+    def monthly(df: DataFrame) = df.groupBy(key.as("mes"))
+      .agg(sum(T.dec(col("o_totalprice"))).as("total_dec"), count(lit(1)).as("n"))
+
+    // v1: base holds only the pre-cut rows; summary maintained for them
+    all.filter(col("o_orderdate") < cut).write.parquet(basePath)
+    monthly(spark.read.parquet(basePath)).write.parquet(mvPath1)
+    // refresh: the delta lands in the base AND folds into the summary
+    // via mergeAggregates — no rescan of the maintained months
+    all.filter(col("o_orderdate") >= cut).write.mode("append").parquet(basePath)
+    val delta = monthly(all.filter(col("o_orderdate") >= cut))
+    Store.mergeAggregates(spark.read.parquet(mvPath1), delta,
+        keys = Seq("mes"), measures = Seq("total_dec", "n"))
+      .write.parquet(mvPath2)
+
+    val base = spark.read.parquet(basePath)
+    MvRewrite.clear()
+    MvRewrite.register("orders_monthly_incr", base,
+      keys = Seq((key, "mes")),
+      measures = Seq(("sum", T.dec(col("o_totalprice")), "total_dec"),
+        ("count", lit(1L), "n")),
+      mv = spark.read.parquet(mvPath2))
+    if (!spark.experimental.extraOptimizations.contains(MvRewrite.RewriteAggregateToMv))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite.RewriteAggregateToMv
+
+    def query(df: DataFrame) = df.groupBy(key.as("mes"))
+      .agg(sum(T.dec(col("o_totalprice"))).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .orderBy(col("mes"))
+    val rewritten = query(base)
+    assert(scanPaths(rewritten).exists(_.contains("orders_monthly_v2")),
+      s"plan must read the refreshed summary: ${rewritten.queryExecution.optimizedPlan}")
+    assert(rewritten.collect().toSeq ==
+      query(spark.read.parquet(s"$dir/orders.parquet")).collect().toSeq,
+      "delta-merged summary must equal the full recompute")
+    MvRewrite.clear()
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{VectorSearch => V}
+
+/** SQ8 contract: the encode/decode error bound holds per dimension on
+  * real data, the ADC shortlist actually ranks (top-50 recall against
+  * exact cosine), saturation clamps drifted inputs instead of
+  * corrupting codes, and the zero-span dimension degeneracy is safe.
+  */
+class SqSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val e = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val base = graft.queries.VectorSearch
+    .a10Normalized(e.filter(col("vec_id") =!= 0))
+    .select(col("vec_id"), col("nv")).cache()
+  private lazy val bounds = V.trainSqBounds(base, "nv")
+
+  test("per-dimension decode error is within span/510 (half a code step)") {
+    val (mins, maxs) = bounds
+    val maxHalfStep = mins.indices
+      .map(i => math.max(maxs(i) - mins(i), 0.0) / 510.0).max
+    val worst = base
+      .select(V.sqDecode(V.sqEncode(col("nv"), mins, maxs), mins, maxs).as("dec"),
+        col("nv"))
+      .select(aggregate(zip_with(col("nv"), col("dec"),
+        (a, b) => abs(a - b)), lit(0.0d), (acc, x) => greatest(acc, x)).as("err"))
+      .agg(max(col("err"))).head().getDouble(0)
+    // rounding puts every value within half a step of a code point
+    assert(worst <= maxHalfStep + 1e-12,
+      s"decode error $worst exceeds half-step $maxHalfStep")
+  }
+
+  test("ADC top-50 shortlist recalls most of the exact top-50") {
+    val (mins, maxs) = bounds
+    val qv = graft.queries.VectorSearch
+      .a10Normalized(e.filter(col("vec_id") === 0))
+      .select(col("nv")).head().getSeq[Double](0)
+    val adcTop = base
+      .select(col("vec_id"),
+        V.sqScore(V.sqEncode(col("nv"), mins, maxs), qv, mins, maxs).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id")).limit(50)
+      .collect().map(_.getLong(0)).toSet
+    val exactTop = base
+      .select(col("vec_id"), aggregate(zip_with(col("nv"), typedlit(qv),
+        (a, b) => a * b), lit(0.0d), (acc, x) => acc + x).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(50)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (adcTop & exactTop).size.toDouble / 50.0
+    assert(recall >= 0.9, s"SQ8 ADC top-50 recall $recall < 0.9")
+  }
+
+  test("drifted inputs saturate to the byte range, zero-span dims encode 0") {
+    val mins = Array(0.0, -1.0, 5.0)
+    val maxs = Array(1.0, 1.0, 5.0) // third dimension has zero span
+    val codes = Seq(Tuple1(Seq(2.0, -3.0, 5.0)))
+      .toDF("v")
+      .select(V.sqEncode(col("v"), mins, maxs).as("c"))
+      .head().getSeq[Int](0)
+    assert(codes == Seq(255, 0, 0),
+      s"expected saturation high/low and zero-span 0, got $codes")
+  }
+
+  test("a31 shortlist-all equals brute force (the oracle identity, locally)") {
+    val (path, b) = graft.queries.VectorSearch.a31Build(spark, "/root/testdata/sf0.001")
+    val viaSq = graft.queries.VectorSearch
+      .a31Probe(spark, "/root/testdata/sf0.001", path, b, shortlist = 1000000)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val brute = graft.queries.QueryRegistry.byName("a01_ann_bruteforce")
+      .fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      .take(10) // a01 reports top-20; the probe reports top-10
+    assert(viaSq == brute, "shortlist-all SQ8 must reproduce brute force")
+  }
+}
