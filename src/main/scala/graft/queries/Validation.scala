@@ -540,5 +540,54 @@ object Validation {
         ROUND(SQRT(s_dd), 6) AS mean_l2
       FROM sums"""))
 
-  def qs: Seq[Q] = Seq(v01, v02, v03, v04, v05, v07, v08, v09, v10, v11, v12, v13, v14)
+  /** Materialized-view consistency audit — the trust-but-verify leg of
+    * the MV loop (s07 maintains, s14 rewrites onto, v15 AUDITS): the
+    * maintained summary full-joins a fresh recompute on the group key
+    * and every diverging row surfaces with both sides' values. Here
+    * the "maintained" copy carries a planted drift (every 5th calendar
+    * month's count off by one — the partial-double-apply failure mode
+    * of a non-fenced refresh), and the audit must flag exactly those
+    * months. Cost shape: one aggregation over the base (the recompute
+    * — at 100 TB run it on a partition SAMPLE or only over partitions
+    * touched since the last audit) plus a |distinct keys|-sized join;
+    * nothing row-scale ever joins.
+    */
+  val v15 = Q("v15_mv_consistency",
+    (s, dir) => {
+      val recomputed = load(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mes"))
+        .agg(sum(dec(col("o_totalprice"))).as("total_dec"),
+          count(lit(1)).as("n"))
+      val maintained = recomputed
+        .withColumn("n", when(pmod(month(col("mes")), lit(5)) === 0,
+          col("n") + 1).otherwise(col("n")))
+      maintained.select(col("mes"), col("n").as("n_maintained"),
+          col("total_dec").as("t_m"))
+        .join(recomputed.select(col("mes"), col("n").as("n_recomputed"),
+          col("total_dec").as("t_r")), Seq("mes"), "full_outer")
+        .filter(not(col("n_maintained") === col("n_recomputed") &&
+          col("t_m") === col("t_r")))
+        .select(col("mes"), col("n_maintained"), col("n_recomputed"),
+          col("t_m").cast("double").as("total_maintained"),
+          col("t_r").cast("double").as("total_recomputed"))
+        .orderBy(col("mes"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mes,
+          SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total_dec,
+          COUNT(*) AS n
+        FROM orders GROUP BY 1),
+      m AS (
+        SELECT mes, total_dec,
+          CASE WHEN MONTH(mes) % 5 = 0 THEN n + 1 ELSE n END AS n
+        FROM r)
+      SELECT m.mes, m.n AS n_maintained, r.n AS n_recomputed,
+        CAST(m.total_dec AS DOUBLE) AS total_maintained,
+        CAST(r.total_dec AS DOUBLE) AS total_recomputed
+      FROM m JOIN r USING (mes)
+      WHERE NOT (m.n = r.n AND m.total_dec = r.total_dec)
+      ORDER BY m.mes"""))
+
+  def qs: Seq[Q] = Seq(v01, v02, v03, v04, v05, v07, v08, v09, v10, v11, v12, v13, v14, v15)
 }

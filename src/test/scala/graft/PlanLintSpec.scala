@@ -46,7 +46,8 @@ class PlanLintSpec extends SparkSuite {
     "a05_cosine_pairs_exact", // 1-row max(vec_id)+1 planted-offset scalar (d15's stance)
     "a25_hybrid_rrf",         // t17's 1-row N/avgdl scalars (lexical side, same shape)
     "t27_bigram_surprisal",   // 1-row vocab-size scalar against the bigram stream (t21's shape)
-    "m05_media_neardup"       // 1-row max(doc_id)+1 planted-offset scalar (d15's stance)
+    "m05_media_neardup",      // 1-row max(doc_id)+1 planted-offset scalar (d15's stance)
+    "a31_sq8_shortlist_all"   // exact re-rank = a01's broadcast 1-row query (a18's stance)
   )
 
   /** Queries whose plan legitimately sorts a whole frame through one
@@ -58,6 +59,7 @@ class PlanLintSpec extends SparkSuite {
     "t23_sequence_packing", // cumulative base over `doc_id div 1024` block totals (corpus/1024 rows, recursable)
     "v10_dist_drift",       // proportions over the 10-bin histogram frame (groupBy least(floor/50000, 9) ⇒ ≤10 rows)
     "a18_pq_shortlist_all", // degenerate twin BY INTENT: shortlist k covers the corpus, so batchTopK's per-qid window (qid folded to a constant) sees everything — real configs partition by qid over k·P partial rows
+    "a31_sq8_shortlist_all", // a18's stance for the SQ8 twin (same shortlist-all batchTopK)
     "a26_model_auc"         // cumulative ranks over the score-BUCKET frame: 6-dp sigmoid scores ⇒ ≤ 1,000,001 buckets by construction, never per-row
   )
 
