@@ -28,6 +28,11 @@ import org.apache.spark.sql.SparkSession
   * sbt "runMain graft.Cli snapshot delete <base> <name>"
   * sbt "runMain graft.Cli dataset list <landingDir>"  # registered catalog
   * sbt "runMain graft.Cli dataset fetch <landingDir> <name> [limit]"
+  * sbt "runMain graft.Cli cepea indicador <landingDir> [limit]"  # cli.py:41
+  * sbt "runMain graft.Cli conab safras <landingDir> [limit]"     # cli.py:109
+  * sbt "runMain graft.Cli conab produtos <landingDir>"           # cli.py:193
+  * sbt "runMain graft.Cli ibge pam <landingDir> [limit]"         # cli.py:209
+  * sbt "runMain graft.Cli ibge produtos <landingDir>"            # cli.py:282
   * }}}
   *
   * The reference's `snapshot use` (a config-file default) has no CLI
@@ -176,31 +181,57 @@ object Cli {
         println(f"$n%-20s contract=${d.contract.name}%-24s sources=${d.sources.sortBy(_.priority).map(_.name).mkString(",")}")
       }
     case "dataset" :: "fetch" :: landing :: name :: rest if rest.size <= 1 =>
-      // fetch through the prioritized fallback chain → normalize →
-      // contract-validate, then print provenance + a bounded preview
-      // (the reference's cepea/conab/ibge fetch commands' shape)
-      val s = session()
-      datasets.StandardDatasets.register(s, landing)
-      datasets.DatasetRegistry.get(name) match {
-        case None =>
-          System.err.println(
-            s"unknown dataset '$name'; have: ${datasets.DatasetRegistry.list().mkString(", ")}")
-          sys.exit(1)
-        case Some(d) =>
-          val (df, meta) = d.fetch()
-          println(s"dataset: ${meta.dataset}")
-          println(s"source: ${meta.source}")
-          println(s"records: ${meta.records}")
-          println(s"contract: ${meta.contractVersion}")
-          println(s"attempted: ${meta.attemptedSources.map(a => s"${a._1}=${a._2}").mkString(", ")}")
-          df.show(rest.headOption.map(_.toInt).getOrElse(10), truncate = false)
-      }
+      fetchDataset(landing, name, rest.headOption.map(_.toInt).getOrElse(10))
+
+    // the reference's per-SOURCE fetch verbs (`cli.py` cepea/conab/
+    // ibge apps), each a named alias onto the catalog entry that
+    // carries that source's pipeline — same fallback chain, same
+    // contract gate, reference-familiar spelling
+    case "cepea" :: "indicador" :: landing :: rest if rest.size <= 1 =>
+      fetchDataset(landing, "preco_diario", rest.headOption.map(_.toInt).getOrElse(10))
+    case "conab" :: "safras" :: landing :: rest if rest.size <= 1 =>
+      fetchDataset(landing, "safra_graos", rest.headOption.map(_.toInt).getOrElse(10))
+    case "ibge" :: "pam" :: landing :: rest if rest.size <= 1 =>
+      fetchDataset(landing, "pam", rest.headOption.map(_.toInt).getOrElse(10))
+    case ("conab" | "ibge") :: "produtos" :: _ :: Nil =>
+      // the reference's `produtos` listings print each dataset's
+      // product dimension; the engine analogue is the contract's
+      // declared columns + the canonical crop dimension
+      println("canonical products (crop dimension):")
+      dims.Dims.cropAliases.map(_._2).distinct.sorted.grouped(8)
+        .foreach(g => println("  " + g.mkString(", ")))
+
     case other =>
       System.err.println(
         s"unknown command ${other.mkString(" ")}; use: verify <sfDir> <outDir> | bench | " +
           "explain [q...] | scale [q...] | demo | queries | plugins | health | doctor | " +
           "config show | cache stats|purge-legacy|clear <path> | " +
-          "snapshot list|show|create|delete ... | dataset list|fetch <landing> ...")
+          "snapshot list|show|create|delete ... | dataset list|fetch <landing> ... | " +
+          "cepea indicador <landing> | conab safras|produtos <landing> | " +
+          "ibge pam|produtos <landing>")
       sys.exit(2)
+  }
+
+  /** Fetch through the prioritized fallback chain → normalize →
+    * contract-validate, then print provenance + a bounded preview
+    * (the shape of every reference fetch command).
+    */
+  private def fetchDataset(landing: String, name: String, limit: Int): Unit = {
+    val s = session()
+    datasets.StandardDatasets.register(s, landing)
+    datasets.DatasetRegistry.get(name) match {
+      case None =>
+        System.err.println(
+          s"unknown dataset '$name'; have: ${datasets.DatasetRegistry.list().mkString(", ")}")
+        sys.exit(1)
+      case Some(d) =>
+        val (df, meta) = d.fetch()
+        println(s"dataset: ${meta.dataset}")
+        println(s"source: ${meta.source}")
+        println(s"records: ${meta.records}")
+        println(s"contract: ${meta.contractVersion}")
+        println(s"attempted: ${meta.attemptedSources.map(a => s"${a._1}=${a._2}").mkString(", ")}")
+        df.show(limit, truncate = false)
+    }
   }
 }

@@ -126,4 +126,26 @@ class CliSpec extends SparkSuite {
     val out = run("health")
     assert(out.contains("cepea") && out.contains("conab") && out.contains("ibge"))
   }
+
+  test("reference-named source verbs alias the catalog entries (cli.py parity)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft_cli_src").toString
+    Seq(("2024-01-10", "Soja", "BRL/sc60kg", 130.5))
+      .toDF("data", "produto", "unidade", "valor")
+      .withColumn("data", col("data").cast("date"))
+      .withColumn("valor", col("valor").cast("decimal(18,4)"))
+      .withColumn("praca", lit(null).cast("string"))
+      .withColumn("variacao_percentual", lit(null).cast("decimal(18,4)"))
+      .write.parquet(s"$landing/preco_diario")
+
+    // `cepea indicador` must be exactly `dataset fetch preco_diario`
+    val viaAlias = run("cepea", "indicador", landing, "5")
+    assert(viaAlias.contains("dataset: preco_diario"))
+    assert(viaAlias.contains("records: 1") && viaAlias.contains("soja"))
+
+    val produtos = run("conab", "produtos", landing)
+    assert(produtos.contains("soja") && produtos.contains("milho_2"),
+      s"canonical crop list expected, got: $produtos")
+  }
 }
