@@ -81,6 +81,13 @@ object GraftFunctions {
   def kllSketchQuantiles(col: Column, probs: Seq[Double]): Column =
     c(KllSketchQuantiles(e(col), probs))
 
+  /** Exact per-group top-k as a bounded-heap aggregate ([[TopKByOrd]]):
+    * `array<struct<ord, tie, payload>>` sorted ord desc, tie asc —
+    * the map-side-combining replacement for a rank-window filter.
+    */
+  def topKBy(ord: Column, tie: Column, payload: Column, k: Int): Column =
+    c(TopKByOrd(e(ord), e(tie), e(payload), k).toAggregateExpression())
+
   // ---- sketches (dedup / similarity) ----
   def hash64(col: Column, seed: Long = 0L): Column = c(Hash64(e(col), seed))
   def simhash64(col: Column): Column = c(SimHash64(e(col)))

@@ -434,5 +434,37 @@ object Relational3 {
       WHERE hamming(a.pfx, b.pfx) <= 3
       ORDER BY id1, id2"""))
 
-  def qs: Seq[Q] = Seq(q25, q26, q27, q28, q29, q32, q33, q34, q46, q47, q52, q54, q57, q59)
+  /** Exact per-group top-k WITHOUT a window
+    * ([[graft.functions.TopKByOrd]] — the bounded-heap native
+    * aggregate): the rank-window form must shuffle every row of every
+    * group and sort whole partitions; this keeps ≤ k rows per group in
+    * each map-side partial and ships only those, turning top-3-per-
+    * customer over a 100 TB fact table into a k-bounded aggregation.
+    * Same deterministic order contract as the window (ord desc, ties
+    * to the lowest id — the oracle IS the window form), payload rides
+    * through untouched. AggregatesSpec pins heap-vs-window equality
+    * under skew and the partial-merge path across partitions.
+    */
+  val q60 = Q("q60_topk_per_key",
+    (s, dir) => {
+      load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.GraftFunctions.topKBy(
+          col("o_totalprice"), col("o_orderkey"), col("o_orderstatus"), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "e")))
+        .select(col("o_custkey"), (col("i") + 1).cast("int").as("rk"),
+          col("e.ord").as("o_totalprice"), col("e.tie").as("o_orderkey"),
+          col("e.payload").as("o_orderstatus"))
+        .orderBy(col("o_custkey"), col("rk"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT o_custkey, o_totalprice, o_orderkey, o_orderstatus,
+          CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        FROM orders)
+      SELECT o_custkey, rk, o_totalprice, o_orderkey, o_orderstatus
+      FROM r WHERE rk <= 3 ORDER BY o_custkey, rk"""))
+
+  def qs: Seq[Q] = Seq(q25, q26, q27, q28, q29, q32, q33, q34, q46, q47, q52, q54, q57, q59, q60)
 }

@@ -20,4 +20,8 @@ object ColumnBridge {
   */
 object GraftTypes {
   type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+  /** `AnyDataType` is likewise `private[sql]` — the any-typed input
+    * slot for generic-payload aggregates (topk_by).
+    */
+  val AnyType: AbstractDataType = org.apache.spark.sql.types.AnyDataType
 }

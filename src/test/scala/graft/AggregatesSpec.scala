@@ -62,4 +62,71 @@ class AggregatesSpec extends SparkSuite {
       .select(explode($"top.item").as("item")).as[String].collect()
     assert(r.nonEmpty && r.contains("h0"))
   }
+
+  // ---- TopKByOrd (bounded-heap exact per-group top-k) ----
+
+  /** Skewed groups: group g has (g+1)*40 rows; ord collides every 4th
+    * row so the tie-break path is exercised constantly.
+    */
+  private def topkInput = (0 until 8).flatMap { g =>
+    (0 until (g + 1) * 40).map { i =>
+      (g.toLong, ((i % 97) / 4 * 4).toDouble, (g * 100000 + i).toLong, s"p$g-$i")
+    }
+  }
+
+  test("topk_by equals the rank-window form under skew, any partitioning") {
+    val df = topkInput.toDF("g", "ord", "id", "payload")
+    def viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("rk", row_number().over(
+          Window.partitionBy($"g").orderBy($"ord".desc, $"id")))
+        .filter($"rk" <= 5)
+        .select($"g", $"rk", $"ord", $"id", $"payload")
+        .orderBy($"g", $"rk").collect().toSeq
+    }
+    def viaHeap(parts: Int) = df.repartition(parts, $"id")
+      .groupBy($"g")
+      .agg(G.topKBy($"ord", $"id", $"payload", 5).as("top"))
+      .select($"g", posexplode($"top").as(Seq("i", "e")))
+      .select($"g", ($"i" + 1).cast("int").as("rk"),
+        $"e.ord".as("ord"), $"e.tie".as("id"), $"e.payload".as("payload"))
+      .orderBy($"g", $"rk").collect().toSeq
+    assert(viaHeap(1) == viaWindow, "single partition must match the window")
+    assert(viaHeap(16) == viaWindow,
+      "16-partition partial-merge path must match the window")
+  }
+
+  test("topk_by groups smaller than k return all rows, still ordered") {
+    val df = Seq((1L, 5.0, 10L, "a"), (1L, 7.0, 11L, "b")).toDF("g", "ord", "id", "p")
+    val got = df.groupBy($"g").agg(G.topKBy($"ord", $"id", $"p", 5).as("top"))
+      .select(explode($"top").as("e"))
+      .select($"e.ord", $"e.tie", $"e.payload").as[(Double, Long, String)]
+      .collect().toSeq
+    assert(got == Seq((7.0, 11L, "b"), (5.0, 10L, "a")))
+  }
+
+  test("topk_by null ord/tie rows are skipped; payload nulls survive") {
+    val df = Seq[(Long, Option[Double], Option[Long], Option[String])](
+      (1L, Some(3.0), Some(1L), Some("x")),
+      (1L, None, Some(2L), Some("dropped")),
+      (1L, Some(9.0), None, Some("dropped")),
+      (1L, Some(4.0), Some(3L), None))
+      .toDF("g", "ord", "id", "p")
+    val got = df.groupBy($"g").agg(G.topKBy($"ord", $"id", $"p", 5).as("top"))
+      .select(explode($"top").as("e"))
+      .select($"e.ord", $"e.payload").as[(Double, Option[String])]
+      .collect().toSeq
+    assert(got == Seq((4.0, None), (3.0, Some("x"))))
+  }
+
+  test("topk_by shuffles at most k rows per group per partial (plan + math)") {
+    // ObjectHashAggregate partial path: the aggregate appears in the
+    // plan (not a window), and state size is bounded by construction
+    val df = topkInput.toDF("g", "ord", "id", "payload").repartition(8, $"id")
+    val agg = df.groupBy($"g").agg(G.topKBy($"ord", $"id", $"payload", 5).as("top"))
+    val nodes = planNodes(agg).map(_.getClass.getSimpleName)
+    assert(nodes.count(_ == "ObjectHashAggregateExec") >= 2,
+      s"partial + final ObjectHashAggregate expected, got $nodes")
+    assert(!nodes.exists(_.contains("Window")), "no window may appear")
+  }
 }
