@@ -98,4 +98,72 @@ object FunctionProperties extends Properties("graft.functions") {
       val rep = TextOps.deflateRatio(u(s * 50))
       r1 > 0.0 && r1 == TextOps.deflateRatio(u(s)) && rep <= r1
     }
+
+  // ---- KLL quantile sketch (buffer-level laws) ----
+
+  private val doubleList = Gen.chooseNum(1, 400)
+    .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6)))
+
+  property("kll exact regime equals rank selection for any input") =
+    forAll(doubleList) { vs =>
+      val buf = new graft.functions.KllBuffer(512)
+      vs.foreach(buf.add)
+      val sorted = vs.sorted
+      Seq(0.0, 0.25, 0.5, 0.75, 1.0).forall { p =>
+        val target = math.max(1L, math.ceil(p * vs.length).toLong)
+        buf.quantiles(Seq(p))(0) == sorted((target - 1).toInt)
+      }
+    }
+
+  property("kll merge == concat in the exact regime, for any split point") =
+    forAll(doubleList, Gen.chooseNum(0.0, 1.0)) { (vs, cut) =>
+      val at = (vs.length * cut).toInt
+      val (l, r) = vs.splitAt(at)
+      val a = new graft.functions.KllBuffer(1024); l.foreach(a.add)
+      val b = new graft.functions.KllBuffer(1024); r.foreach(b.add)
+      a.merge(b)
+      val whole = new graft.functions.KllBuffer(1024); vs.foreach(whole.add)
+      a.quantiles(Seq(0.25, 0.5, 0.75)).toSeq ==
+        whole.quantiles(Seq(0.25, 0.5, 0.75)).toSeq
+    }
+
+  property("kll sketchy regime: median rank error bounded for any input") =
+    forAll(Gen.listOfN(5000, Gen.chooseNum(-1e9, 1e9))) { vs =>
+      val buf = new graft.functions.KllBuffer(128)
+      vs.foreach(buf.add)
+      val est = buf.quantiles(Seq(0.5))(0)
+      val sorted = vs.sorted
+      val rank = sorted.count(_ <= est)
+      math.abs(rank - vs.length / 2.0) <= 0.1 * vs.length
+    }
+
+  // ---- topk_by buffer laws ----
+
+  private val topkRows = Gen.chooseNum(0, 200).flatMap(n =>
+    Gen.listOfN(n, Gen.zip(Gen.chooseNum(0.0, 50.0), Gen.chooseNum(0L, 1000L))))
+
+  property("topk buffer == sort-take(k) for any input and k") =
+    forAll(topkRows, Gen.chooseNum(1, 12)) { (rows, k) =>
+      val buf = new graft.functions.TopKBuffer(k)
+      rows.foreach { case (o, t) => buf.add(o, t, null) }
+      val expect = rows.distinct.sortBy { case (o, t) => (-o, t) }.take(k)
+      // distinct because equal (ord, tie) pairs are interchangeable
+      val got = buf.sorted.toSeq.map { case (o, t, _) => (o, t) }
+      got.size == math.min(k, rows.size) &&
+        got.filterNot(rows.contains).isEmpty &&
+        (rows.distinct.size < rows.size || got == expect)
+    }
+
+  property("topk buffer merge == one buffer over the concat") =
+    forAll(topkRows, topkRows, Gen.chooseNum(1, 8)) { (l, r, k) =>
+      val a = new graft.functions.TopKBuffer(k)
+      l.foreach { case (o, t) => a.add(o, t, null) }
+      val b = new graft.functions.TopKBuffer(k)
+      r.foreach { case (o, t) => b.add(o, t, null) }
+      a.merge(b)
+      val whole = new graft.functions.TopKBuffer(k)
+      (l ++ r).foreach { case (o, t) => whole.add(o, t, null) }
+      a.sorted.toSeq.map(x => (x._1, x._2)) ==
+        whole.sorted.toSeq.map(x => (x._1, x._2))
+    }
 }
