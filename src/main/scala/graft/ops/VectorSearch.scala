@@ -482,21 +482,19 @@ object VectorSearch {
     * ROUNDED sim, so engine tie-breaks are deterministic.
     */
   def batchTopK(scored: DataFrame, queryIdCol: String, idCol: String,
-      simCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val partial = scored
-      .groupBy(col(queryIdCol), spark_partition_id().as("_p"))
-      .agg(slice(reverse(array_sort(collect_list(
-        struct(col(simCol).as("sim"), (-col(idCol)).as("negid"))))),
-        1, k).as("top"))
-      .select(col(queryIdCol), explode(col("top")).as("t"))
-      .select(col(queryIdCol), (-col("t.negid")).as(idCol), col("t.sim").as(simCol))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col(simCol).desc, col(idCol).asc)
-    partial
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-  }
+      simCol: String, k: Int): DataFrame =
+    // bounded-heap native aggregate ([[graft.functions.TopKByOrd]]):
+    // each map-side partial holds ≤ k rows per query, the shuffle
+    // carries only those, and no window/sort ever sees the full
+    // candidate set. (Replaced the earlier per-partition collect_list
+    // + rank-window form, whose partials buffered WHOLE partitions.)
+    scored.groupBy(col(queryIdCol))
+      .agg(graft.functions.GraftFunctions.topKBy(
+        col(simCol).cast("double"), col(idCol).cast("long"),
+        col(idCol), k).as("_top"))
+      .select(col(queryIdCol), posexplode(col("_top")).as(Seq("_i", "_e")))
+      .select(col(queryIdCol), col("_e.tie").as(idCol),
+        col("_e.ord").as(simCol), (col("_i") + 1).cast("int").as("rank"))
 
   /** Batch probe of the persisted IVF index: the whole query SET is
     * answered in ONE pruned scan — the union of every query's nprobe

@@ -58,8 +58,6 @@ class PlanLintSpec extends SparkSuite {
   private val globalWindowByDesign = Set(
     "t23_sequence_packing", // cumulative base over `doc_id div 1024` block totals (corpus/1024 rows, recursable)
     "v10_dist_drift",       // proportions over the 10-bin histogram frame (groupBy least(floor/50000, 9) ⇒ ≤10 rows)
-    "a18_pq_shortlist_all", // degenerate twin BY INTENT: shortlist k covers the corpus, so batchTopK's per-qid window (qid folded to a constant) sees everything — real configs partition by qid over k·P partial rows
-    "a31_sq8_shortlist_all", // a18's stance for the SQ8 twin (same shortlist-all batchTopK)
     "a26_model_auc"         // cumulative ranks over the score-BUCKET frame: 6-dp sigmoid scores ⇒ ≤ 1,000,001 buckets by construction, never per-row
   )
 
