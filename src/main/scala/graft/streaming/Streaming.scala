@@ -417,6 +417,39 @@ object Streaming {
       }
   }
 
+  case class TopKState(rows: List[(Double, Long, String)])
+  case class TopKOut(key: Long, rank: Int, ord: Double, tie: Long, payload: String)
+
+  /** Streaming EXACT top-k per key — q60's streaming twin: the keyed
+    * state IS a [[graft.functions.TopKBuffer]] snapshot (O(k) per key,
+    * forever); each trigger folds the batch's rows in and emits the
+    * key's refreshed ranking. Exactness needs no watermark: eviction
+    * is permanent by dominance — a row pushed out by k better rows can
+    * never re-enter a ranking that only improves — so bounded state
+    * loses nothing, ever (contrast [[heavyHittersStream]], whose MG
+    * counters are approximate by construction).
+    */
+  def topKStream(rows: Dataset[(Long, Double, Long, String)], k: Int): Dataset[TopKOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[TopKState, TopKOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[(Long, Double, Long, String)],
+            state: GroupState[TopKState]) =>
+          val buf = new graft.functions.TopKBuffer(k)
+          state.getOption.foreach(_.rows.foreach { case (o, t, p) =>
+            buf.add(o, t, p)
+          })
+          it.foreach { case (_, o, t, p) => buf.add(o, t, p) }
+          val sorted = buf.sorted.toList
+            .map { case (o, t, p) => (o, t, p.asInstanceOf[String]) }
+          state.update(TopKState(sorted))
+          sorted.zipWithIndex.iterator.map { case ((o, t, p), i) =>
+            TopKOut(key, i + 1, o, t, p)
+          }
+      }
+  }
+
   case class AsofIn(key: Long, ts: Timestamp, side: String, value: Double)
   case class AsofState(builds: List[(Long, Double)], probes: List[(Long, Double)])
   case class AsofOut(key: Long, ts: Timestamp, probe_value: Double,

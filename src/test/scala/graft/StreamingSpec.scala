@@ -269,6 +269,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming exact top-k per key: final emission equals the batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double, Long, String)]
+    val q = Streaming.topKStream(in.toDS(), k = 3)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode(OutputMode.Append()).start()
+    // deterministic rows: 2 keys × 30 rows, ord collides every 3rd row
+    val rows = (0 until 60).map { i =>
+      (i % 2.toLong, ((i * 7) % 30 / 3 * 3).toDouble, i.toLong, s"p$i")
+    }
+    val (b1, b2) = rows.splitAt(25)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch truth over everything seen, same (ord desc, tie asc) contract
+    val expected = rows.groupBy(_._1).flatMap { case (key, kv) =>
+      kv.sortBy { case (_, o, t, _) => (-o, t) }.take(3).zipWithIndex
+        .map { case ((_, o, t, p), i) => (key, i + 1, o, t, p) }
+    }.toSet
+    // the stream re-emits each key's ranking per batch (memory sink
+    // keeps all emissions); rankings only IMPROVE as data arrives, so
+    // the final state of each (key, rank) slot is its best emission
+    val emitted = spark.table("topk_out")
+      .as[(Long, Int, Double, Long, String)].collect().toSeq
+    val last = emitted
+      .groupBy { case (k2, r, _, _, _) => (k2, r) }
+      .map { case (_, vs) => vs.minBy { case (_, _, o, t, _) => (-o, t) } }.toSet
+    assert(last == expected, s"streamed top-k $last != batch truth $expected")
+  }
+
   test("materialized view sink: running aggregates stay correct across batches") {
     import graft.store.TxStore
     implicit val sqlCtx = spark.sqlContext
