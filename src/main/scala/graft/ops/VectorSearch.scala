@@ -811,6 +811,59 @@ object VectorSearch {
       .select(col(idCol), col("sim"))
   }
 
+  /** IVF + SQ8: the same cell-partitioned layout as
+    * [[buildIvfPqIndex]] with SQ8 byte codes instead of PQ cell ids —
+    * the quantization×pruning matrix's remaining cell. SQ8 needs no
+    * codebook training (bounds come from one aggregation over the
+    * normalized corpus), so this is the cheapest index to BUILD that
+    * still gets both multiplicative probe savings: nprobe/C of the
+    * codes read, 4× smaller codes than raw floats, vectors fetched
+    * for the shortlist only.
+    */
+  def buildIvfSqIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Seq[Float]], mins: Array[Double], maxs: Array[Double],
+      path: String): Unit = {
+    val normed = vectors
+      .withColumn("_v", col(vecCol).cast("array<double>"))
+      .withColumn("_nrm", sqrt(aggregate(col("_v"), lit(0.0d), (a, x) => a + x * x)))
+      .filter(col("_nrm") > 0)
+      .withColumn("_nv", transform(col("_v"), x => x / col("_nrm")))
+    withNearestCell(normed.select(col(idCol), col(vecCol), col("_nv")),
+        idCol, vecCol, cents)
+      .select(col(idCol), col("cell"), sqEncode(col("_nv"), mins, maxs).as("codes"))
+      .repartition(cents.length, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    normed.select(col(idCol), col("_nv").as("nv"))
+      .coalesce(math.max(1, cents.length / 2))
+      .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Probe the IVF-SQ8 index: nprobe cells as a partition filter, the
+    * LUT-free SQ-ADC shortlist ([[sqScore]]) through [[batchTopK]]'s
+    * bounded heap, full vectors joined back for the shortlist only.
+    */
+  def probeIvfSqIndex(spark: SparkSession, path: String, queryVec: Seq[Double],
+      cents: Array[Seq[Float]], mins: Array[Double], maxs: Array[Double],
+      nprobe: Int, shortlist: Int, idCol: String): DataFrame = {
+    val cells = cents.zipWithIndex.map { case (cv, i) =>
+      val dot = cv.zipWithIndex.map { case (x, j) => x * queryVec(j) }.sum
+      val n = math.sqrt(cv.map(x => x.toDouble * x).sum)
+      (if (n > 0) dot / n else -2.0, i)
+    }.sortBy(-_._1).take(nprobe).map(_._2).toSeq
+    val scored = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("adc", sqScore(col("codes"), queryVec, mins, maxs))
+    val shortIds = batchTopK(scored.select(lit(0L).as("_qid"),
+        col(idCol), col("adc")), "_qid", idCol, "adc", k = shortlist)
+      .select(col(idCol))
+    spark.read.parquet(s"$path/vectors")
+      .join(shortIds, Seq(idCol))
+      .withColumn("sim", round(aggregate(
+        zip_with(col("nv"), typedlit(queryVec), (a, b) => a * b),
+        lit(0.0d), (acc, x) => acc + x), 6))
+      .select(col(idCol), col("sim"))
+  }
+
   /** Cosine near-duplicate pairs via LSH bucket self-join (multi-table,
     * bucketed — never all-pairs), verified with exact cosine.
     */

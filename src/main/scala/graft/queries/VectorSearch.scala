@@ -1293,7 +1293,47 @@ object VectorSearch {
     },
     a01Top10Oracle)
 
+  /** IVF × SQ8 persisted index ([[graft.ops.VectorSearch
+    * .buildIvfSqIndex]] — a11's layout with SQ8 byte codes instead of
+    * PQ cell ids: the cheapest index to build, because SQ8 bounds come
+    * from ONE aggregation pass where PQ needs Lloyd rounds). a32 is
+    * the a19-style degenerate twin: every cell probed, unbounded
+    * shortlist, candidate ids re-ranked through the a01 expression —
+    * must equal brute force. The pruned regime (nprobe < C, bounded
+    * shortlist) is SqSpec territory.
+    */
+  private[graft] def a32Build(s: SparkSession, dir: String)
+      : (String, Array[Seq[Float]], (Array[Double], Array[Double])) = {
+    val e = load(s, dir, "embeddings")
+    val base = e.filter(col("vec_id") =!= 0)
+    val cents = V.trainCentroids(base, "vec_id", "embedding", c = 8, iters = 1)
+    val bounds = V.trainSqBounds(a10Normalized(base), "nv")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfsq")
+      .resolve("index").toString
+    V.buildIvfSqIndex(base, "vec_id", "embedding", cents, bounds._1, bounds._2, idx)
+    (idx, cents, bounds)
+  }
+
+  private[graft] def a32Probe(s: SparkSession, dir: String, idx: String,
+      cents: Array[Seq[Float]], bounds: (Array[Double], Array[Double]),
+      nprobe: Int, shortlist: Int): DataFrame = {
+    val e = load(s, dir, "embeddings")
+    val qv = a10Normalized(e.filter(col("vec_id") === 0))
+      .select(col("nv")).head().getSeq[Double](0)
+    val cand = V.probeIvfSqIndex(s, idx, qv, cents, bounds._1, bounds._2,
+        nprobe, shortlist, idCol = "vec_id")
+      .select(col("vec_id"))
+    exactTop10From(e, cand)
+  }
+
+  val a32 = Q("a32_ivfsq_probe_all",
+    (s, dir) => {
+      val (idx, cents, bounds) = a32Build(s, dir)
+      a32Probe(s, dir, idx, cents, bounds, nprobe = 8, shortlist = 1000000)
+    },
+    a01Top10Oracle)
+
   def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
     a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
-    a25, a26, a27, a28, a29, a30, a31)
+    a25, a26, a27, a28, a29, a30, a31, a32)
 }

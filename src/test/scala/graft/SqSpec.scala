@@ -64,6 +64,30 @@ class SqSpec extends SparkSuite {
       s"expected saturation high/low and zero-span 0, got $codes")
   }
 
+  test("IVF-SQ8 pruned probe: partition filter prunes cells, recall holds") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val (idx, cents, b) = graft.queries.VectorSearch.a32Build(spark, "/root/testdata/sf0.001")
+    val qv = graft.queries.VectorSearch
+      .a10Normalized(e.filter(col("vec_id") === 0))
+      .select(col("nv")).head().getSeq[Double](0)
+    val pruned = V.probeIvfSqIndex(spark, idx, qv, cents, b._1, b._2,
+      nprobe = 3, shortlist = 50, idCol = "vec_id")
+    // the codes scan must read only the probed cells' partitions
+    val scans = planNodes(pruned).collect { case f: FileSourceScanExec => f }
+    val codesScan = scans.find(_.relation.location.rootPaths.exists(_.toString.contains("codes")))
+    assert(codesScan.isDefined, "codes scan missing from the probe plan")
+    assert(codesScan.get.metadata.get("PartitionFilters").exists(_.contains("cell")),
+      s"cell partition filter missing: ${codesScan.get.metadata}")
+    // pruning may only cost recall, never correctness of what it returns
+    val got = pruned.orderBy(col("sim").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val exact = graft.queries.QueryRegistry.byName("a01_ann_bruteforce")
+      .fn(spark, "/root/testdata/sf0.001")
+      .collect().take(10).map(_.getLong(0)).toSet
+    val recall = (got & exact).size.toDouble / 10.0
+    assert(recall >= 0.5, s"nprobe=3/8 recall@10 $recall unexpectedly low")
+  }
+
   test("a31 shortlist-all equals brute force (the oracle identity, locally)") {
     val (path, b) = graft.queries.VectorSearch.a31Build(spark, "/root/testdata/sf0.001")
     val viaSq = graft.queries.VectorSearch
