@@ -60,6 +60,15 @@ object BenchPhases {
     "s13_bloom_point_skipping" -> { (s, dir) =>
       val root = queries.StoreOps.s13Build(s, dir)
       () => queries.StoreOps.s13Probe(s, dir, root)
+    },
+    "a31_sq8_shortlist_all" -> { (s, dir) =>
+      val (path, bounds) = queries.VectorSearch.a31Build(s, dir)
+      () => queries.VectorSearch.a31Probe(s, dir, path, bounds, shortlist = 1000000)
+    },
+    "a32_ivfsq_probe_all" -> { (s, dir) =>
+      val (idx, cents, bounds) = queries.VectorSearch.a32Build(s, dir)
+      () => queries.VectorSearch.a32Probe(s, dir, idx, cents, bounds,
+        nprobe = 8, shortlist = 1000000)
     })
 
   /** Per-query budget overrides (seconds) for queries that are heavy BY

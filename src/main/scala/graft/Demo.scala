@@ -138,6 +138,13 @@ object Demo {
       docs.agg(functions.GraftFunctions.kllQuantiles(
           col("n_chars").cast("double"), 1024, Seq(0.25, 0.5, 0.75)).as("q"))
         .head().getSeq[Double](0).mkString(", "))
+    println("[demo] longest doc per source (bounded-heap top-k, no window): " +
+      docs.groupBy(col("source"))
+        .agg(functions.GraftFunctions.topKBy(
+          col("n_chars").cast("double"), col("doc_id"), col("doc_id"), 1).as("t"))
+        .select(col("source"), element_at(col("t"), 1).getField("tie").as("doc"))
+        .orderBy(col("source")).limit(3)
+        .collect().map(r => s"${r.getString(0)}→doc${r.getLong(1)}").mkString(", "))
 
     // MV rewrite — the same aggregate, answered from the maintained
     // summary: the optimizer swaps the fact scan for the |months|-row MV

@@ -162,4 +162,69 @@ class EdgeCasesSpec extends SparkSuite {
     assert(Dedup.hammingPairsFromSketch(empty, col("doc_id"), col("phash"),
       bands = 4, maxHamming = 3).count() == 0)
   }
+
+  test("round-8 primitives: empty/degenerate inputs never crash") {
+    import graft.functions.{GraftFunctions => G}
+    // topk_by over an empty frame: no groups, no rows
+    val emptyRows = spark.emptyDataset[(Long, Double, Long, String)]
+      .toDF("g", "ord", "id", "p")
+    assert(emptyRows.groupBy(col("g"))
+      .agg(G.topKBy(col("ord"), col("id"), col("p"), 3).as("t")).count() == 0)
+    // kll on a single value: every quantile IS that value
+    val one = Seq(42.0).toDF("v")
+      .agg(G.kllQuantiles(col("v"), 64, Seq(0.0, 0.5, 1.0)).as("q"))
+      .head().getSeq[Double](0)
+    assert(one == Seq(42.0, 42.0, 42.0))
+    // SQ8 with a single row: zero spans everywhere, decode returns mins
+    val vec = Seq(Tuple1(Seq(1.0, -2.0))).toDF("v")
+    val (mins, maxs) = graft.ops.VectorSearch.trainSqBounds(vec, "v")
+    assert(mins.toSeq == Seq(1.0, -2.0) && maxs.toSeq == Seq(1.0, -2.0))
+    val dec = vec.select(graft.ops.VectorSearch.sqDecode(
+        graft.ops.VectorSearch.sqEncode(col("v"), mins, maxs), mins, maxs).as("d"))
+      .head().getSeq[Double](0)
+    assert(dec == Seq(1.0, -2.0))
+    // kll sketch-merge over zero sketches: empty binary aggregate input
+    val noSketch = spark.emptyDataset[Array[Byte]].toDF("sk")
+      .agg(G.kllMergeAgg(col("sk")).as("m"))
+      .select(G.kllSketchQuantiles(col("m"), Seq(0.5)).as("q"))
+      .head().getSeq[Double](0)
+    assert(noSketch.forall(_.isNaN))
+  }
+
+  test("MV rewrite: two registered summaries, the matching base wins") {
+    import graft.plans.MvRewrite
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mv_two")
+    def write(name: String, mod: Int): String = {
+      val p = tmp.resolve(name).toString
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(pmod(col("o_orderkey"), lit(2)) === mod)
+        .write.parquet(p)
+      p
+    }
+    val pA = write("ordersA", 0)
+    val pB = write("ordersB", 1)
+    MvRewrite.clear()
+    Seq(("mvA", pA), ("mvB", pB)).foreach { case (n, p) =>
+      val base = spark.read.parquet(p)
+      val mvPath = tmp.resolve(n).toString
+      base.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .write.parquet(mvPath)
+      MvRewrite.register(n, base,
+        keys = Seq((col("o_orderstatus"), "o_orderstatus")),
+        measures = Seq(("count", lit(1L), "n")),
+        mv = spark.read.parquet(mvPath))
+    }
+    if (!spark.experimental.extraOptimizations.contains(MvRewrite.RewriteAggregateToMv))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite.RewriteAggregateToMv
+    val q = spark.read.parquet(pB).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val paths = planNodes(q).collect {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(paths.exists(_.contains("mvB")) && !paths.exists(_.contains("mvA")),
+      s"the B summary must answer the B base: $paths")
+    MvRewrite.clear()
+  }
 }
