@@ -120,4 +120,93 @@ object Graph {
       .groupBy(col("component").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
         array_join(array_sort(collect_list(col("id"))), ",").as("doc_ids"))
+
+  /** PageRank over a DIRECTED edge list, in 64-bit fixed-point integer
+    * arithmetic so the result is bit-identical on any engine — float
+    * PageRank is not portable (sum order + rounding drift compound per
+    * iteration); integer floor-division is.
+    *
+    * rank is carried in units of `1/scale`: r0 = scale div n, then each
+    * iteration r'(v) = (100-damp)·scale div (100·n)
+    *                   + damp·Σ_{u→v}(r(u) div outdeg(u)) div 100.
+    * All values stay positive and far below 2^63 (sums are bounded by
+    * the total mass ≈ `scale`), so Spark's `div` and any floor/truncate
+    * integer division agree exactly. The truncated remainders mean total
+    * mass shrinks by < n units per iteration — the documented tradeoff
+    * for cross-engine exactness. Dangling nodes (outdeg 0) leak their
+    * mass, the classic simplified formulation.
+    *
+    * Scale notes (100 TB): per iteration, one join of the edge list
+    * against the rank table (node-sized — AQE broadcasts it while it
+    * fits; shuffle-hash on `src` beyond that) and one dst-keyed
+    * aggregation, both edge-partitioned; no driver state of any size.
+    * The edge+outdeg table is localCheckpoint-ed once so k iterations
+    * scan it k times instead of rebuilding it k times.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 3, damp: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && damp >= 0 && damp <= 100)
+    val e = edges.toDF("src", "dst")
+      .select(col("src").cast("long"), col("dst").cast("long"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // node count rides along as a column (single-row cross join stays a
+    // broadcast); no driver-side count action
+    val n = nodes.crossJoin(nodes.agg(count(lit(1)).as("n")))
+      .localCheckpoint(true)
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint(true)
+    var ranks = n.select(col("node"), expr(s"$scale div n").as("rank"))
+    for (_ <- 1 to iterations) {
+      val sums = ed.join(ranks, ed("src") === ranks("node"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("sc"))
+      ranks = n.join(sums, n("node") === sums("dst"), "left")
+        .select(col("node"),
+          (expr(s"(${100 - damp} * ${scale}L) div (100 * n)") +
+            expr(s"($damp * coalesce(sc, 0L)) div 100")).as("rank"))
+    }
+    ranks
+  }
+
+  /** Exact triangle count of an undirected graph by degree-ordered
+    * orientation (the classic O(m^{3/2}) bound): every edge is oriented
+    * from its (degree, id)-smaller endpoint, wedges are enumerated at
+    * each vertex over its OUT-neighbors only — max out-degree is
+    * O(√m) whatever the degree skew, so a celebrity node with millions
+    * of followers contributes √m wedges, not millions² — and a wedge
+    * is a triangle iff its two endpoints are themselves an edge
+    * (one hash join against the undirected edge set).
+    *
+    * Returns one row: (n_nodes, n_edges, n_triangles). The count is
+    * orientation-independent (each triangle is counted exactly once, at
+    * its order-minimal vertex), which is what lets a naive id-ordered
+    * SQL oracle agree with the degree-ordered distributed plan.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e0 = edges.toDF("x", "y")
+      .select(least(col("x"), col("y")).cast("long").as("a"),
+        greatest(col("x"), col("y")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val deg = e0.select(col("a").as("node")).union(e0.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val wd = e0
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val oriented = wd.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("p"), col("y.v").as("q")) // p < q by id
+    val tri = wedges.join(e0, col("p") === col("a") && col("q") === col("b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+  }
 }

@@ -19,7 +19,8 @@ object QueryRegistry {
   def all: Seq[Q] =
     Relational.qs ++ Relational2.qs ++ Relational3.qs ++ Temporal.qs ++ AgFunctions.qs ++ Validation.qs ++ TextAnalysis.qs ++ TextAnalysis2.qs ++
       DedupOps.qs ++ VectorSearch.qs ++ StoreOps.qs ++ DimOps.qs ++
-      MultimodalOps.qs ++ SkewOps.qs ++ Analytics.qs ++ SemiStructured.qs
+      MultimodalOps.qs ++ SkewOps.qs ++ Analytics.qs ++ SemiStructured.qs ++
+      GraphAnalytics.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

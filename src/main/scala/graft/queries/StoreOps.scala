@@ -541,5 +541,36 @@ object StoreOps {
         MAX(o_totalprice) AS mx
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
-  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14)
+  /** DELETE as deletion vectors (merge-on-read,
+    * [[graft.store.TxStore.commitDeleteVectors]]): two successive DV
+    * commits on an orders snapshot — the data files are hard-linked
+    * forward untouched, only a (file, row) position sidecar is written,
+    * commit cost ∝ deleted rows — then a purge commit materializes the
+    * logical table into clean files. The read after each step must
+    * equal a plain double-filtered scan: which physical path produced
+    * the rows (mask vs rewrite) must be invisible — that invisibility
+    * IS the operator's contract, and TxStoreSpec pins the physical
+    * claims (links not copies, sidecar accumulation, time travel to
+    * the pre-delete version).
+    */
+  val s15 = Q("s15_deletion_vectors",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dv")
+        .resolve("t").toString
+      val base = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.store.TxStore.init(base, root)
+      graft.store.TxStore.commitDeleteVectors(s, root,
+        col("o_totalprice") > 300000.0)
+      graft.store.TxStore.commitDeleteVectors(s, root,
+        pmod(col("o_orderkey"), lit(7)) === 0)
+      graft.store.TxStore.commitPurgeDeletes(s, root)
+      graft.store.TxStore.read(s, root).orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE NOT (o_totalprice > 300000.0) AND NOT (o_orderkey % 7 = 0)
+      ORDER BY o_orderkey"""))
+
+  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15)
 }

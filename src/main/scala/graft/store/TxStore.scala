@@ -123,11 +123,144 @@ object TxStore {
     1L
   }
 
+  // ---- deletion vectors (merge-on-read DELETE) ----
+  //
+  // A DELETE-commit normally rewrites every surviving row
+  // ([[commitDelete]]) — cost ∝ table, the copy-on-write stance. The
+  // merge-on-read alternative ([[commitDeleteVectors]]) hard-links the
+  // parent's data files untouched and records the deleted positions as
+  // a (file_name, row_index) sidecar under `_dv/` inside the version
+  // directory (underscore-prefixed, so plain parquet listings never
+  // see it as data): commit cost ∝ matched rows, the Delta
+  // deletion-vector / Iceberg position-delete idea. Every snapshot
+  // read anti-joins the sidecar (metadata-scale — AQE broadcasts it),
+  // so ALL consumers — time travel, CDF, upserts, exports — see the
+  // logical table; any full-rewrite commit (upsert, compaction,
+  // zorder, [[commitPurgeDeletes]]) naturally materializes the
+  // deletes away because it writes fresh files with no sidecar.
+  // Sidecars are keyed by file NAME, not path, so hard-link
+  // carry-forward (restore links the whole tree, `_dv/` included)
+  // keeps them valid verbatim.
+
+  private def dvPath(dir: String): Path = Paths.get(dir, "_dv")
+
+  /** The logical rows of a version directory: raw files minus the
+    * deletion-vector positions, when a `_dv/` sidecar exists.
+    */
+  private def readSnapshotDir(spark: SparkSession, dir: String): DataFrame =
+    applyDv(spark, dir, spark.read.parquet(dir))
+
+  /** Anti-join `df` (still a file-source frame over `dir`'s files, so
+    * `_metadata` resolves — also true of [[Skipping]]'s pruned reads)
+    * against `dir`'s deletion vector, if one exists.
+    */
+  private def applyDv(spark: SparkSession, dir: String, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (!Files.exists(dvPath(dir))) df
+    else {
+      val dv = spark.read.parquet(dvPath(dir).toString)
+      df.withColumn("__dv_file", col("_metadata.file_name"))
+        .withColumn("__dv_row", col("_metadata.row_index"))
+        .join(dv, col("__dv_file") === dv("file_name") &&
+          col("__dv_row") === dv("row_index"), "left_anti")
+        .drop("__dv_file", "__dv_row")
+    }
+  }
+
+  /** DELETE as a merge-on-read commit: the next version hard-links the
+    * parent's files and adds the matching rows' positions to the
+    * deletion-vector sidecar — no data rewrite, cost ∝ deleted rows.
+    * Same all-or-nothing pointer flip and concurrency check as every
+    * commit; deletes accumulate across successive DV commits until a
+    * rewriting commit (or [[commitPurgeDeletes]]) folds them in.
+    * Unpartitioned layouts only — a partitioned table's cheap delete
+    * path is already partition-grain (drop/rewrite touched partitions).
+    */
+  def commitDeleteVectors(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val baseDir = versionDir(root, expected)
+    require(partitionDirs(baseDir).isEmpty,
+      "deletion vectors require an unpartitioned layout " +
+        "(partitioned tables delete at partition grain)")
+    val next = expected + 1
+    val nextDir = versionDir(root, next)
+    if (Files.exists(Paths.get(nextDir)))
+      throw new ConcurrentCommitException(
+        s"snapshot v$next already exists at $root (concurrent writer)")
+    try {
+      linkTree(Paths.get(baseDir), Paths.get(nextDir))
+      // new deletions, evaluated over the parent's LOGICAL rows (the
+      // anti-join keeps already-deleted positions from re-matching);
+      // NULL predicate keeps the row, SQL DELETE semantics. Metadata
+      // columns are captured BEFORE any join so they resolve against
+      // the file-source relation.
+      val withMeta = spark.read.parquet(nextDir)
+        .withColumn("__dv_file", col("_metadata.file_name"))
+        .withColumn("__dv_row", col("_metadata.row_index"))
+      val hadDv = Files.exists(dvPath(nextDir))
+      val live =
+        if (!hadDv) withMeta
+        else {
+          val dv = spark.read.parquet(dvPath(nextDir).toString)
+          withMeta.join(dv, withMeta("__dv_file") === dv("file_name") &&
+            withMeta("__dv_row") === dv("row_index"), "left_anti")
+        }
+      val doomed = live.filter(coalesce(predicate, lit(false)))
+        .select(col("__dv_file").as("file_name"),
+          col("__dv_row").as("row_index"))
+      val merged =
+        if (hadDv)
+          spark.read.parquet(dvPath(nextDir).toString).union(doomed).distinct()
+        else doomed
+      // write-then-swap: the merged sidecar is fully written to a side
+      // path before the one it was computed FROM is replaced (never
+      // overwrite an input mid-plan); positions are metadata-scale by
+      // design, so one file
+      val tmp = Paths.get(nextDir, "_dv_tmp")
+      merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      deleteRecursively(dvPath(nextDir))
+      Files.move(tmp, dvPath(nextDir))
+    } catch { case e: Throwable => deleteRecursively(Paths.get(nextDir)); throw e }
+    if (currentVersion(root) != Some(expected)) {
+      deleteRecursively(Paths.get(nextDir))
+      throw new ConcurrentCommitException(
+        s"table at $root moved past v$expected; retry on the new snapshot")
+    }
+    writeManifest(root, next, "delete_dv", Some(expected))
+    flipPointer(root, Some(expected), next)
+    next
+  }
+
+  /** Maintenance twin of [[commitDeleteVectors]]: materialize the
+    * logical snapshot into fresh files with no sidecar — the compaction
+    * that pays the rewrite once after many cheap deletes.
+    */
+  def commitPurgeDeletes(spark: SparkSession, root: String,
+      expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
+    val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val clean = readSnapshotDir(spark, versionDir(root, expected))
+    val next = expected + 1
+    writeVersion(clean, root, next)
+    if (currentVersion(root) != Some(expected)) {
+      deleteRecursively(Paths.get(versionDir(root, next)))
+      throw new ConcurrentCommitException(
+        s"table at $root moved past v$expected; retry on the new snapshot")
+    }
+    writeManifest(root, next, "purge_deletes", Some(expected))
+    flipPointer(root, Some(expected), next)
+    next
+  }
+
   /** The committed snapshot (throws for an uninitialized table). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    spark.read.parquet(versionDir(root, v))
+    readSnapshotDir(spark, versionDir(root, v))
   }
 
   /** Time travel: read a specific committed version (1-based). Only
@@ -140,7 +273,7 @@ object TxStore {
     require(v >= 1 && v <= cur, s"version v$v not committed (current: v$cur)")
     require(Files.exists(Paths.get(versionDir(root, v))),
       s"version v$v expired by retention (oldest retained version differs)")
-    spark.read.parquet(versionDir(root, v))
+    readSnapshotDir(spark, versionDir(root, v))
   }
 
   /** MERGE-commit: upsert `updates` into the committed snapshot and
@@ -155,7 +288,7 @@ object TxStore {
       pk: Seq[String], expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    val base = spark.read.parquet(versionDir(root, expected))
+    val base = readSnapshotDir(spark, versionDir(root, expected))
     val merged = Store.upsert(base, updates, pk)
     val next = expected + 1
     writeVersion(merged, root, next)
@@ -184,7 +317,7 @@ object TxStore {
       pk: Seq[String], expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    val base = spark.read.parquet(versionDir(root, expected))
+    val base = readSnapshotDir(spark, versionDir(root, expected))
     val merged = Store.upsertEvolve(base, updates, pk)
     val next = expected + 1
     writeVersion(merged, root, next)
@@ -232,7 +365,7 @@ object TxStore {
     val baseDir = versionDir(root, expected)
     val touched = updates.select(col(partCol)).distinct().collect()
       .map(_.get(0)).toSet
-    val base = spark.read.parquet(baseDir)
+    val base = readSnapshotDir(spark, baseDir)
     val touchedBase = base.filter(col(partCol).isInCollection(touched))
     val merged = Store.upsert(touchedBase, updates, pk)
     val next = expected + 1
@@ -333,7 +466,7 @@ object TxStore {
       expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    val base = spark.read.parquet(versionDir(root, expected)).coalesce(numFiles)
+    val base = readSnapshotDir(spark, versionDir(root, expected)).coalesce(numFiles)
     val next = expected + 1
     writeVersion(base, root, next)
     if (currentVersion(root) != Some(expected)) {
@@ -360,7 +493,7 @@ object TxStore {
       throw new IllegalStateException(s"no committed version at $root"))
     // SQL DELETE semantics: only rows where the predicate is TRUE go;
     // a NULL predicate keeps the row (bare !predicate would drop it)
-    val remaining = spark.read.parquet(versionDir(root, expected))
+    val remaining = readSnapshotDir(spark, versionDir(root, expected))
       .filter(!org.apache.spark.sql.functions.coalesce(predicate,
         org.apache.spark.sql.functions.lit(false)))
     val next = expected + 1
@@ -396,7 +529,7 @@ object TxStore {
     require(checks.nonEmpty, "commitUpsertChecked needs at least one check")
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    val base = spark.read.parquet(versionDir(root, expected))
+    val base = readSnapshotDir(spark, versionDir(root, expected))
     // the gate aggregate materializes the merge; cache it so the
     // snapshot write reuses it instead of recomputing the full
     // base-scan + merge shuffle a second time
@@ -459,7 +592,7 @@ object TxStore {
       colB: String, numFiles: Int, expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    val base = spark.read.parquet(versionDir(root, expected))
+    val base = readSnapshotDir(spark, versionDir(root, expected))
     val next = expected + 1
     val nextDir = versionDir(root, next)
     if (Files.exists(Paths.get(nextDir)))
@@ -493,7 +626,7 @@ object TxStore {
       expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    val base = spark.read.parquet(versionDir(root, expected))
+    val base = readSnapshotDir(spark, versionDir(root, expected))
     val next = expected + 1
     val nextDir = versionDir(root, next)
     if (Files.exists(Paths.get(nextDir)))
@@ -572,7 +705,8 @@ object TxStore {
       lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column): DataFrame = {
     val v = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    Skipping.readRange(spark, versionDir(root, v), c, lo, hi)
+    applyDv(spark, versionDir(root, v),
+      Skipping.readRange(spark, versionDir(root, v), c, lo, hi))
   }
 
   /** Per-file Bloom sidecar over the committed snapshot — the
@@ -593,7 +727,8 @@ object TxStore {
       key: org.apache.spark.sql.Column): DataFrame = {
     val v = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    Skipping.readPoint(spark, versionDir(root, v), c, key)
+    applyDv(spark, versionDir(root, v),
+      Skipping.readPoint(spark, versionDir(root, v), c, key))
   }
 
   /** Highest streaming batch id already folded into the table. */

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** PageRank / triangle-count laws on planted graphs, plus the interval
+  * join and equi-depth histogram invariants. The sf0.01 DuckDB oracles
+  * (q61–q64) pin the cross-engine values; these specs pin the algebra.
+  */
+class GraphAnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val SCALE = 1000000000000L
+
+  test("pagerank: symmetric cycle gives every node the same rank") {
+    val n = 6L
+    val cyc = (0L until n).map(i => (i, (i + 1) % n)) ++
+      (0L until n).map(i => ((i + 1) % n, i))
+    val r = Graph.pageRank(cyc.toDF("src", "dst"), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r.size == n)
+    assert(r.values.toSet.size == 1) // symmetry => identical fixed point
+  }
+
+  test("pagerank: star hub outranks leaves; total mass is conserved up to floor loss") {
+    // undirected star: hub 0, leaves 1..8
+    val star = (1L to 8L).flatMap(i => Seq((0L, i), (i, 0L)))
+    val r = Graph.pageRank(star.toDF("src", "dst"), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r(0L) > r(1L) * 4) // hub concentrates rank
+    assert((1L to 8L).map(r).toSet.size == 1) // leaves identical
+    val total = r.values.sum
+    // each iteration can only lose < n units to floor division
+    assert(total <= SCALE && total >= SCALE - 9 * 4)
+  }
+
+  test("pagerank: damp=100 pure walk on a sink pair drains teleport mass") {
+    // a -> b only: b's rank after 1 iteration = a's full contribution
+    val r = Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"),
+      iterations = 1, damp = 100).as[(Long, Long)].collect().toMap
+    assert(r(2L) == SCALE / 2) // all of a's mass, no teleport share
+    assert(r(1L) == 0L) // nothing points at a
+  }
+
+  test("triangle count: K4 has 4 triangles, path has none, K4+chord counted once each") {
+    def tri(edges: Seq[(Long, Long)]): Long =
+      Graph.triangleCount(edges.toDF("x", "y"))
+        .select(col("n_triangles")).as[Long].head()
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(tri(k4) == 4L)
+    assert(tri(Seq((0L, 1L), (1L, 2L), (2L, 3L))) == 0L)
+    // duplicate + reversed edges must not double-count
+    assert(tri(Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L), (0L, 2L))) == 1L)
+  }
+
+  test("triangle count: node/edge counts reflect the normalized undirected graph") {
+    val r = Graph.triangleCount(
+        Seq((5L, 3L), (3L, 5L), (3L, 9L), (9L, 5L), (7L, 7L)).toDF("x", "y"))
+      .as[(Long, Long, Long)].head()
+    assert(r == ((3L, 3L, 1L))) // self-loop dropped, dup collapsed
+  }
+
+  test("equi-depth histogram: bucket depths differ by at most one within each group") {
+    val q = graft.queries.GraphAnalytics.q64
+    val out = q.fn(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("n")).as[(String, Long)]
+      .collect().groupBy(_._1)
+    out.foreach { case (_, rows) =>
+      val depths = rows.map(_._2)
+      assert(depths.max - depths.min <= 1)
+      assert(rows.length == 16)
+    }
+  }
+
+  test("interval join: planted windows count exactly the in-range views") {
+    // direct op-shape check on a temp events table via the query body
+    val dirQ = graft.queries.GraphAnalytics.q63
+    val out = dirQ.fn(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // every purchase id appears exactly once (left join, unique key)
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.forall(_._2 >= 0))
+  }
+}

@@ -48,7 +48,9 @@ class PlanLintSpec extends SparkSuite {
     "t27_bigram_surprisal",   // 1-row vocab-size scalar against the bigram stream (t21's shape)
     "m05_media_neardup",      // 1-row max(doc_id)+1 planted-offset scalar (d15's stance)
     "a31_sq8_shortlist_all",  // exact re-rank = a01's broadcast 1-row query (a18's stance)
-    "a32_ivfsq_probe_all"     // exact re-rank = a01's broadcast 1-row query (a19's stance)
+    "a32_ivfsq_probe_all",    // exact re-rank = a01's broadcast 1-row query (a19's stance)
+    "q61_pagerank",           // 1-row node-count scalar rides along every iteration
+    "q62_triangle_count"      // three 1-row count aggregates assembled into one summary row
   )
 
   /** Queries whose plan legitimately sorts a whole frame through one

@@ -518,4 +518,104 @@ class TxStoreSpec extends SparkSuite {
       .as[(Long, String, Option[String], String)].collect().toSet
     assert(diff == Set((2L, "milho", None, "update")))
   }
+
+  // ---- deletion vectors (merge-on-read DELETE) ----
+
+  private def dataInodes(root: String, v: Long): Set[Any] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(Paths.get(TxStore.versionDir(root, v)))
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(Files.getAttribute(_, "unix:ino")).toSet
+    finally s.close()
+  }
+
+  test("DV delete: logical view masks rows, data files are links, prior version intact") {
+    val root = freshRoot()
+    TxStore.init(Seq((1L, "soja", 100.0), (2L, "milho", 50.0),
+      (3L, "trigo", 30.0), (4L, "soja", 80.0)).toDF("k", "produto", "v"), root)
+    assert(TxStore.commitDeleteVectors(spark, root, col("produto") === "soja") == 2L)
+    assert(rows(root) == Set((2L, "milho", 50.0), (3L, "trigo", 30.0)))
+    // merge-on-read: v2's data files ARE v1's (same inodes, nothing rewritten)
+    assert(dataInodes(root, 2L) == dataInodes(root, 1L) && dataInodes(root, 1L).nonEmpty)
+    // time travel to the pre-delete version still sees everything
+    assert(TxStore.readVersion(spark, root, 1L).count() == 4L)
+    assert(TxStore.history(spark, root).where(col("version") === 2)
+      .select("action").as[String].head() == "delete_dv")
+  }
+
+  test("DV deletes accumulate; NULL predicate keeps the row; purge materializes") {
+    val root = freshRoot()
+    TxStore.init(Seq((1L, "soja", 100.0), (2L, "milho", 50.0),
+      (3L, "trigo", 30.0), (4L, "soja", 80.0)).toDF("k", "produto", "v"), root)
+    TxStore.commitDeleteVectors(spark, root, col("v") > 90.0)
+    TxStore.commitDeleteVectors(spark, root,
+      when(col("produto") === "trigo", lit(true))) // NULL elsewhere → kept
+    assert(rows(root) == Set((2L, "milho", 50.0), (4L, "soja", 80.0)))
+    assert(dataInodes(root, 3L) == dataInodes(root, 1L))
+    // purge rewrites: fresh files, no sidecar, identical logical rows
+    assert(TxStore.commitPurgeDeletes(spark, root) == 4L)
+    assert(rows(root) == Set((2L, "milho", 50.0), (4L, "soja", 80.0)))
+    assert(dataInodes(root, 4L).intersect(dataInodes(root, 1L)).isEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(TxStore.versionDir(root, 4L), "_dv")))
+  }
+
+  test("upsert after a DV delete does not resurrect masked rows") {
+    val root = freshRoot()
+    TxStore.init(Seq((1L, "soja", 100.0), (2L, "milho", 50.0)).toDF("k", "produto", "v"), root)
+    TxStore.commitDeleteVectors(spark, root, col("k") === 1L)
+    TxStore.commitUpsert(spark, root,
+      Seq((3L, "trigo", 30.0)).toDF("k", "produto", "v"), Seq("k"))
+    assert(rows(root) == Set((2L, "milho", 50.0), (3L, "trigo", 30.0)))
+  }
+
+  test("restore onto a DV version carries the mask; CDF sees DV deletes as deletes") {
+    val root = freshRoot()
+    TxStore.init(Seq((1L, "soja", 100.0), (2L, "milho", 50.0),
+      (3L, "trigo", 30.0)).toDF("k", "produto", "v"), root)
+    TxStore.commitDeleteVectors(spark, root, col("k") === 2L) // v2
+    val cdf = TxStore.changesBetween(spark, root, 1L, 2L, Seq("k"))
+      .select("k", "change_type").as[(Long, String)].collect().toSet
+    assert(cdf == Set((2L, "delete")))
+    TxStore.commitPurgeDeletes(spark, root) // v3
+    TxStore.commitRestore(spark, root, 2L)  // v4: links v2's tree, _dv included
+    assert(rows(root) == Set((1L, "soja", 100.0), (3L, "trigo", 30.0)))
+    // the restored mask arrived as links, not a recompute
+    assert(dataInodes(root, 4L) == dataInodes(root, 2L))
+  }
+
+  test("skipping reads (range + bloom point) respect the deletion vector") {
+    val root = freshRoot()
+    TxStore.init(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "produto", "v"), root)
+    TxStore.commitDeleteVectors(spark, root, col("k") === 2L)
+    TxStore.writeStats(spark, root, Seq("k"))
+    assert(TxStore.readRange(spark, root, "k", lit(1L), lit(3L))
+      .select("k").as[Long].collect().toSet == Set(1L, 3L))
+    TxStore.writeBloomStats(spark, root, "k")
+    assert(TxStore.readPoint(spark, root, "k", lit(2L)).isEmpty)
+    assert(TxStore.readPoint(spark, root, "k", lit(3L)).count() == 1L)
+  }
+
+  test("DV delete refuses a partitioned layout; racing DV writers: one winner") {
+    val root = freshRoot()
+    TxStore.initPartitioned(
+      Seq((1L, "soja", 100.0), (2L, "milho", 50.0)).toDF("k", "produto", "v"),
+      root, "produto")
+    intercept[IllegalArgumentException] {
+      TxStore.commitDeleteVectors(spark, root, col("k") === 1L)
+    }
+    val flat = freshRoot()
+    TxStore.init(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "produto", "v"), flat)
+    // stale expected version conflicts cleanly and changes nothing
+    TxStore.commitDeleteVectors(spark, flat, col("k") === 1L) // v2
+    intercept[TxStore.ConcurrentCommitException] {
+      TxStore.commitDeleteVectors(spark, flat, col("k") === 2L,
+        expectedVersion = Some(1L))
+    }
+    assert(TxStore.currentVersion(flat).contains(2L))
+    assert(rows(flat) == Set((2L, "b", 2.0)))
+  }
 }
