@@ -69,6 +69,10 @@ object BenchPhases {
       val (idx, cents, bounds) = queries.VectorSearch.a32Build(s, dir)
       () => queries.VectorSearch.a32Probe(s, dir, idx, cents, bounds,
         nprobe = 8, shortlist = 1000000)
+    },
+    "a33_ann_filtered" -> { (s, dir) =>
+      val (idx, cents) = queries.VectorSearch.a06Build(s, dir)
+      () => queries.VectorSearch.a33Probe(s, dir, idx, cents)
     })
 
   /** Per-query budget overrides (seconds) for queries that are heavy BY

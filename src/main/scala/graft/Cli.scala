@@ -33,6 +33,10 @@ import org.apache.spark.sql.SparkSession
   * sbt "runMain graft.Cli conab produtos <landingDir>"           # cli.py:193
   * sbt "runMain graft.Cli ibge pam <landingDir> [limit]"         # cli.py:209
   * sbt "runMain graft.Cli ibge produtos <landingDir>"            # cli.py:282
+  * sbt "runMain graft.Cli tx history <root>"          # commit log
+  * sbt "runMain graft.Cli tx delete <root> <predicate>" # DV delete (MOR)
+  * sbt "runMain graft.Cli tx purge <root>"            # materialize DVs
+  * sbt "runMain graft.Cli tx vacuum <root> [keepLast]" # retention + orphans
   * }}}
   *
   * The reference's `snapshot use` (a config-file default) has no CLI
@@ -201,6 +205,27 @@ object Cli {
       dims.Dims.cropAliases.map(_._2).distinct.sorted.grouped(8)
         .foreach(g => println("  " + g.mkString(", ")))
 
+    // transactional-store maintenance verbs (the Delta-CLI shapes:
+    // DESCRIBE HISTORY / DELETE / OPTIMIZE-purge / VACUUM)
+    case "tx" :: "history" :: root :: Nil =>
+      store.TxStore.history(session(), root).collect().foreach { r =>
+        println(f"v${r.getLong(0)}%-6s ${r.getString(1)}%-20s parent=${if (r.isNullAt(2)) "-" else r.getLong(2).toString}%-6s files=${r.getLong(3)}")
+      }
+    case "tx" :: "delete" :: root :: predicate :: Nil =>
+      // merge-on-read: positions-only sidecar, files untouched
+      val v = store.TxStore.commitDeleteVectors(session(), root,
+        org.apache.spark.sql.functions.expr(predicate))
+      println(s"committed v$v (deletion vectors for: $predicate)")
+    case "tx" :: "purge" :: root :: Nil =>
+      val v = store.TxStore.commitPurgeDeletes(session(), root)
+      println(s"committed v$v (deletion vectors materialized)")
+    case "tx" :: "vacuum" :: root :: rest if rest.size <= 1 =>
+      val keep = rest.headOption.map(_.toInt).getOrElse(3)
+      val expired = store.TxStore.expireVersions(root, keepLast = keep)
+      val orphans = store.TxStore.vacuum(root)
+      println(s"expired versions: ${if (expired.isEmpty) "none" else expired.mkString(", ")}; " +
+        s"orphans removed: ${if (orphans.isEmpty) "none" else orphans.mkString(", ")}")
+
     case other =>
       System.err.println(
         s"unknown command ${other.mkString(" ")}; use: verify <sfDir> <outDir> | bench | " +
@@ -208,7 +233,7 @@ object Cli {
           "config show | cache stats|purge-legacy|clear <path> | " +
           "snapshot list|show|create|delete ... | dataset list|fetch <landing> ... | " +
           "cepea indicador <landing> | conab safras|produtos <landing> | " +
-          "ibge pam|produtos <landing>")
+          "ibge pam|produtos <landing> | tx history|delete|purge|vacuum <root> ...")
       sys.exit(2)
   }
 

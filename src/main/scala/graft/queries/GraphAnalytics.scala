@@ -177,5 +177,34 @@ object GraphAnalytics {
             FROM events) t
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  def qs: Seq[Q] = Seq(q61, q62, q63, q64)
+  /** Hierarchy flattening — the recursive-CTE workload, answered by
+    * [[Graph.flattenHierarchy]]'s pointer doubling (⌈log₂ depth⌉
+    * join rounds, one row of state per node). The synthetic forest:
+    * 1-based part ids with parent = id div 4 (ids 1–3 are roots) —
+    * built identically in the oracle, whose recursive CTE walks the
+    * same chains one level at a time. Depth grows with log₄(|part|),
+    * so the oracle and the doubling plan are compared across a
+    * genuinely multi-level tree (depth ≈ 8 at sf0.1).
+    */
+  val q65 = Q("q65_hierarchy_flatten",
+    (s, dir) => {
+      val nodes = load(s, dir, "part")
+        .select((col("p_partkey") + 1L).as("node"))
+        .select(col("node"),
+          when(expr("node div 4") >= 1L, expr("node div 4")).as("parent"))
+      Graph.flattenHierarchy(nodes)
+        .select(col("node"), col("root"), col("depth"))
+        .orderBy(col("node"))
+    },
+    Some("""
+      WITH RECURSIVE nodes AS (
+        SELECT p_partkey + 1 AS node FROM part),
+      anc AS (
+        SELECT node, node AS cur, CAST(0 AS BIGINT) AS depth FROM nodes
+        UNION ALL
+        SELECT node, cur // 4, depth + 1 FROM anc WHERE cur // 4 >= 1)
+      SELECT node, cur AS root, depth FROM anc WHERE cur // 4 < 1
+      ORDER BY node"""))
+
+  def qs: Seq[Q] = Seq(q61, q62, q63, q64, q65)
 }

@@ -75,5 +75,35 @@ object SemiStructured {
       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) t
       ORDER BY vec_id"""))
 
-  def qs: Seq[Q] = Seq(q49, q50)
+  /** VARIANT shredding (Spark 4's semi-structured type): the raw JSON
+    * `props` column parsed once into an open VARIANT value, typed
+    * fields extracted with `variant_get`, then aggregated — the
+    * parse-once/shred-late pattern that replaces per-field
+    * `get_json_object` re-parses (one binary-encoded parse per row,
+    * every field access a cheap path lookup into it). Sums are exact
+    * integer arithmetic, so the DuckDB JSON oracle hash-matches.
+    */
+  val q66 = Q("q66_variant_shred",
+    (s, dir) => {
+      load(s, dir, "events")
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("k")).as("n_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_k,
+             MIN(k) AS min_k, MAX(k) AS max_k,
+             CAST(SUM(k) AS BIGINT) AS sum_k
+      FROM (SELECT event_type,
+              CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events) t
+      GROUP BY event_type ORDER BY event_type"""))
+
+  def qs: Seq[Q] = Seq(q49, q50, q66)
 }

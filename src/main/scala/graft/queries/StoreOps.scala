@@ -572,5 +572,37 @@ object StoreOps {
       WHERE NOT (o_totalprice > 300000.0) AND NOT (o_orderkey % 7 = 0)
       ORDER BY o_orderkey"""))
 
-  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15)
+  /** HIDDEN partitioning (Iceberg's partition transforms,
+    * [[graft.store.Layout]]): the table declares `bucket(8, o_custkey)`
+    * once; writers never compute a partition column and the reader's
+    * predicate stays on the SOURCE column — the store derives
+    * `__part = transform(42)`, which Catalyst constant-folds into a
+    * directory-pruning partition filter. The MERGE goes through the
+    * same derivation, so only the touched bucket is rewritten (the
+    * other seven ride forward as hard links). Oracle: the logical
+    * result — base rows with one customer's prices bumped — as if no
+    * partitioning existed, because for the user it doesn't.
+    */
+  val s16 = Q("s16_hidden_partitioning",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_hidden")
+        .resolve("t").toString
+      val base = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.store.TxStore.initHidden(base, root,
+        graft.store.Layout.Bucket("o_custkey", 8))
+      val updates = load(s, dir, "orders")
+        .filter(col("o_custkey") === 42L)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 100000.0).as("o_totalprice"))
+      graft.store.TxStore.commitUpsertHidden(s, root, updates, Seq("o_orderkey"))
+      graft.store.TxStore.readHiddenEq(s, root, lit(42L))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice + 100000.0 AS o_totalprice
+      FROM orders WHERE o_custkey = 42
+      ORDER BY o_orderkey"""))
+
+  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16)
 }

@@ -468,5 +468,64 @@ object TextAnalysis2 {
         MAX(v) AS q100
       FROM r GROUP BY source ORDER BY source"""))
 
-  def qs: Seq[Q] = Seq(t23, t24, t25, t26, t27, t28, t29, t30)
+  /** BPE ENCODING — applying a rank-ordered merge table (the artifact
+    * t26's pair statistics feed the training of) to the corpus. The
+    * trick that keeps this inside codegen'd built-ins AND exactly
+    * SQL-expressible: a word is bracket-wrapped per symbol
+    * (`low → (l)(o)(w)`) so each ranked merge is one literal
+    * `replace('(a)(b)' → '(ab)')` — brackets delimit both sides of
+    * every candidate pair, so left-to-right non-overlapping replace IS
+    * the BPE merge rule (adjacent occurrences chain correctly:
+    * `(o)(o)(o)` + merge o,o → `(oo)(o)`), merges never cross the
+    * space between words, and token count falls out as the number of
+    * surviving `(`. One zero-shuffle projection over the corpus + a
+    * per-lang rollup; the merge table is a literal (production: read
+    * from the tokenizer artifact and fold the same chain).
+    */
+  val t31 = Q("t31_bpe_encode",
+    (s, dir) => {
+      val merges = Seq( // rank-ordered; later merges build on earlier ones
+        "e" -> "s", "d" -> "e", "o" -> "s", "a" -> "r",
+        "q" -> "u", "es" -> "t", "c" -> "o", "m" -> "a")
+      val cleaned = regexp_replace(lower(trim(col("text"))),
+        "[^\\p{L}\\p{N} ]", "")
+      val wrapped = regexp_replace(cleaned, "(\\S)", "($1)")
+      val encoded = merges.foldLeft(wrapped) { case (c, (a, b)) =>
+        call_function("replace", c, lit(s"($a)($b)"), lit(s"($a$b)"))
+      }
+      load(s, dir, "documents")
+        .select(col("lang"),
+          (length(encoded) - length(call_function("replace", encoded,
+            lit("("), lit("")))).as("n_tokens"),
+          length(call_function("replace", cleaned, lit(" "), lit("")))
+            .as("n_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          round(sum(col("n_tokens")) / sum(col("n_chars")).cast("double"), 6)
+            .as("tokens_per_char"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT lang,
+          replace(replace(replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(lower(trim(text)), '[^\p{L}\p{N} ]', '', 'g'),
+              '(\S)', '(\1)', 'g'),
+            '(e)(s)', '(es)'), '(d)(e)', '(de)'), '(o)(s)', '(os)'),
+            '(a)(r)', '(ar)'), '(q)(u)', '(qu)'), '(es)(t)', '(est)'),
+            '(c)(o)', '(co)'), '(m)(a)', '(ma)') AS enc,
+          replace(regexp_replace(lower(trim(text)), '[^\p{L}\p{N} ]', '', 'g'),
+            ' ', '') AS chars
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(length(enc) - length(replace(enc, '(', ''))) AS BIGINT) AS n_tokens,
+        CAST(SUM(length(chars)) AS BIGINT) AS n_chars,
+        ROUND(SUM(length(enc) - length(replace(enc, '(', '')))
+          / CAST(SUM(length(chars)) AS DOUBLE), 6) AS tokens_per_char
+      FROM e GROUP BY lang ORDER BY lang"""))
+
+  def qs: Seq[Q] = Seq(t23, t24, t25, t26, t27, t28, t29, t30, t31)
 }

@@ -589,5 +589,53 @@ object Validation {
       WHERE NOT (m.n = r.n AND m.total_dec = r.total_dec)
       ORDER BY m.mes"""))
 
-  def qs: Seq[Q] = Seq(v01, v02, v03, v04, v05, v07, v08, v09, v10, v11, v12, v13, v14, v15)
+  /** Seasonal anomaly audit: each (event_type, hour-of-day) cell gets
+    * its own baseline — the diurnal profile every operational metric
+    * has — and rows are flagged against THEIR OWN hour's mean ± 3σ,
+    * not the global one (a 3 a.m. spike is an anomaly even when it
+    * would be normal at noon). Mean/variance come from exact decimal
+    * moment sums (Σv, Σv² — one aggregation pass, engine-order
+    * independent), the baseline table is ≤ type×24 rows (broadcast),
+    * and the flag pass is the only re-scan: two scans total, no
+    * windows. Both engines compute identical doubles from identical
+    * decimals, so even the σ-boundary comparisons agree bit-for-bit.
+    */
+  val v16 = Q("v16_seasonal_anomaly",
+    (s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("event_type"), hour(col("ts")).as("hh"), col("value"))
+      val base = ev.groupBy(col("event_type"), col("hh"))
+        .agg(count(lit(1)).as("n"),
+          (sum(dec(col("value"))).cast("double") / count(lit(1))).as("mean"),
+          (sum((dec(col("value")) * dec(col("value")))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 8)))
+            .cast("double") / count(lit(1))).as("m2"))
+        .withColumn("sd", sqrt(col("m2") - col("mean") * col("mean")))
+      ev.join(broadcast(base), Seq("event_type", "hh"))
+        .groupBy(col("event_type"), col("hh"))
+        .agg(first(col("n")).as("n"),
+          round(first(col("mean")), 6).as("mean"),
+          round(first(col("sd")), 6).as("sd"),
+          sum(when(abs(col("value") - col("mean")) > lit(3.0) * col("sd"),
+            1L).otherwise(0L)).as("n_anomalies"))
+        .orderBy(col("event_type"), col("hh"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, CAST(hour(ts) AS INT) AS hh, value FROM events),
+      base AS (
+        SELECT event_type, hh, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean,
+          CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))
+                 AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*) AS m2
+        FROM ev GROUP BY 1, 2),
+      b AS (SELECT *, sqrt(m2 - mean * mean) AS sd FROM base)
+      SELECT e.event_type, e.hh, MIN(b.n) AS n,
+        ROUND(MIN(b.mean), 6) AS mean, ROUND(MIN(b.sd), 6) AS sd,
+        CAST(SUM(CASE WHEN ABS(e.value - b.mean) > 3.0 * b.sd
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      FROM ev e JOIN b USING (event_type, hh)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  def qs: Seq[Q] = Seq(v01, v02, v03, v04, v05, v07, v08, v09, v10, v11, v12, v13, v14, v15, v16)
 }

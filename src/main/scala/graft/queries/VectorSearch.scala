@@ -1333,7 +1333,44 @@ object VectorSearch {
     },
     a01Top10Oracle)
 
+  /** FILTERED vector search — the production shape almost every
+    * retrieval query actually has ("nearest neighbors WHERE
+    * label/tenant/date = …"). The metadata predicate composes INTO the
+    * persisted-index probe, not after it: the probe's cell-pruned read
+    * filters on `label` at the parquet scan (pushed filter inside the
+    * surviving cell partitions — post-filtering a top-k would instead
+    * return < k rows whenever the filter is selective), and only then
+    * scores and ranks. Run at nprobe = C, the degeneracy where the
+    * filtered probe must equal exact filtered brute force — which is
+    * the DuckDB oracle; the pushdown + selective-nprobe recall claims
+    * are IvfIndexSpec's.
+    */
+  /** a33's steady-state phase (bench: probe timed apart from the
+    * one-time index build).
+    */
+  private[graft] def a33Probe(s: SparkSession, dir: String, idx: String,
+      cents: Array[Seq[Float]]): DataFrame =
+    V.probeIvfIndex(s, idx, load(s, dir, "embeddings")
+        .filter(col("vec_id") === 0), "embedding", cents,
+        nprobe = cents.length)
+      .filter(col("label") === 3)
+      .select(col("vec_id"), col("label"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+
+  val a33 = Q("a33_ann_filtered",
+    (s, dir) => {
+      val (idx, cents) = a06Build(s, dir)
+      a33Probe(s, dir, idx, cents)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, label,
+        ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[])), 6) AS sim
+      FROM embeddings, q WHERE vec_id <> 0 AND label = 3
+      ORDER BY sim DESC, vec_id LIMIT 10"""))
+
   def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
     a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
-    a25, a26, a27, a28, a29, a30, a31, a32)
+    a25, a26, a27, a28, a29, a30, a31, a32, a33)
 }

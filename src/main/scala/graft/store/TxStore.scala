@@ -263,6 +263,77 @@ object TxStore {
     readSnapshotDir(spark, versionDir(root, v))
   }
 
+  // ---- hidden partitioning (Iceberg-style transforms, see [[Layout]]) ----
+
+  /** Initialize a table partitioned by a TRANSFORM of a source column
+    * (`bucket(n)`, `days`, `identity`). The derived `__part` column is
+    * store-managed: writers never compute it, readers never see it,
+    * and [[readHiddenEq]]/[[readHiddenRange]] prune on it from
+    * predicates over the SOURCE column.
+    */
+  def initHidden(df: DataFrame, root: String, t: Layout.Transform): Long = {
+    import org.apache.spark.sql.functions.col
+    val v = initPartitioned(
+      df.withColumn(Layout.PartCol, t(col(t.col))), root, Layout.PartCol)
+    Layout.write(root, t)
+    v
+  }
+
+  /** MERGE into a hidden-partitioned table: the committed transform
+    * derives the updates' partitions, then the incremental partitioned
+    * commit rewrites only touched partitions ([[commitUpsertPartitioned]]
+    * verbatim — hidden partitioning is a derivation layer, not a new
+    * commit protocol).
+    */
+  def commitUpsertHidden(spark: SparkSession, root: String,
+      updates: DataFrame, pk: Seq[String],
+      expectedVersion: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    val t = Layout.read(root)
+    commitUpsertPartitioned(spark, root,
+      updates.withColumn(Layout.PartCol, t(col(t.col))),
+      pk, Layout.PartCol, expectedVersion)
+  }
+
+  /** The logical table: committed snapshot minus the derived column. */
+  def readHidden(spark: SparkSession, root: String): DataFrame =
+    read(spark, root).drop(Layout.PartCol)
+
+  /** Point read on the transform's SOURCE column: the store adds
+    * `__part = transform(key)` — a foldable predicate Catalyst turns
+    * into a directory-pruning partition filter — plus the exact
+    * predicate. The caller never names the partition scheme. `key`
+    * must be a literal of the column's exact type (hash transforms are
+    * type-sensitive).
+    */
+  def readHiddenEq(spark: SparkSession, root: String,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val t = Layout.read(root)
+    read(spark, root)
+      .filter(col(Layout.PartCol) === t(key) && col(t.col) === key)
+      .drop(Layout.PartCol)
+  }
+
+  /** Range read on a `days`/`identity` transform's source column —
+    * the derived values are order-preserving for these transforms, so
+    * BETWEEN on `__part` prunes to the value range's directories.
+    * (Hash buckets are order-destroying by design: range reads on a
+    * bucket transform scan all buckets, which is why time columns get
+    * `days` and key columns get `bucket`.)
+    */
+  def readHiddenRange(spark: SparkSession, root: String,
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val t = Layout.read(root)
+    require(!t.isInstanceOf[Layout.Bucket],
+      "range reads on a bucket transform cannot prune; use days/identity")
+    read(spark, root)
+      .filter(col(Layout.PartCol).between(t(lo), t(hi)) &&
+        col(t.col).between(lo, hi))
+      .drop(Layout.PartCol)
+  }
+
   /** Time travel: read a specific committed version (1-based). Only
     * versions at or below `_current` are readable — directories above
     * it are uncommitted orphans by definition.

@@ -148,4 +148,24 @@ class CliSpec extends SparkSuite {
     assert(produtos.contains("soja") && produtos.contains("milho_2"),
       s"canonical crop list expected, got: $produtos")
   }
+
+  test("tx verbs: history, DV delete, purge, vacuum over a temp table") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cli_tx").resolve("t").toString
+    graft.store.TxStore.init(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"), root)
+    val del = run("tx", "delete", root, "k = 2")
+    assert(del.contains("v2") && del.contains("k = 2"))
+    assert(graft.store.TxStore.read(spark, root).count() == 2L)
+    val purge = run("tx", "purge", root)
+    assert(purge.contains("v3"))
+    val hist = run("tx", "history", root)
+    assert(hist.contains("delete_dv") && hist.contains("purge_deletes")
+      && hist.contains("init"))
+    val vac = run("tx", "vacuum", root, "2")
+    assert(vac.contains("expired versions: 1"))
+    // the committed view survives retention
+    assert(graft.store.TxStore.read(spark, root)
+      .as[(Long, Double)].collect().toSet == Set((1L, 10.0), (3L, 30.0)))
+  }
 }

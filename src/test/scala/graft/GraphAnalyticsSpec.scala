@@ -60,6 +60,28 @@ class GraphAnalyticsSpec extends SparkSuite {
     assert(r == ((3L, 3L, 1L))) // self-loop dropped, dup collapsed
   }
 
+  test("hierarchy flatten: deep chain + forest resolve to exact roots/depths; cycle fails") {
+    // 200-deep chain: pointer doubling must settle in ≤ 9 rounds — the
+    // maxRounds ceiling (40) would be exceeded by one-level walking
+    val chain = (1L to 200L).map(i => (i, if (i == 1) None else Some(i - 1)))
+    val rc = Graph.flattenHierarchy(
+        chain.toDF("node", "parent"), maxRounds = 9)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rc(1L) == ((1L, 0L)) && rc(200L) == ((1L, 199L)) && rc(57L) == ((1L, 56L)))
+    // forest: two trees, roots label their own components
+    val forest = Seq((10L, None), (11L, Some(10L)), (12L, Some(11L)),
+      (20L, None), (21L, Some(20L)))
+    val rf = Graph.flattenHierarchy(forest.toDF("node", "parent"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rf == Map(10L -> ((10L, 0L)), 11L -> ((10L, 1L)), 12L -> ((10L, 2L)),
+      20L -> ((20L, 0L)), 21L -> ((20L, 1L))))
+    // a 2-cycle can never finish — the require must fire, not loop
+    intercept[IllegalArgumentException] {
+      Graph.flattenHierarchy(
+        Seq((1L, Some(2L)), (2L, Some(1L))).toDF("node", "parent"), maxRounds = 5)
+    }
+  }
+
   test("equi-depth histogram: bucket depths differ by at most one within each group") {
     val q = graft.queries.GraphAnalytics.q64
     val out = q.fn(spark, "/root/testdata/sf0.001")

@@ -39,6 +39,39 @@ class IvfIndexSpec extends SparkSuite {
       case _ => false
     }
 
+  test("filtered probe: label predicate reaches the pruned scan; planted same-label dup recovered") {
+    // the metadata filter must compose into the probe: pushed to the
+    // parquet scan INSIDE the surviving cell partitions, and still
+    // cell-pruned (both structural facts on one plan)
+    val probed = V.probeIvfIndex(spark, idx, query, "embedding", cents, nprobe = 2)
+      .filter(col("label") === 3)
+    assert(hasCellPartitionFilter(probed))
+    assert(planNodes(probed).exists {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.dataFilters.exists(_.references.exists(_.name == "label")) &&
+          s.partitionFilters.exists(_.references.exists(_.name == "cell"))
+      case _ => false
+    }, "expected the label predicate as a data filter on the cell-pruned scan")
+    // recall: a near-copy of the query with label 3 lands in the
+    // query's own cell, so even nprobe=1 must surface it as the
+    // filtered top-1
+    val qv = query.select(col("embedding")).as[Seq[Float]].head()
+    val planted = qv.updated(0, qv.head + 0.001f)
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_ivff")
+      .resolve("index").toString
+    V.buildIvfIndex(
+      base.unionByName(Seq((900001L, planted, 3))
+        .toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding").cast(base.schema("embedding").dataType),
+          col("label").cast("int"))),
+      "vec_id", "embedding", cents, idx2)
+    val top = V.probeIvfIndex(spark, idx2, query, "embedding", cents, nprobe = 1)
+      .filter(col("label") === 3)
+      .orderBy(col("sim").desc, col("vec_id"))
+      .select(col("vec_id")).as[Long].head()
+    assert(top == 900001L, "planted same-label near-dup must be the filtered top-1")
+  }
+
   test("persisted probe == in-query probe, cell partitions on disk") {
     val dirs = new java.io.File(idx).listFiles().filter(_.isDirectory)
       .map(_.getName).filter(_.startsWith("cell=")).sorted

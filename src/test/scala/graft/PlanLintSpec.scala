@@ -50,7 +50,8 @@ class PlanLintSpec extends SparkSuite {
     "a31_sq8_shortlist_all",  // exact re-rank = a01's broadcast 1-row query (a18's stance)
     "a32_ivfsq_probe_all",    // exact re-rank = a01's broadcast 1-row query (a19's stance)
     "q61_pagerank",           // 1-row node-count scalar rides along every iteration
-    "q62_triangle_count"      // three 1-row count aggregates assembled into one summary row
+    "q62_triangle_count",     // three 1-row count aggregates assembled into one summary row
+    "a33_ann_filtered"        // a16's shape: broadcast 1-row query against pruned cells
   )
 
   /** Queries whose plan legitimately sorts a whole frame through one

@@ -599,6 +599,86 @@ class TxStoreSpec extends SparkSuite {
     assert(TxStore.readPoint(spark, root, "k", lit(3L)).count() == 1L)
   }
 
+  test("hidden partitioning: source-column point read prunes partitions; MERGE links untouched buckets") {
+    import graft.store.Layout
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = freshRoot()
+    val base = (1L to 40L).map(k => (k, k % 10, k * 1.0))
+      .toDF("k", "cust", "v")
+    TxStore.initHidden(base, root, Layout.Bucket("cust", 4))
+    // logical table hides the derived column entirely
+    assert(TxStore.readHidden(spark, root).columns.toSeq == Seq("k", "cust", "v"))
+    // point read on the SOURCE column: correct rows AND a partition
+    // filter on the derived column in the plan
+    val got = TxStore.readHiddenEq(spark, root, lit(7L))
+    assert(got.as[(Long, Long, Double)].collect().toSet ==
+      base.filter(col("cust") === 7L).as[(Long, Long, Double)].collect().toSet)
+    assert(planNodes(got).exists {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.partitionFilters.exists(_.references.exists(_.name == Layout.PartCol))
+      case _ => false
+    }, "expected a partition filter on the derived column")
+    // MERGE through the hidden layer: one customer touched => only that
+    // bucket rewritten, others hard-linked forward
+    TxStore.commitUpsertHidden(spark, root,
+      Seq((7L, 7L, 700.0)).toDF("k", "cust", "v"), Seq("k"))
+    assert(TxStore.readHiddenEq(spark, root, lit(7L))
+      .filter(col("k") === 7L).select("v").as[Double].head() == 700.0)
+    def inodes(v: Long, part: String): Set[Any] = {
+      val d = Paths.get(TxStore.versionDir(root, v), part)
+      val s = JFiles.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(JFiles.getAttribute(_, "unix:ino")).toSet
+      } finally s.close()
+    }
+    val touched = s"${Layout.PartCol}=${spark.range(1)
+      .select(Layout.Bucket("cust", 4)(lit(7L))).head().getLong(0)}"
+    val parts = {
+      val s = JFiles.list(Paths.get(TxStore.versionDir(root, 2L)))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(s"${Layout.PartCol}=")).toSet
+      } finally s.close()
+    }
+    assert(parts.contains(touched))
+    parts.filterNot(_ == touched).foreach { p =>
+      assert(inodes(2L, p) == inodes(1L, p) && inodes(1L, p).nonEmpty,
+        s"untouched bucket $p must be hard-linked")
+    }
+    assert(inodes(2L, touched).intersect(inodes(1L, touched)).isEmpty,
+      "touched bucket must be rewritten")
+  }
+
+  test("hidden days transform: range read on the source column prunes day directories") {
+    import graft.store.Layout
+    val root = freshRoot()
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0), (2L, "2024-01-02 11:00:00", 2.0),
+      (3L, "2024-01-03 12:00:00", 3.0), (4L, "2024-01-04 13:00:00", 4.0))
+      .toDF("k", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    TxStore.initHidden(df, root, Layout.Days("ts"))
+    val got = TxStore.readHiddenRange(spark, root,
+      lit("2024-01-02 00:00:00").cast("timestamp_ntz"),
+      lit("2024-01-03 23:59:59").cast("timestamp_ntz"))
+    assert(got.select("k").as[Long].collect().toSet == Set(2L, 3L))
+    assert(planNodes(got).exists {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.partitionFilters.exists(_.references.exists(_.name == Layout.PartCol))
+      case _ => false
+    })
+    // order-destroying transform refuses the range API outright
+    intercept[IllegalArgumentException] {
+      val broot = freshRoot()
+      TxStore.initHidden(Seq((1L, 2L, 3.0)).toDF("k", "cust", "v"),
+        broot, Layout.Bucket("cust", 4))
+      TxStore.readHiddenRange(spark, broot, lit(1L), lit(2L))
+    }
+  }
+
   test("DV delete refuses a partitioned layout; racing DV writers: one winner") {
     val root = freshRoot()
     TxStore.initPartitioned(
