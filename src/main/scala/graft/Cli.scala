@@ -36,6 +36,7 @@ import org.apache.spark.sql.SparkSession
   * sbt "runMain graft.Cli tx history <root>"          # commit log
   * sbt "runMain graft.Cli tx delete <root> <predicate>" # DV delete (MOR)
   * sbt "runMain graft.Cli tx purge <root>"            # materialize DVs
+  * sbt "runMain graft.Cli tx clone <src> <dst>"       # zero-copy shallow clone
   * sbt "runMain graft.Cli tx vacuum <root> [keepLast]" # retention + orphans
   * }}}
   *
@@ -219,6 +220,9 @@ object Cli {
     case "tx" :: "purge" :: root :: Nil =>
       val v = store.TxStore.commitPurgeDeletes(session(), root)
       println(s"committed v$v (deletion vectors materialized)")
+    case "tx" :: "clone" :: src :: dst :: Nil =>
+      store.TxStore.cloneTable(session(), src, dst)
+      println(s"cloned $src (current) -> $dst v1 (zero-copy, linked)")
     case "tx" :: "vacuum" :: root :: rest if rest.size <= 1 =>
       val keep = rest.headOption.map(_.toInt).getOrElse(3)
       val expired = store.TxStore.expireVersions(root, keepLast = keep)
@@ -233,7 +237,7 @@ object Cli {
           "config show | cache stats|purge-legacy|clear <path> | " +
           "snapshot list|show|create|delete ... | dataset list|fetch <landing> ... | " +
           "cepea indicador <landing> | conab safras|produtos <landing> | " +
-          "ibge pam|produtos <landing> | tx history|delete|purge|vacuum <root> ...")
+          "ibge pam|produtos <landing> | tx history|delete|purge|clone|vacuum <root> ...")
       sys.exit(2)
   }
 

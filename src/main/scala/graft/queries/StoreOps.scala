@@ -604,5 +604,38 @@ object StoreOps {
       FROM orders WHERE o_custkey = 42
       ORDER BY o_orderkey"""))
 
-  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16)
+  /** SHALLOW CLONE then diverge: the clone's v1 hard-links the source
+    * snapshot (zero copy), a MERGE lands on the CLONE only, and the
+    * read must show the clone's lineage — base rows plus the clone-side
+    * updates — while the source is untouched (pristineness and
+    * inode-sharing are TxStoreSpec's claims; the oracle sees the
+    * logical divergence). The dev-branch workflow over production data
+    * as one commit of metadata.
+    */
+  val s17 = Q("s17_shallow_clone",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_clone")
+      val src = tmp.resolve("src").toString
+      val dst = tmp.resolve("dst").toString
+      val base = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.store.TxStore.init(base, src)
+      graft.store.TxStore.cloneTable(s, src, dst)
+      val touched = load(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 100000.0).as("o_totalprice"))
+      graft.store.TxStore.commitUpsert(s, dst, touched, Seq("o_orderkey"))
+      graft.store.TxStore.read(s, dst).orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH updates AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 100000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0),
+      base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+      SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      UNION ALL SELECT * FROM updates
+      ORDER BY o_orderkey"""))
+
+  def qs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15, s16, s17)
 }

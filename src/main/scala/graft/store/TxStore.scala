@@ -263,6 +263,34 @@ object TxStore {
     readSnapshotDir(spark, versionDir(root, v))
   }
 
+  /** SHALLOW CLONE (Delta's CLONE TABLE): a NEW table whose v1 is the
+    * source's committed snapshot, hard-linked file for file — zero data
+    * copy, O(metadata) cost. The clone owns its own commit log and
+    * pointer from that moment: upserts/deletes to either side never
+    * touch the other (version-dir immutability + link semantics), which
+    * is what makes this the dev/test-against-production-data and
+    * table-branching primitive. Deletion-vector sidecars travel with
+    * the linked tree, so a clone of a MOR table sees the same logical
+    * rows. The clone records its provenance manifest-side.
+    */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String): Long = {
+    val srcV = currentVersion(srcRoot).getOrElse(
+      throw new IllegalStateException(s"no committed version at $srcRoot"))
+    withCommitLock(dstRoot) {
+      require(currentVersion(dstRoot).isEmpty, s"table already initialized at $dstRoot")
+      Files.createDirectories(Paths.get(dstRoot, "_versions"))
+      linkTree(Paths.get(versionDir(srcRoot, srcV)),
+        Paths.get(versionDir(dstRoot, 1L)))
+      // hidden-partitioning layout (if any) is part of the table's identity
+      val layout = Paths.get(srcRoot, "_layout.json")
+      if (Files.exists(layout))
+        Files.copy(layout, Paths.get(dstRoot, "_layout.json"))
+      writeManifest(dstRoot, 1L, s"clone:$srcRoot@v$srcV", parent = None)
+      flipPointer(dstRoot, expected = None, next = 1L)
+      1L
+    }
+  }
+
   // ---- hidden partitioning (Iceberg-style transforms, see [[Layout]]) ----
 
   /** Initialize a table partitioned by a TRANSFORM of a source column

@@ -599,6 +599,30 @@ class TxStoreSpec extends SparkSuite {
     assert(TxStore.readPoint(spark, root, "k", lit(3L)).count() == 1L)
   }
 
+  test("shallow clone: zero-copy v1, independent divergence, DV mask travels") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val tmp = JFiles.createTempDirectory("graft_clonespec")
+    val src = tmp.resolve("src").toString
+    val dst = tmp.resolve("dst").toString
+    TxStore.init(Seq((1L, "soja", 100.0), (2L, "milho", 50.0),
+      (3L, "trigo", 30.0)).toDF("k", "produto", "v"), src)
+    TxStore.commitDeleteVectors(spark, src, col("k") === 3L) // MOR mask on source
+    assert(TxStore.cloneTable(spark, src, dst) == 1L)
+    // clone sees the source's LOGICAL rows (mask traveled with the links)
+    assert(rows(dst) == Set((1L, "soja", 100.0), (2L, "milho", 50.0)))
+    // zero copy: clone v1 data files share inodes with source v2
+    assert(dataInodes(dst, 1L) == dataInodes(src, 2L) && dataInodes(src, 2L).nonEmpty)
+    // divergence is independent in both directions
+    TxStore.commitUpsert(spark, dst, Seq((9L, "cafe", 9.0)).toDF("k", "produto", "v"), Seq("k"))
+    TxStore.commitDelete(spark, src, col("k") === 1L)
+    assert(rows(dst) == Set((1L, "soja", 100.0), (2L, "milho", 50.0), (9L, "cafe", 9.0)))
+    assert(rows(src) == Set((2L, "milho", 50.0)))
+    // provenance in the clone's own log; a second clone into the same root refuses
+    assert(TxStore.history(spark, dst).where(col("version") === 1)
+      .select("action").as[String].head().startsWith("clone:"))
+    intercept[IllegalArgumentException](TxStore.cloneTable(spark, src, dst))
+  }
+
   test("hidden partitioning: source-column point read prunes partitions; MERGE links untouched buckets") {
     import graft.store.Layout
     import java.nio.file.{Files => JFiles, Paths}
