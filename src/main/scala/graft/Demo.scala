@@ -146,6 +146,34 @@ object Demo {
         .orderBy(col("source")).limit(3)
         .collect().map(r => s"${r.getString(0)}→doc${r.getLong(1)}").mkString(", "))
 
+    // lakehouse maintenance in four commits: DV delete (zero rewrite),
+    // shallow clone (zero copy), hidden-partitioned point read (prunes
+    // on the SOURCE column), purge (materialize)
+    val lakeTmp = java.nio.file.Files.createTempDirectory("graft_demo_lake")
+    val lakeSrc = lakeTmp.resolve("src").toString
+    store.TxStore.init(
+      spark.range(100).select(col("id"), (col("id") % 10).as("cust"),
+        (col("id") * 1.5).as("v")), lakeSrc)
+    store.TxStore.commitDeleteVectors(spark, lakeSrc, col("cust") === 3L)
+    val lakeDst = lakeTmp.resolve("branch").toString
+    store.TxStore.cloneTable(spark, lakeSrc, lakeDst)
+    store.TxStore.commitPurgeDeletes(spark, lakeDst)
+    println(s"[demo] DV delete masks ${100 - store.TxStore.read(spark, lakeSrc).count()} rows; " +
+      s"clone+purge reads ${store.TxStore.read(spark, lakeDst).count()} (zero-copy branch)")
+    val hidRoot = lakeTmp.resolve("hidden").toString
+    store.TxStore.initHidden(
+      spark.range(100).select(col("id"), (col("id") % 10).as("cust"),
+        (col("id") * 1.5).as("v")), hidRoot, store.Layout.Bucket("cust", 4))
+    println(s"[demo] hidden-partition point read (cust=7, bucket derived by the store): " +
+      s"${store.TxStore.readHiddenEq(spark, hidRoot, lit(7L)).count()} rows")
+
+    // graph analytics — engine-exact fixed-point PageRank on a tiny star
+    val star = (1L to 5L).flatMap(i => Seq((0L, i), (i, 0L)))
+    println("[demo] fixed-point pagerank (star, hub first): " +
+      ops.Graph.pageRank(star.toDF("src", "dst"), iterations = 3)
+        .orderBy(col("rank").desc).limit(3)
+        .collect().map(r => s"n${r.getLong(0)}=${r.getLong(1)}").mkString(", "))
+
     // MV rewrite — the same aggregate, answered from the maintained
     // summary: the optimizer swaps the fact scan for the |months|-row MV
     val mvBase = queries.StoreOps.s14Setup(spark, "/root/testdata/sf0.001")

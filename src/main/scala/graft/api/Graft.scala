@@ -302,4 +302,44 @@ object Graft {
       idCols: Seq[String], coarseDims: Int, shortlist: Int, k: Int): DataFrame =
     graft.ops.VectorSearch.truncatedRerank(base, query, vecCol, idCols,
       coarseDims, shortlist, k)
+
+  /** Fixed-point integer PageRank — [[graft.ops.Graph.pageRank]] (q61):
+    * bit-identical ranks on any engine, edge-partitioned iterations.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 3): DataFrame =
+    graft.ops.Graph.pageRank(edges, iterations)
+
+  /** Exact triangle count — [[graft.ops.Graph.triangleCount]] (q62). */
+  def triangleCount(edges: DataFrame): DataFrame =
+    graft.ops.Graph.triangleCount(edges)
+
+  /** Hierarchy flattening by pointer doubling —
+    * [[graft.ops.Graph.flattenHierarchy]] (q65): (node, parent|null) →
+    * (node, root, depth) in ⌈log₂ depth⌉ rounds.
+    */
+  def flattenHierarchy(nodes: DataFrame): DataFrame =
+    graft.ops.Graph.flattenHierarchy(nodes)
+
+  /** Merge-on-read DELETE — [[graft.store.TxStore.commitDeleteVectors]]
+    * (s15): positions-only sidecar over hard-linked files.
+    */
+  def deleteWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column): Long =
+    graft.store.TxStore.commitDeleteVectors(spark, root, predicate)
+
+  /** Zero-copy table branch — [[graft.store.TxStore.cloneTable]] (s17). */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String): Long =
+    graft.store.TxStore.cloneTable(spark, srcRoot, dstRoot)
+
+  /** Hidden-partitioned init + source-column point read —
+    * [[graft.store.TxStore.initHidden]]/[[graft.store.TxStore.readHiddenEq]]
+    * (s16): the caller predicates the data column; the store derives
+    * the pruning partition value.
+    */
+  def initHidden(df: DataFrame, root: String,
+      t: graft.store.Layout.Transform): Long =
+    graft.store.TxStore.initHidden(df, root, t)
+  def readHiddenEq(spark: SparkSession, root: String,
+      key: org.apache.spark.sql.Column): DataFrame =
+    graft.store.TxStore.readHiddenEq(spark, root, key)
 }

@@ -251,5 +251,96 @@ object Temporal {
             FROM events GROUP BY 1) t
       ORDER BY user_id"""))
 
-  def qs: Seq[Q] = Seq(q30, q31, q41, q42, q48, q53, q55)
+  /** OHLC bar resampling — the price-series operator the reference's
+    * whole domain revolves around (daily CEPEA indicator → monthly
+    * candles): per (event_type, day) open/high/low/close/volume in ONE
+    * aggregation pass. Open/close are `min(struct(ts, event_id,
+    * value))`-style lexicographic extremes — the unique (ts, event_id)
+    * prefix makes first/last deterministic on any engine, where a bare
+    * min_by/arg_min would tie-break arbitrarily. No window, no
+    * self-join: the shuffle carries one row per bar.
+    */
+  val q67 = Q("q67_ohlc_bars",
+    (s, dir) => {
+      load(s, dir, "events")
+        .select(col("event_type"),
+          to_date(col("ts")).as("day"),
+          epochUs(col("ts")).as("tu"), col("event_id"), col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          min(struct(col("tu"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(struct(col("tu"), col("event_id"), col("value")))
+            .getField("value").as("close"),
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("volume"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               epoch_us(ts) AS tu, event_id, value
+        FROM events),
+      r AS (
+        SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY event_type, day
+                             ORDER BY tu, event_id) AS rn_a,
+          ROW_NUMBER() OVER (PARTITION BY event_type, day
+                             ORDER BY tu DESC, event_id DESC) AS rn_d
+        FROM e)
+      SELECT event_type, day,
+        MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        MAX(value) AS high, MIN(value) AS low,
+        MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Time-weighted average (TWAP): each observation weighted by how
+    * long it was the live value (interval to the next observation,
+    * last one excluded — no weight without a successor). Integer
+    * microsecond gaps × DECIMAL prices keep the weighted sum exact and
+    * engine-order-independent; one lead window per key, one
+    * aggregation. The honest average for irregularly-sampled price
+    * series, where a plain mean over-weights bursts.
+    */
+  val q68 = Q("q68_twap",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("tu"), col("event_id"))
+      load(s, dir, "events")
+        .select(col("event_type"), epochUs(col("ts")).as("tu"),
+          col("event_id"), col("value"))
+        .withColumn("nxt", lead(col("tu"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("dt", col("nxt") - col("tu"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt")).as("span_us"),
+          round((sum(dec(col("value")) * col("dt")).cast("double") /
+            sum(col("dt"))), 6).as("twap"),
+          round(davg(col("value")), 6).as("plain_mean"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, epoch_us(ts) AS tu, event_id, value FROM events),
+      g AS (
+        SELECT event_type, value,
+          LEAD(tu) OVER (PARTITION BY event_type ORDER BY tu, event_id) - tu
+            AS dt
+        FROM e)
+      SELECT event_type, COUNT(*) AS n_intervals,
+        CAST(SUM(dt) AS BIGINT) AS span_us,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4)) * dt) AS DOUBLE)
+          / CAST(SUM(dt) AS DOUBLE), 6) AS twap,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value), 6)
+          AS plain_mean
+      FROM g WHERE dt IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
+  def qs: Seq[Q] = Seq(q30, q31, q41, q42, q48, q53, q55, q67, q68)
 }

@@ -42,6 +42,33 @@ class GraphAnalyticsSpec extends SparkSuite {
     assert(r(1L) == 0L) // nothing points at a
   }
 
+  test("pagerank equals a driver-side exact integer reference on random graphs (fixed seeds)") {
+    val SCALE = 1000000000000L
+    def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val n = nodes.size
+      val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r = nodes.map(_ -> SCALE / n).toMap
+      for (_ <- 1 to iters) {
+        val contrib = edges.groupBy(_._2).view.mapValues(
+          _.map { case (s, _) => r(s) / out(s) }.sum).toMap
+        r = nodes.map(v =>
+          v -> ((15L * SCALE) / (100L * n) + (85L * contrib.getOrElse(v, 0L)) / 100L)).toMap
+      }
+      r
+    }
+    for (seed <- Seq(7, 42, 1001)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 12 + rnd.nextInt(10)
+      val edges = (for (_ <- 1 to 60) yield
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val got = Graph.pageRank(edges.toDF("src", "dst"), iterations = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got == reference(edges, 3), s"seed $seed diverged")
+    }
+  }
+
   test("triangle count: K4 has 4 triangles, path has none, K4+chord counted once each") {
     def tri(edges: Seq[(Long, Long)]): Long =
       Graph.triangleCount(edges.toDF("x", "y"))
