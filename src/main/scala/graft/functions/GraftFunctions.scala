@@ -100,6 +100,7 @@ object GraftFunctions {
     c(HyperplaneLsh(e(col), nbits, seed))
   def hammingDist64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
   def gzipRatio(col: Column): Column = c(GzipRatio(e(col)))
+  def mediaDims(col: Column): Column = c(MediaDims(e(col)))
 
   // ---- text analysis (composed from builtins => codegen'd) ----
 
@@ -179,6 +180,7 @@ object GraftFunctions {
     one("normalize_safra", NormalizeSafra)
     one("simhash64", SimHash64)
     one("gzip_ratio", GzipRatio)
+    one("media_dims", MediaDims)
     reg.createOrReplaceTempFunction("convert_unit",
       exprs => ConvertUnit(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     reg.createOrReplaceTempFunction("hash64",

@@ -26,6 +26,28 @@ case class GzipRatio(child: Expression) extends UnaryExpression {
   override def prettyName: String = "gzip_ratio"
 }
 
+/** Binary media-header dims: `"png:640x480"` / gif / bmp, null for
+  * anything unrecognized or truncated — see
+  * [[graft.functions.MediaOps.mediaDims]]. Runs inside whole-stage
+  * codegen over raw `binary` payloads, so metadata extraction from a
+  * 100 TB media corpus is one projection, no decode library.
+  */
+case class MediaDims(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    MediaOps.mediaDims(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MediaOps.mediaDims($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+    code
+  }
+  override protected def withNewChildInternal(c: Expression): MediaDims = copy(c)
+  override def prettyName: String = "media_dims"
+}
+
 /** F3 — accent stripping (reference `normalize/crops.py:6-8`). */
 case class StripAccents(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true

@@ -413,3 +413,40 @@ object VecOps {
     sig
   }
 }
+
+/** Dependency-free binary media-header parsing — the ingestion stance
+  * the PDF/XLSX/BIFF readers established, applied to image payloads:
+  * dimensions come straight off the container's fixed header layout
+  * (PNG IHDR big-endian, GIF/BMP little-endian), no codec library.
+  * Used by the `media_dims` expression; anything unrecognized or
+  * truncated is null, never a throw (corrupt payloads are data, not
+  * errors, at corpus scale).
+  */
+object MediaOps {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def le16(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8)
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** `"<fmt>:<width>x<height>"` for PNG/GIF/BMP payloads, else null. */
+  def mediaDims(b: Array[Byte]): UTF8String = {
+    if (b == null) return null
+    if (b.length >= 24 &&
+        (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      return UTF8String.fromString(s"png:${be32(b, 16)}x${be32(b, 20)}")
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      return UTF8String.fromString(s"gif:${le16(b, 6)}x${le16(b, 8)}")
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      return UTF8String.fromString(
+        s"bmp:${le32(b, 18)}x${math.abs(le32(b, 22).toInt)}")
+    null
+  }
+}

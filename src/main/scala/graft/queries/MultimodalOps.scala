@@ -130,5 +130,46 @@ object MultimodalOps {
     },
     None)
 
-  def qs: Seq[Q] = Seq(m01, m02, m03, m04, m05)
+  /** Binary header metadata extraction — REAL format parsing (PNG IHDR
+    * big-endian, no codec library) as a codegen expression over raw
+    * `binary` payloads. The query round-trips construct→parse: each
+    * document gets a valid PNG header whose dimensions are doc_id
+    * arithmetic (width/height packed big-endian via hex, the inverse
+    * of what `media_dims` reads), and the oracle recomputes the same
+    * dimensions from the arithmetic directly — parser ∘ constructor =
+    * identity, per row, hash-checked. `n_unparsed = 0` asserts no
+    * payload fell through to null. Real PNG/GIF/BMP bytes, truncation
+    * and garbage are MultimodalSpec's cases.
+    */
+  val m06 = Q("m06_media_dims",
+    (s, dir) => {
+      val w = (lit(16) + pmod(col("doc_id"), lit(64))).cast("int")
+      val h = (lit(16) + pmod(col("doc_id"), lit(48))).cast("int")
+      val payload = concat(
+        unhex(lit("89504E470D0A1A0A0000000D49484452")), // sig + IHDR
+        unhex(lpad(hex(w), 8, "0")), unhex(lpad(hex(h), 8, "0")),
+        encode(col("text"), "UTF-8"))
+      load(s, dir, "documents")
+        .select(col("lang"),
+          graft.functions.GraftFunctions.mediaDims(payload).as("dims"))
+        .select(col("lang"), col("dims"),
+          regexp_extract(col("dims"), "png:(\\d+)x(\\d+)", 1)
+            .cast("long").as("w"),
+          regexp_extract(col("dims"), "png:(\\d+)x(\\d+)", 2)
+            .cast("long").as("h"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dims").isNull, 1L).otherwise(0L)).as("n_unparsed"),
+          sum(col("w")).as("sum_w"), sum(col("h")).as("sum_h"),
+          max(col("w")).as("max_w"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n, CAST(0 AS BIGINT) AS n_unparsed,
+        CAST(SUM(16 + doc_id % 64) AS BIGINT) AS sum_w,
+        CAST(SUM(16 + doc_id % 48) AS BIGINT) AS sum_h,
+        CAST(MAX(16 + doc_id % 64) AS BIGINT) AS max_w
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  def qs: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
 }

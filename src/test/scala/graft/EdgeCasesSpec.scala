@@ -191,6 +191,30 @@ class EdgeCasesSpec extends SparkSuite {
     assert(noSketch.forall(_.isNaN))
   }
 
+  test("graph analytics: empty/degenerate edge sets never crash") {
+    import graft.ops.Graph
+    val noEdges = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
+    // pagerank over nothing: no nodes, no rows, no division by zero
+    assert(Graph.pageRank(noEdges, iterations = 2).count() == 0)
+    // triangle count over nothing: one summary row of zeros
+    assert(Graph.triangleCount(noEdges)
+      .as[(Long, Long, Long)].head() == ((0L, 0L, 0L)))
+    // triangle count of only self-loops: normalized away to zeros
+    assert(Graph.triangleCount(Seq((5L, 5L), (7L, 7L)).toDF("x", "y"))
+      .as[(Long, Long, Long)].head() == ((0L, 0L, 0L)))
+    // hierarchy of nothing / of only roots
+    assert(Graph.flattenHierarchy(
+      spark.emptyDataset[(Long, Option[Long])].toDF("node", "parent")).count() == 0)
+    val roots = Graph.flattenHierarchy(
+        Seq((1L, None: Option[Long]), (2L, None: Option[Long])).toDF("node", "parent"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(roots == Set((1L, 1L, 0L), (2L, 2L, 0L)))
+    // single-node pagerank: full teleport mass, one iteration settles
+    val self = Graph.pageRank(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), 1)
+      .as[(Long, Long)].collect().toMap
+    assert(self(1L) == self(2L))
+  }
+
   test("MV rewrite: two registered summaries, the matching base wins") {
     import graft.plans.MvRewrite
     import org.apache.spark.sql.execution.FileSourceScanExec

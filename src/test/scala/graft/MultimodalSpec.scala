@@ -37,4 +37,34 @@ class MultimodalSpec extends SparkSuite {
     assert(diff == 0, "reassembled payloads must be byte-identical")
     assert(rebuilt.count() == media.count())
   }
+
+  test("media_dims parses real PNG/GIF/BMP headers; truncation and garbage are null") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+        0, 0, 0, 13, 'I', 'H', 'D', 'R').map(_.toByte)
+      val be = (v: Int) => Array((v >> 24).toByte, (v >> 16).toByte,
+        (v >> 8).toByte, v.toByte)
+      sig ++ be(w) ++ be(h)
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes ++ Array((w & 0xff).toByte, (w >> 8).toByte,
+        (h & 0xff).toByte, (h >> 8).toByte)
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val le = (v: Int) => Array(v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      "BM".getBytes ++ Array.fill(16)(0.toByte) ++ le(w) ++ le(-h) // top-down BMP: negative height
+    }
+    val rows = Seq(
+      ("png", png(640, 480)), ("gif", gif(320, 200)), ("bmp", bmp(64, 32)),
+      ("trunc", png(640, 480).take(20)), ("garbage", "not an image".getBytes),
+      ("empty", Array.empty[Byte]))
+    graft.functions.GraftFunctions.register(spark)
+    val got = rows.toDF("kind", "payload")
+      .selectExpr("kind", "media_dims(payload) AS dims")
+      .as[(String, Option[String])].collect().toMap
+    assert(got("png").contains("png:640x480"))
+    assert(got("gif").contains("gif:320x200"))
+    assert(got("bmp").contains("bmp:64x32")) // |height| for top-down files
+    assert(got("trunc").isEmpty && got("garbage").isEmpty && got("empty").isEmpty)
+  }
 }
