@@ -31,6 +31,35 @@ object Streaming {
       .select(col("w.start").as("bucket_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming OHLC bars — q67's streaming twin: per (event-time
+    * window, event_type) open/high/low/close/volume as ONE windowed
+    * aggregation. Open/close are min/max over (epoch-µs, event_id,
+    * value) structs — the same deterministic lexicographic-extreme
+    * trick as the batch query, and crucially an ALGEBRAIC aggregate,
+    * so late rows inside the watermark fold into the live bar with
+    * plain partial aggregation (no sort, no per-bar state beyond two
+    * structs + three scalars). Bars finalize when the watermark passes
+    * the window end — the candle-feed every price dashboard tails.
+    */
+  def ohlcStream(events: DataFrame, barWidth: String = "6 hours",
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .withColumn("tu", unix_micros(col("ts").cast("timestamp")))
+      .groupBy(window(col("ts"), barWidth).as("w"), col("event_type"))
+      .agg(
+        min(struct(col("tu"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("tu"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("volume"))
+      .select(col("w.start").as("bar_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n"), col("volume"))
+
   /** Streaming exact dedup — the streaming twin of the batch dedup
     * family (P7/d01): duplicate keys arriving within the watermark
     * horizon are dropped, and the dedup state expires WITH the

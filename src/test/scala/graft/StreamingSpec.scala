@@ -40,6 +40,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming OHLC bars: open/close deterministic, late in-watermark rows fold in") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streaming.ohlcStream(df)
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 00:10:00"), 1L, "trade", 10.0),
+        (3L, ts("2024-01-01 03:00:00"), 1L, "trade", 30.0))
+      q.processAllAvailable()
+      // late but inside the 1h watermark: EARLIER than the current open —
+      // the bar's open must move to it (algebraic fold, not first-seen)
+      in.addData((2L, ts("2024-01-01 00:05:00"), 1L, "trade", 5.0))
+      q.processAllAvailable()
+      in.addData((99L, ts("2024-01-02 12:00:00"), 9L, "other", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("ohlc_out")
+        .select("bar_start", "event_type", "open", "high", "low", "close", "n")
+        .as[(Timestamp, String, Double, Double, Double, Double, Long)]
+        .collect().filter(_._2 == "trade")
+      assert(out.length == 1)
+      val bar = out.head
+      assert(bar == ((ts("2024-01-01 00:00:00"), "trade", 5.0, 30.0, 5.0, 30.0, 3L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on the 30-min gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streaming.Ev]
