@@ -184,9 +184,22 @@ object Graph {
     * @return (node, root, depth) for every input node.
     */
   def flattenHierarchy(nodes: DataFrame, maxRounds: Int = 40): DataFrame = {
-    var h = nodes.toDF("node", "parent")
-      .select(col("node").cast("long"),
-        coalesce(col("parent").cast("long"), col("node")).as("anc"),
+    val nn = nodes.toDF("node", "parent")
+      .select(col("node").cast("long"), col("parent").cast("long"))
+    // The doubling join would silently DROP a node whose parent id is
+    // absent from the input (the pending row matches nothing, remaining
+    // decreases, the loop "converges" minus that subtree). Dangling
+    // pointers are a data bug, not a shape to paper over — fail up
+    // front with a count, one anti-join action before the loop.
+    val dangling = nn.filter(col("parent").isNotNull)
+      .join(nn.select(col("node").as("__p")), col("parent") === col("__p"),
+        "left_anti").count()
+    require(dangling == 0,
+      s"$dangling node(s) point at a parent absent from the input — " +
+        "not a forest over the node set")
+    var h = nn
+      .select(col("node"),
+        coalesce(col("parent"), col("node")).as("anc"),
         when(col("parent").isNull, lit(0L)).otherwise(lit(1L)).as("depth"),
         col("parent").isNull.as("done"))
       .localCheckpoint(true)
@@ -234,12 +247,21 @@ object Graph {
     val wd = e0
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    // ONE hash-partitioned materialization of the oriented edge list,
+    // reused by both sides of the wedge self-join: localCheckpoint
+    // preserves the physical HashPartitioning(u) in the LogicalRDD, so
+    // the self-join plans with zero exchanges (both sides are already
+    // co-partitioned on the join key) instead of re-shuffling the edge
+    // list twice — the wedge join is the volume peak of the whole
+    // query, so this is where exchange savings matter at scale.
     val oriented = wd.select(
       when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")),
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+      .repartition(col("u"))
+      .localCheckpoint(true)
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.u") === col("y.u") && col("x.v") < col("y.v"))
       .select(col("x.v").as("p"), col("y.v").as("q")) // p < q by id

@@ -49,6 +49,20 @@ object Layout {
   /** Day granularity: `yyyy-MM-dd` strings, so lexicographic partition
     * comparison IS chronological comparison and range reads prune with
     * BETWEEN on the derived value.
+    *
+    * TIMEZONE CONTRACT: the source column must be a tz-FREE type
+    * (`date`, `timestamp_ntz`, or a date string) — enforced at
+    * [[TxStore.initHidden]]. For those types `date_format` is a pure
+    * function of the stored wall-clock value, so every writer and
+    * reader derives the identical partition string whatever its
+    * `spark.sql.session.timeZone`. A session-tz-aware `timestamp`
+    * column is REJECTED: its rendered day depends on the session
+    * timezone, so a table written under one tz and probed under
+    * another would prune directories that contain matching rows
+    * (silently wrong results) — the same reason Iceberg's `days`
+    * transform is defined over UTC. Callers with an instant column
+    * convert explicitly (`cast(ts as timestamp_ntz)` under a pinned
+    * tz) so the day boundary is a visible, recorded choice.
     */
   final case class Days(col: String) extends Transform {
     def apply(c: Column): Column = date_format(c, "yyyy-MM-dd")
@@ -62,7 +76,18 @@ object Layout {
 
   private def path(root: String) = Paths.get(root, "_layout.json")
 
+  /** The spec file is hand-rolled JSON on both sides ([[read]] splits
+    * on `"key":`), so a column name containing JSON-special characters
+    * would corrupt it silently. Rejected at write time — identifier
+    * characters only, which every real column name satisfies.
+    */
+  private def requireSafeCol(col: String): Unit =
+    require(col.nonEmpty && col.forall(ch =>
+      ch.isLetterOrDigit || ch == '_' || ch == '.' || ch == '-'),
+      s"layout column name must be [A-Za-z0-9_.-]+ (got: '$col')")
+
   def write(root: String, t: Transform): Unit = {
+    requireSafeCol(t.col)
     Files.createDirectories(Paths.get(root))
     Files.writeString(path(root), t.json + "\n")
   }

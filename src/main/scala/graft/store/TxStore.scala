@@ -279,12 +279,30 @@ object TxStore {
     withCommitLock(dstRoot) {
       require(currentVersion(dstRoot).isEmpty, s"table already initialized at $dstRoot")
       Files.createDirectories(Paths.get(dstRoot, "_versions"))
-      linkTree(Paths.get(versionDir(srcRoot, srcV)),
-        Paths.get(versionDir(dstRoot, 1L)))
+      val dstV1 = Paths.get(versionDir(dstRoot, 1L))
+      // The source commit lock is NOT held (a clone must not block the
+      // source's writers), so a concurrent expireVersions on the source
+      // can delete v$srcV mid-link. Failure handling makes that a clean
+      // retryable error instead of an unrecoverable partial dst: any
+      // link/copy failure deletes the partial v1, and after linking we
+      // re-verify the source dir still exists — links taken from a tree
+      // that was being deleted underneath us may be incomplete.
+      try {
+        linkTree(Paths.get(versionDir(srcRoot, srcV)), dstV1)
+        if (!Files.exists(Paths.get(versionDir(srcRoot, srcV)))) {
+          deleteRecursively(dstV1)
+          throw new ConcurrentCommitException(
+            s"source version v$srcV at $srcRoot expired during clone; retry")
+        }
+      } catch {
+        case e: ConcurrentCommitException => throw e
+        case e: Throwable => deleteRecursively(dstV1); throw e
+      }
       // hidden-partitioning layout (if any) is part of the table's identity
       val layout = Paths.get(srcRoot, "_layout.json")
       if (Files.exists(layout))
-        Files.copy(layout, Paths.get(dstRoot, "_layout.json"))
+        Files.copy(layout, Paths.get(dstRoot, "_layout.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       writeManifest(dstRoot, 1L, s"clone:$srcRoot@v$srcV", parent = None)
       flipPointer(dstRoot, expected = None, next = 1L)
       1L
@@ -301,11 +319,33 @@ object TxStore {
     */
   def initHidden(df: DataFrame, root: String, t: Layout.Transform): Long = {
     import org.apache.spark.sql.functions.col
+    requireTzFreeForDays(df, t)
     val v = initPartitioned(
       df.withColumn(Layout.PartCol, t(col(t.col))), root, Layout.PartCol)
     Layout.write(root, t)
     v
   }
+
+  /** [[Layout.Days]]'s timezone contract (see its Scaladoc): the
+    * rendered day of a session-tz-aware `timestamp` depends on
+    * `spark.sql.session.timeZone`, so a table written under one tz and
+    * probed under another would prune directories that contain matching
+    * rows — wrong results with no error. Rejected at write time; the
+    * caller converts to `timestamp_ntz`/`date` explicitly, making the
+    * day boundary a recorded choice instead of an ambient config.
+    */
+  private def requireTzFreeForDays(df: DataFrame, t: Layout.Transform): Unit =
+    t match {
+      case Layout.Days(c) =>
+        val dt = df.schema(c).dataType
+        require(dt == org.apache.spark.sql.types.DateType ||
+          dt == org.apache.spark.sql.types.TimestampNTZType ||
+          dt == org.apache.spark.sql.types.StringType,
+          s"days($c) requires a tz-free column (date/timestamp_ntz/string); " +
+            s"got ${dt.simpleString} whose rendered day depends on the session " +
+            "timezone — cast to timestamp_ntz under an explicit tz first")
+      case _ => ()
+    }
 
   /** MERGE into a hidden-partitioned table: the committed transform
     * derives the updates' partitions, then the incremental partitioned
@@ -318,6 +358,7 @@ object TxStore {
       expectedVersion: Option[Long] = None): Long = {
     import org.apache.spark.sql.functions.col
     val t = Layout.read(root)
+    requireTzFreeForDays(updates, t)
     commitUpsertPartitioned(spark, root,
       updates.withColumn(Layout.PartCol, t(col(t.col))),
       pk, Layout.PartCol, expectedVersion)

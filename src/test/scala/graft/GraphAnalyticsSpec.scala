@@ -107,6 +107,14 @@ class GraphAnalyticsSpec extends SparkSuite {
       Graph.flattenHierarchy(
         Seq((1L, Some(2L)), (2L, Some(1L))).toDF("node", "parent"), maxRounds = 5)
     }
+    // a DANGLING parent pointer (parent id absent from the node set)
+    // must fail up front, not silently drop the subtree
+    val e = intercept[IllegalArgumentException] {
+      Graph.flattenHierarchy(
+        Seq((1L, None), (2L, Some(1L)), (3L, Some(99L)), (4L, Some(3L)))
+          .toDF("node", "parent"))
+    }
+    assert(e.getMessage.contains("absent"))
   }
 
   test("equi-depth histogram: bucket depths differ by at most one within each group") {

@@ -722,4 +722,86 @@ class TxStoreSpec extends SparkSuite {
     assert(TxStore.currentVersion(flat).contains(2L))
     assert(rows(flat) == Set((2L, "b", 2.0)))
   }
+
+  test("conflicted writers RETRY to convergence; every version stays time-travelable mid-race") {
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot()
+    TxStore.init(Seq((0L, "init", 0.0)).toDF("k", "produto", "v"), root)
+    val nWriters = 4
+    val barrier = new java.util.concurrent.CyclicBarrier(nWriters)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // the documented client protocol: read the current version, commit
+    // against it, and on ConcurrentCommitException re-read and retry —
+    // N racing writers must ALL land, serialized into N linear commits
+    val writers = (1 to nWriters).map { tag =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          val upd = Seq((tag.toLong, s"w$tag", tag.toDouble)).toDF("k", "produto", "v")
+          var done = false
+          while (!done) {
+            attempts.incrementAndGet()
+            val base = TxStore.currentVersion(root)
+            try { TxStore.commitUpsert(spark, root, upd, Seq("k"),
+              expectedVersion = base); done = true }
+            catch { case _: TxStore.ConcurrentCommitException => () }
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    assert(errors.isEmpty, s"writer died: ${errors.asScala.toSeq}")
+    assert(attempts.get() >= nWriters) // retries happened or all landed first try
+    assert(TxStore.currentVersion(root).contains(1L + nWriters))
+    assert(rows(root).map(_._1) == (0L to nWriters.toLong).toSet,
+      "every retried writer's row must land exactly once")
+    // time travel: version v was committed with exactly v rows and that
+    // remains readable AFTER the race — no version was torn or replaced
+    (1L to (1L + nWriters)).foreach { v =>
+      assert(TxStore.readVersion(spark, root, v).count() == v,
+        s"v$v must hold exactly $v rows")
+    }
+    // the manifest chain is linear (each commit's parent is its predecessor)
+    val h = TxStore.history(spark, root).select("version", "parent")
+      .as[(Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(h == (1L to (1L + nWriters)).map(v => (v, if (v == 1) None else Some(v - 1))))
+  }
+
+  test("days transform refuses a session-tz-aware timestamp column") {
+    import graft.store.Layout
+    val root = freshRoot()
+    val df = Seq((1L, "2024-01-01 10:00:00", 1.0)).toDF("k", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp")) // tz-aware: rendered day depends on session tz
+    val e = intercept[IllegalArgumentException] {
+      TxStore.initHidden(df, root, Layout.Days("ts"))
+    }
+    assert(e.getMessage.contains("tz-free"))
+    // and on the MERGE path of an existing days table too
+    val okRoot = freshRoot()
+    TxStore.initHidden(
+      Seq((1L, "2024-01-01 10:00:00", 1.0)).toDF("k", "ts", "v")
+        .withColumn("ts", col("ts").cast("timestamp_ntz")),
+      okRoot, Layout.Days("ts"))
+    intercept[IllegalArgumentException] {
+      TxStore.commitUpsertHidden(spark, okRoot,
+        Seq((2L, "2024-01-02 10:00:00", 2.0)).toDF("k", "ts", "v")
+          .withColumn("ts", col("ts").cast("timestamp")),
+        Seq("k"))
+    }
+  }
+
+  test("layout spec rejects JSON-breaking column names at write time") {
+    import graft.store.Layout
+    val root = freshRoot()
+    intercept[IllegalArgumentException] {
+      Layout.write(root, Layout.Bucket("""a"b""", 4))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.write(root, Layout.Identity("a,b}"))
+    }
+    // round-trip of a legal name is unchanged
+    Layout.write(root, Layout.Bucket("o_custkey", 8))
+    assert(Layout.read(root) == Layout.Bucket("o_custkey", 8))
+  }
 }
