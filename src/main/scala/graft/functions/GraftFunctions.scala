@@ -96,6 +96,12 @@ object GraftFunctions {
   def winnowFingerprint(col: Column, k: Int = 8, w: Int = 4): Column =
     c(Winnow(e(col), k, w))
   def cosineSim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
+  def cellAssign(v: Column, cents: Seq[Seq[Float]]): Column =
+    c(CellAssign(e(v), cents))
+  def cellProbes(v: Column, cents: Seq[Seq[Float]], nprobe: Int): Column =
+    c(CellProbes(e(v), cents, nprobe))
+  def pqEncodeCodes(v: Column, books: Seq[Seq[Seq[Float]]]): Column =
+    c(PqEncodeCodes(e(v), books))
   def hyperplaneLsh(col: Column, nbits: Int = 16, seed: Long = 42L): Column =
     c(HyperplaneLsh(e(col), nbits, seed))
   def hammingDist64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

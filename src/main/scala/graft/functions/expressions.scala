@@ -242,6 +242,244 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** Shared prepared form of a centroid set for the plan-reference cell
+  * kernels: row-major primitive doubles plus per-centroid squared
+  * norms, extracted ONCE per deserialized expression (i.e. once per
+  * executor per stage — the expression rides in the stage's
+  * task-binary TorrentBroadcast, so centroids ship exactly as
+  * efficiently as a broadcast relation) instead of once per
+  * (row, centroid) ArrayData unwrap. The accumulation order of every
+  * double matches [[VecOps.cosine]] bit for bit, so these kernels are
+  * drop-in replacements for the `aggregate`-fold forms they supersede
+  * (differential specs hold all three forms equal).
+  */
+trait CentroidKernel {
+  def cents: Seq[Seq[Float]]
+  @transient protected lazy val dims: Int = if (cents.isEmpty) 0 else cents.head.length
+  @transient protected lazy val flat: Array[Double] = {
+    val a = new Array[Double](cents.length * dims)
+    var j = 0
+    while (j < cents.length) {
+      val cv = cents(j)
+      var i = 0
+      while (i < dims && i < cv.length) { a(j * dims + i) = cv(i).toDouble; i += 1 }
+      j += 1
+    }
+    a
+  }
+  @transient protected lazy val norms2: Array[Double] = {
+    val n = new Array[Double](cents.length)
+    var j = 0
+    while (j < cents.length) {
+      var s = 0.0; var i = 0
+      while (i < dims) { val y = flat(j * dims + i); s += y * y; i += 1 }
+      n(j) = s; j += 1
+    }
+    n
+  }
+
+  /** One primitive copy of the row vector (d values), so the C-centroid
+    * scan runs over plain double[] instead of C×d virtual
+    * `ArrayData.getFloat` calls. Values are bit-identical to the
+    * unwrapped floats, so every downstream double matches the
+    * unwrap-per-visit form exactly.
+    */
+  protected final def toLocal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      d: Int): Array[Double] = {
+    val a = new Array[Double](d)
+    var i = 0
+    while (i < d) { a(i) = v.getFloat(i).toDouble; i += 1 }
+    a
+  }
+
+  /** cos(v, centroid j) with [[VecOps.cosine]]'s exact fp order. */
+  protected final def cos(v: Array[Double], na: Double, j: Int): Double = {
+    var dot = 0.0
+    var i = 0
+    val off = j * dims
+    while (i < v.length) { dot += v(i) * flat(off + i); i += 1 }
+    if (na == 0.0 || norms2(j) == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(norms2(j)))
+  }
+
+  protected final def norm2(v: Array[Double]): Double = {
+    var na = 0.0; var i = 0
+    while (i < v.length) { val x = v(i); na += x * x; i += 1 }
+    na
+  }
+}
+
+/** Argmax-cosine Voronoi cell id of a vector over a centroid set
+  * carried as a PLAN REFERENCE (not a literal in the expression tree,
+  * not a joined relation) — the hot kernel of IVF cell assignment.
+  * One codegen'd call per row replaces a C-step Catalyst fold or an
+  * N×C join; generated code stays constant-size at any C. Ties keep
+  * the FIRST (lowest-cid) centroid and an empty centroid set yields
+  * the -1 sentinel, matching [[graft.ops.VectorSearch.nearestCell]]
+  * and the broadcast-row fold exactly.
+  */
+case class CellAssign(child: Expression, cents: Seq[Seq[Float]])
+    extends UnaryExpression with ImplicitCastInputTypes with CentroidKernel {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.GraftTypes.AbstractDataType] =
+    Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+
+  def assign(v: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val lv = toLocal(v, math.min(v.numElements(), dims))
+    val na = norm2(lv)
+    var best = -2.0
+    var bestCid = -1
+    var j = 0
+    while (j < cents.length) {
+      val s = cos(lv, na, j)
+      if (s > best) { best = s; bestCid = j }
+      j += 1
+    }
+    bestCid
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    assign(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellAssign", this, classOf[CellAssign].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.assign($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): CellAssign =
+    copy(child = c)
+  override def prettyName: String = "cell_assign"
+}
+
+/** Top-`nprobe` cells by cosine for a vector over a plan-reference
+  * centroid set — the multi-probe sibling of [[CellAssign]] (IVF
+  * probe-side fan-out). Ordering matches the fold form's
+  * `reverse(array_sort(struct(sim, cid)))` exactly: sim descending,
+  * then cid DESCENDING on exact fp ties. Returns min(nprobe, C) ids.
+  */
+case class CellProbes(child: Expression, cents: Seq[Seq[Float]], nprobe: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with CentroidKernel {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.GraftTypes.AbstractDataType] =
+    Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  def probes(v: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val lv = toLocal(v, math.min(v.numElements(), dims))
+    val na = norm2(lv)
+    val np = math.min(nprobe, cents.length)
+    val topS = new Array[Double](np)
+    val topC = new Array[Int](np)
+    var filled = 0
+    var j = 0
+    while (j < cents.length) {
+      val s = cos(lv, na, j)
+      // insertion position: after every slot that beats (s, j) under
+      // (sim desc, cid desc) — scanning cids ascending means an equal
+      // sim must DISPLACE the earlier (smaller) cid to mirror the sort
+      var k = filled
+      while (k > 0 && (topS(k - 1) < s || (topS(k - 1) == s && topC(k - 1) < j))) k -= 1
+      if (k < np) {
+        val last = math.min(filled, np - 1)
+        var m = last
+        while (m > k) { topS(m) = topS(m - 1); topC(m) = topC(m - 1); m -= 1 }
+        topS(k) = s; topC(k) = j
+        if (filled < np) filled += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topC, filled))
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    probes(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellProbes", this, classOf[CellProbes].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.probes($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): CellProbes =
+    copy(child = c)
+  override def prettyName: String = "cell_probes"
+}
+
+/** Product-quantization encoder over plan-reference codebooks: the
+  * input `array<double>` vector splits into `m` subvectors and each
+  * takes its L2-argmin cell id in subspace `s`'s codebook — one
+  * codegen'd call per row, m·c·subLen doubles prepared once per
+  * executor (layout [sub][cid][pos]). Matches the codebook-literal
+  * fold and the broadcast-join `min_by` exactly: squared distance
+  * accumulated in index order, strict improvement only (ties -> lowest
+  * cid). Returns the m-element `array<int>` PQ code.
+  */
+case class PqEncodeCodes(child: Expression, books: Seq[Seq[Seq[Float]]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.GraftTypes.AbstractDataType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val m: Int = books.length
+  @transient private lazy val c: Int = if (books.isEmpty) 0 else books.head.length
+  @transient private lazy val subLen: Int =
+    if (books.isEmpty || books.head.isEmpty) 0 else books.head.head.length
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](m * c * subLen)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < c) {
+        val cv = books(s)(j)
+        var i = 0
+        while (i < subLen && i < cv.length) {
+          a((s * c + j) * subLen + i) = cv(i).toDouble; i += 1
+        }
+        j += 1
+      }
+      s += 1
+    }
+    a
+  }
+
+  def encode(v: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = v.numElements()
+    val lv = new Array[Double](n)
+    var i = 0
+    while (i < n) { lv(i) = v.getDouble(i); i += 1 }
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = Double.MaxValue
+      var bestCid = -1
+      var j = 0
+      while (j < c) {
+        var d = 0.0
+        val boff = (s * c + j) * subLen
+        val voff = s * subLen
+        var k = 0
+        while (k < subLen && voff + k < n) {
+          val diff = lv(voff + k) - flat(boff + k)
+          d += diff * diff; k += 1
+        }
+        if (d < best) { best = d; bestCid = j }
+        j += 1
+      }
+      codes(s) = bestCid
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    encode(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncodeCodes].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncodeCodes =
+    copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
 /** Random-hyperplane LSH bucket (nbits sign bits) for cosine ANN. */
 case class HyperplaneLsh(child: Expression, nbits: Int, seed: Long)
     extends UnaryExpression with ImplicitCastInputTypes {

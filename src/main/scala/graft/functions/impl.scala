@@ -368,6 +368,7 @@ object VecOps {
     s
   }
 
+
   def norm(a: ArrayData): Double = math.sqrt(dot(a, a))
 
   /** Deterministic hyperplane components for (seed, nbits, dim), cached

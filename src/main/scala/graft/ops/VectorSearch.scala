@@ -65,34 +65,32 @@ object VectorSearch {
       struct(lit(i).as("cid"), typedlit(cv).as("c"))
     }: _*)
 
-  /** Centroid count above which per-row cell assignment switches from
-    * the centroid-literal argmax ([[nearestCell]]) to the broadcast-join
-    * argmax ([[assignCellsJoin]]). The literal form inlines all C
-    * centroids into the expression tree: past toy C the generated/
-    * interpreted kernel grows with C (and recompiles per plan), while
-    * the join form keeps the plan constant-size — C lives in a C-row
-    * broadcast relation, not in the code. The literal stays the small-C
-    * fast path because it adds ZERO shuffles; the join path pays one
-    * bounded (n-row, map-side-combined) shuffle to stay viable at
-    * production C (thousands of cells).
+  /** Historical regime boundary, kept for the differential specs: below
+    * it the centroid-literal argmax ([[nearestCell]]) was the default,
+    * above it the broadcast-row fold ([[assignCellsJoin]]). Both are
+    * SUPERSEDED as the production path by the plan-reference kernel
+    * ([[graft.functions.CellAssign]]): the literal form grows the
+    * expression tree with C, the fold form pays a per-(row, centroid)
+    * lambda step plus ArrayData struct unwrapping (measured ~650 ns per
+    * centroid visit at C=568 — the dominant cost of IVF builds). The
+    * kernel keeps the plan constant-size at any C (centroids ride the
+    * stage's task-binary broadcast as ONE reference object, prepared
+    * into primitive arrays once per executor) and visits a centroid in
+    * the plain-Java loop cost of a dot product. Both old forms remain
+    * as independently-written baselines the specs hold the kernel
+    * equal to.
     */
   private[graft] val LiteralMaxCells = 64
 
-  /** Cell assignment as data, not code: the centroid table rides in a
-    * ONE-ROW broadcast relation as an array column, and each vector
-    * takes its argmax with a single `aggregate` fold over that array.
-    * The plan stays constant-size at any C — centroids are DATA in the
-    * broadcast row, never literals in the expression tree — and the
-    * assignment adds ZERO shuffles and carries NO row-identity key.
-    * (An earlier form joined a C-row centroid relation and regrouped on
-    * `monotonically_increasing_id`, the classic nondeterministic-key-
-    * before-shuffle hazard: a task retry downstream of a shuffle can
-    * re-assign different ids and duplicate or drop rows. The fold form
-    * is per-row, so no recompute boundary can ever split a row from its
-    * argmax.) Tie-break matches [[nearestCell]] exactly: highest sim
-    * (lowest distance for l2), then lowest cid — the array is built in
-    * cid order and only a STRICT improvement advances the accumulator.
-    * A NULL vector folds to the literal path's -1 sentinel.
+  /** DIFFERENTIAL BASELINE (superseded by [[graft.functions.CellAssign]]
+    * — see [[LiteralMaxCells]]): cell assignment as broadcast DATA, the
+    * argmax as a per-row `aggregate` fold over the one-row centroid
+    * relation. No shuffle, no row-identity key (an earlier form
+    * regrouped on `monotonically_increasing_id` — the classic
+    * nondeterministic-key-before-shuffle hazard). Tie-break matches
+    * [[nearestCell]] and the kernel exactly: highest sim (lowest
+    * distance for l2) then lowest cid; a NULL vector folds to the -1
+    * sentinel.
     */
   private[graft] def assignCellsJoin(vectors: DataFrame, idCol: String,
       vecCol: String, cents: Array[Seq[Float]], l2: Boolean = false): DataFrame = {
@@ -120,19 +118,60 @@ object VectorSearch {
       .drop("_cents")
   }
 
-  /** Adds the Voronoi `cell` column: centroid-literal argmax under
-    * [[LiteralMaxCells]] (zero extra shuffle), broadcast-join argmax
-    * above it (constant-size plan at any C). Both paths produce
-    * identical assignments (spec-asserted at the boundary) for every
-    * vector — zero/empty vectors score 0 against every centroid and
-    * deterministically land in cell 0 on both paths; a NULL vector
-    * gets the -1 sentinel on both, outside every probeable cell id.
+  /** Adds the Voronoi `cell` column via the plan-reference kernel
+    * ([[graft.functions.CellAssign]]): a pure projection — no join, no
+    * broadcast relation, no shuffle, constant-size plan and generated
+    * code at ANY C. Zero/empty vectors score 0 against every centroid
+    * and deterministically land in cell 0; a NULL vector gets the -1
+    * sentinel, outside every probeable cell id. Assignments are
+    * spec-held equal to both superseded forms ([[nearestCell]]'s
+    * literal argmax and [[assignCellsJoin]]'s broadcast-row fold),
+    * tie-breaks included.
     */
   def withNearestCell(vectors: DataFrame, idCol: String, vecCol: String,
       cents: Array[Seq[Float]]): DataFrame =
-    if (cents.length <= LiteralMaxCells)
-      vectors.withColumn("cell", nearestCell(col(vecCol), cents))
-    else assignCellsJoin(vectors, idCol, vecCol, cents)
+    vectors.withColumn("cell",
+      coalesce(G.cellAssign(col(vecCol), cents.toSeq), lit(-1)))
+
+  /** Top-`nprobe` nearest cells per row, EXPLODED as a `cell` column —
+    * the multi-probe sibling of [[withNearestCell]], also the
+    * plan-reference kernel ([[graft.functions.CellProbes]]). Ranking
+    * is the struct-sort's exactly (sim desc, then cid desc on exact
+    * fp ties), so swapping in either earlier form can never change
+    * which cells a row probes (differential spec holds all three
+    * equal).
+    */
+  private[graft] def withProbedCells(df: DataFrame, vecCol: String,
+      cents: Array[Seq[Float]], nprobe: Int): DataFrame =
+    df.withColumn("cell",
+      explode(G.cellProbes(col(vecCol), cents.toSeq, nprobe)))
+
+  private def probesOf(vecCol: String, nprobe: Int, centArr: Column,
+      cid: Column => Column, cvec: Column => Column): Column = {
+    val sims = transform(centArr,
+      e => struct(G.cosineSim(col(vecCol), cvec(e)).as("sim"),
+        cid(e).as("cid")))
+    explode(transform(slice(reverse(array_sort(sims)), 1, nprobe),
+      s => s.getField("cid")))
+  }
+
+  private[graft] def probedCellsLiteral(df: DataFrame, vecCol: String,
+      cents: Array[Seq[Float]], nprobe: Int): DataFrame =
+    df.withColumn("cell", probesOf(vecCol, nprobe,
+      centroidArray(cents), _.getField("cid"), _.getField("c")))
+
+  private[graft] def probedCellsJoin(df: DataFrame, vecCol: String,
+      cents: Array[Seq[Float]], nprobe: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centRow = broadcast(
+      Seq(Tuple1(cents.toSeq.zipWithIndex.map { case (cv, i) => (i, cv) }))
+        .toDF("_cents"))
+    df.crossJoin(centRow)
+      .withColumn("cell", probesOf(vecCol, nprobe,
+        col("_cents"), _.getField("_1"), _.getField("_2")))
+      .drop("_cents")
+  }
 
   /** Voronoi cell of a vector: argmax cosine over the centroid literal,
     * one pass per row via `aggregate` — no explode, no shuffle, stays
@@ -173,20 +212,14 @@ object VectorSearch {
       .select(col("v")).collect()
       .map(_.getSeq[Float](0))
     for (_ <- 1 to iters) {
-      // assignment via broadcast join + max_by argmax (ties -> lowest
-      // cid, matching nearestCell): a C-row broadcast and a partial
-      // agg keep the generated code SMALL and constant-size — the
-      // literal-array aggregate recompiles a centroid-inlined kernel
-      // every round, which dominates wall-clock (measured: 3.9s -> <1s
-      // for C=16, d=64) and would grow with C on a real corpus
-      val centDf = broadcast(cents.toSeq.zipWithIndex
-        .map { case (cv, i) => (i, cv) }.toDF("cid", "cv"))
-      val means = sample.join(centDf)
-        .select(col("id"), col("v"),
-          col("cid"), G.cosineSim(col("v"), col("cv")).as("sim"))
-        .groupBy(col("id"))
-        .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cell"),
-          first(col("v")).as("v"))
+      // assignment via the plan-reference kernel (withNearestCell ->
+      // CellAssign): constant-size plan and generated code at any C,
+      // no N×C row set ever materialized (an earlier form joined the
+      // C-row centroid relation and re-grouped on id — N×C rows
+      // through a groupBy shuffle per Lloyd round), one plain-Java
+      // dot-product loop per centroid visit (the fold form paid ~650ns
+      // per visit in lambda + ArrayData unwrapping)
+      val means = withNearestCell(sample, "id", "v", cents)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
         .collect() // C × dim rows — driver-side by design
@@ -219,15 +252,11 @@ object VectorSearch {
       cents: Array[Seq[Float]], nprobe: Int,
       queryIdCol: Option[String] = None,
       idCol: Option[String] = None): DataFrame = {
-    val sims = transform(centroidArray(cents),
-      e => struct(G.cosineSim(col("q_vec"), e.getField("c")).as("sim"),
-        e.getField("cid").as("cid")))
-    val probes = transform(slice(reverse(array_sort(sims)), 1, nprobe),
-      s => s.getField("cid"))
     val qcols = col(vecCol).as("q_vec") +:
       queryIdCol.map(c => col(c).as("query_id")).toSeq
     val qb = broadcast(query.select(qcols: _*)
-      .withColumn("cell", explode(probes)))
+      .withColumn("cell",
+        explode(G.cellProbes(col("q_vec"), cents.toSeq, nprobe))))
     val assigned = idCol match {
       case Some(ic) => withNearestCell(vectors, ic, vecCol, cents)
       case None => vectors.withColumn("cell", nearestCell(col(vecCol), cents))
@@ -250,12 +279,24 @@ object VectorSearch {
     * epsilon-ball grid join shape as the binned range join (q31),
     * lifted to the sphere.
     *
-    * Scale notes: replication is the constant 3^gridDims on ONE side;
-    * shuffles key on small int cell tuples. The tighter the threshold,
-    * the finer the grid (r shrinks), so selectivity improves exactly
-    * when the workload does. If the corpus concentrates on few cells
-    * (anisotropic embeddings), raise `gridDims` or pre-rotate with a
-    * random orthogonal matrix — grid exactness is rotation-invariant.
+    * Scale notes — measured, not hoped (SCALE.md): the grid is a
+    * CONSTANT-FACTOR candidate cut, not an asymptotic one, and how big
+    * the constant is depends on the corpus geometry. On a clustered /
+    * anisotropic corpus cells discriminate and the join approaches the
+    * output size. On an ISOTROPIC high-dim corpus (the testdata:
+    * coordinate σ = 1/√dim, so each axis spans ~5 cells at τ = 0.99)
+    * each grid axis cuts candidates ×(cells) but costs ×3 probe
+    * replication — a measured ~×1.7 net per axis with no winning
+    * stopping point, which is concentration of measure at work: all
+    * pairwise distances crowd √2, so NO exact blocking scheme — grid,
+    * Voronoi-with-triangle-bound, or PCA-projected (both measured
+    * slower at sf1.0) — prunes asymptotically without false negatives.
+    * Exact all-pairs at high τ over isotropic data is Θ(N²) candidate
+    * work, full stop. This operator is therefore the EXACTNESS
+    * CERTIFICATE of the embedding-dedup family (a05 certifies what
+    * a03/d15 compute approximately); the production near-dup path at
+    * 100 TB is LSH banding (nearDupPairs) or SemDeDup cells, both
+    * measured linear-ish at their production configs.
     */
   def cosinePairsExact(vectors: DataFrame, idCol: String, vecCol: String,
       minCos: Double, gridDims: Int = 2): DataFrame = {
@@ -406,13 +447,8 @@ object VectorSearch {
       throw new IllegalStateException(s"no committed version at $root"))
     val cents = readQuantizer(root, v)
     val dir = graft.store.TxStore.versionDir(root, v)
-    val sims = transform(centroidArray(cents),
-      e => struct(G.cosineSim(col("q_vec"), e.getField("c")).as("sim"),
-        e.getField("cid").as("cid")))
-    val probes = transform(slice(reverse(array_sort(sims)), 1, nprobe),
-      s => s.getField("cid"))
     val cells = query.select(col(vecCol).as("q_vec"))
-      .select(explode(probes).as("cell"))
+      .select(explode(G.cellProbes(col("q_vec"), cents.toSeq, nprobe)).as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val qb = broadcast(query.select(col(vecCol).as("q_vec")))
     spark.read.parquet(dir)
@@ -453,14 +489,9 @@ object VectorSearch {
     */
   def probeIvfIndex(spark: SparkSession, path: String, query: DataFrame,
       vecCol: String, cents: Array[Seq[Float]], nprobe: Int): DataFrame = {
-    val sims = transform(centroidArray(cents),
-      e => struct(G.cosineSim(col("q_vec"), e.getField("c")).as("sim"),
-        e.getField("cid").as("cid")))
-    val probes = transform(slice(reverse(array_sort(sims)), 1, nprobe),
-      s => s.getField("cid"))
     // query sets are small by contract — the probe list is bounded
     val cells = query.select(col(vecCol).as("q_vec"))
-      .select(explode(probes).as("cell"))
+      .select(explode(G.cellProbes(col("q_vec"), cents.toSeq, nprobe)).as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val qb = broadcast(query.select(col(vecCol).as("q_vec")))
     spark.read.parquet(path)
@@ -507,14 +538,9 @@ object VectorSearch {
   def probeIvfIndexBatch(spark: SparkSession, path: String, queries: DataFrame,
       vecCol: String, queryIdCol: String, cents: Array[Seq[Float]],
       nprobe: Int): DataFrame = {
-    val sims = transform(centroidArray(cents),
-      e => struct(G.cosineSim(col("q_vec"), e.getField("c")).as("sim"),
-        e.getField("cid").as("cid")))
-    val probes = transform(slice(reverse(array_sort(sims)), 1, nprobe),
-      s => s.getField("cid"))
     val qb = queries
       .select(col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("cell", explode(probes))
+      .withColumn("cell", explode(G.cellProbes(col("q_vec"), cents.toSeq, nprobe)))
     // bounded by Q × nprobe — the partition filter for the single scan
     val cells = qb.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
     spark.read.parquet(path)
@@ -572,10 +598,9 @@ object VectorSearch {
       seedRows.map(v => v.slice(s * subLen, (s + 1) * subLen)
         .map(_.toFloat).toSeq))
     for (_ <- 1 to iters) {
-      // assignment IS the encoder: [[withPqCodes]] picks the
-      // codebook-literal codegen argmin under [[LiteralMaxCodebook]]
-      // entries and the broadcast-join argmin above it — all m
-      // subspaces in one pass either way (no n×m×c join fan-out), and
+      // assignment IS the encoder: [[withPqCodes]]'s plan-reference
+      // kernel encodes all m subspaces in one projection pass (no
+      // n×m×c join fan-out, constant-size plan at any codebook), and
       // the per-(subspace, cell, position) means come off one
       // map-side-combined aggregation over m·c·subLen groups
       val coded = withPqCodes(cached, "id", "v", books)
@@ -610,14 +635,14 @@ object VectorSearch {
     }: _*)
   }
 
-  /** Total codebook entries (m·c) above which PQ encoding switches from
-    * the codebook-literal [[pqEncode]] to the broadcast-join form —
-    * same rationale as [[LiteralMaxCells]]: codebooks are data, and
-    * past toy c they must not live in the expression tree. (Measured
-    * at m·c = 128 / 5k rows the literal still wins — fixed
-    * per-stage overhead of the join's extra shuffles dominates at toy
-    * scale — so the crossover is set where the literal's interpreted
-    * HOF evaluation and expression-tree size start to matter.)
+  /** Historical regime boundary (same story as [[LiteralMaxCells]]),
+    * kept for the differential specs: below it the codebook-literal
+    * [[pqEncode]] was the default, above it the broadcast-join
+    * [[pqCodesJoin]]. Both are superseded as the production path by the
+    * plan-reference kernel ([[graft.functions.PqEncodeCodes]] — one
+    * projection, codebooks prepared into primitive arrays once per
+    * executor, no join shuffles); they remain as independently-written
+    * baselines the specs hold the kernel byte-identical to.
     */
   private[graft] val LiteralMaxCodebook = 256
 
@@ -655,15 +680,17 @@ object VectorSearch {
     df.join(codes, Seq(idCol))
   }
 
-  /** Adds the `codes` column: codebook-literal under
-    * [[LiteralMaxCodebook]] entries, broadcast-join above it. Identical
-    * codes either way (spec-asserted).
+  /** Adds the `codes` column via the plan-reference kernel
+    * ([[graft.functions.PqEncodeCodes]]): a pure projection at any
+    * m·c — no join, no shuffle, codebooks prepared once per executor.
+    * Spec-held byte-identical to both superseded forms (the
+    * codebook-literal [[pqEncode]] and the broadcast-join
+    * [[pqCodesJoin]]), tie-breaks included.
     */
   def withPqCodes(df: DataFrame, idCol: String, vecCol: String,
       books: Array[Array[Seq[Float]]]): DataFrame =
-    if (books.length * books(0).length <= LiteralMaxCodebook)
-      df.withColumn("codes", pqEncode(col(vecCol), books))
-    else pqCodesJoin(df, idCol, vecCol, books)
+    df.withColumn("codes",
+      G.pqEncodeCodes(col(vecCol), books.toSeq.map(_.toSeq)))
 
   /** Asymmetric distance computation (ADC): the query stays exact, the
     * corpus is its codes — score = Σ_m LUT[m][code_m], where LUT holds
@@ -950,13 +977,7 @@ object VectorSearch {
     val base = vectors.select(col(idCol), col(vecCol))
     val members = withNearestCell(base, idCol, vecCol, cents)
       .select(col("cell"), col(idCol).as("nbr_id"), col(vecCol).as("nbr_v"))
-    val sims = transform(centroidArray(cents),
-      e => struct(G.cosineSim(col(vecCol), e.getField("c")).as("sim"),
-        e.getField("cid").as("cid")))
-    val probes = transform(slice(reverse(array_sort(sims)), 1, nprobe),
-      s => s.getField("cid"))
-    val scored = base
-      .withColumn("cell", explode(probes))
+    val scored = withProbedCells(base, vecCol, cents, nprobe)
       .select(col("cell"), col(idCol).as("src_id"), col(vecCol).as("src_v"))
       .join(members, Seq("cell"))
       .filter(col("src_id") =!= col("nbr_id"))

@@ -97,6 +97,13 @@ object VectorSearch {
     * must reproduce DuckDB's brute-force all-pairs answer exactly —
     * the oracle-hard twin that certifies the whole embedding-dedup
     * family, the same way q29 certifies q25 and d06 certifies d02.
+    * Like those twins it is Θ(N²) BY NATURE, not by accident: exact
+    * all-pairs at τ = 0.99 over an isotropic high-dim corpus admits no
+    * asymptotic pruning (see the operator's scale notes — grid /
+    * Voronoi / PCA blocking all measured), so SCALE.md carries this
+    * row under the quadratic-by-design bound; the production near-dup
+    * paths it certifies (a03's LSH banding, d15's SemDeDup cells) are
+    * the rows measured against the linear bound.
     */
   val a05 = Q("a05_cosine_pairs_exact",
     (s, dir) => {
@@ -815,8 +822,8 @@ object VectorSearch {
     * answer — DuckDB-checkable, certifying a03's bucket/verify
     * machinery end-to-end. Runs on the `vec_id % 3` subset so the
     * deliberately-degenerate single bucket stays bounded at bench SF
-    * (the production path is a03's bucketed config or a05's grid —
-    * this is the correctness certificate, not the scale path). The
+    * (the production path is a03's bucketed LSH config — this is the
+    * correctness certificate, not the scale path). The
     * rounded-cosine threshold matches [[graft.ops.VectorSearch
     * .nearDupPairs]]'s filter exactly.
     */

@@ -103,40 +103,39 @@ class IvfIndexSpec extends SparkSuite {
   private lazy val bigCents =
     V.trainCentroids(big, "vec_id", "embedding", c = 256, iters = 1)
 
-  test("C=256 assignment runs as a 1-row broadcast fold and equals the literal argmax") {
+  test("C=256 assignment is a pure projection and equals both superseded forms") {
     assert(bigCents.length == 256)
     assert(bigCents.length > V.LiteralMaxCells,
-      "test must exercise the data-not-code regime")
-    val joined = V.withNearestCell(big, "vec_id", "embedding", bigCents)
-    val nodes = planNodes(joined)
-    // centroids ride as DATA in a one-row broadcast (constant-size
-    // plan at any C), the fold is per-row: no shuffle, no regroup key.
-    // Matched on plan-node classes, not rendered strings.
-    assert(nodes.exists(
-        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
-      "expected a BroadcastNestedLoopJoin carrying the 1-row centroid array")
-    assert(nodes.exists {
-        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
-          b.mode == org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode
-        case _ => false
-      },
-      "expected the centroid row broadcast whole (IdentityBroadcastMode), not hashed")
-    assert(!nodes.exists {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-          e.outputPartitioning
-            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
-        case _ => false
-      },
-      "cell assignment must not shuffle")
-    val viaJoin = joined.select("vec_id", "cell")
+      "test must exercise the production-C regime")
+    val assigned = V.withNearestCell(big, "vec_id", "embedding", bigCents)
+    val nodes = planNodes(assigned)
+    // the plan-reference kernel needs NO join and NO exchange of any
+    // kind: centroids ride inside the CellAssign expression (shipped
+    // via the stage's task-binary broadcast), so assignment is a
+    // projection over the scan at any C. Matched on plan-node classes,
+    // not rendered strings.
+    assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "cell assignment must not join")
+    assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+      "cell assignment must not shuffle or broadcast a relation")
+    val viaKernel = assigned.select("vec_id", "cell")
       .as[(Long, Int)].collect().toMap
+    // both superseded forms — the centroid-literal argmax and the
+    // broadcast-row fold — are independently written paths the kernel
+    // must match exactly, tie-breaks included
     val viaLiteral = big
       .withColumn("cell", V.nearestCell(col("embedding"), bigCents))
       .select("vec_id", "cell").as[(Long, Int)].collect().toMap
-    assert(viaJoin == viaLiteral,
-      "join-path cells must match the literal argmax (incl. tie-breaks)")
+    val viaFold = V.assignCellsJoin(big, "vec_id", "embedding", bigCents)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(viaKernel == viaLiteral,
+      "kernel cells must match the literal argmax (incl. tie-breaks)")
+    assert(viaKernel == viaFold,
+      "kernel cells must match the broadcast-row fold (incl. tie-breaks)")
     // every vector got exactly one cell, all cells in range
-    assert(viaJoin.size == 3000 && viaJoin.values.forall(c => c >= 0 && c < 256))
+    assert(viaKernel.size == 3000 && viaKernel.values.forall(c => c >= 0 && c < 256))
   }
 
   test("C=256 persisted index: append == rebuild, full probe == brute force") {

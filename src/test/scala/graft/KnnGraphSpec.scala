@@ -40,6 +40,25 @@ class KnnGraphSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("probe forms agree: plan-reference kernel == literal argsort == broadcast-row fold") {
+    // the SAME centroid array through all three forms must probe the
+    // SAME cells — the production path (CellProbes kernel) is held to
+    // the two independently-written sort-based baselines, tie-break
+    // included (sim desc, cid desc — the reversed struct-sort order)
+    val cents = V.trainCentroids(vecs, "vec_id", "embedding", c = 8, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell")).as[(Long, Int)].collect()
+    val kernel = rows(V.withProbedCells(vecs, "embedding", cents, nprobe = 3))
+    val lit = rows(V.probedCellsLiteral(vecs, "embedding", cents, nprobe = 3))
+    val join = rows(V.probedCellsJoin(vecs, "embedding", cents, nprobe = 3))
+    // multiplicity AND per-row probe sets, not just global set identity
+    assert(kernel.length == lit.length && kernel.length == join.length)
+    def byRow(a: Array[(Long, Int)]) =
+      a.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byRow(kernel) == byRow(lit))
+    assert(byRow(kernel) == byRow(join))
+  }
+
   test("planted near-copies are each other's rank-1 neighbor at sparse nprobe") {
     val off = vecs.agg(max(col("vec_id"))).head().getLong(0) + 1
     val planted = vecs.filter(pmod(col("vec_id"), lit(11)) === 0)

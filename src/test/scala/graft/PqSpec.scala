@@ -28,23 +28,31 @@ class PqSpec extends SparkSuite {
   private lazy val books =
     V.trainPqCodebooks(normed, "vec_id", "nv", m = 4, c = 256, iters = 1)
 
-  test("c=256 encode runs as a broadcast join and equals the literal encode") {
+  test("c=256 encode is a pure projection and equals both superseded forms") {
     assert(books.length == 4 && books.forall(_.length == 256))
     assert(books.length * books(0).length > V.LiteralMaxCodebook,
-      "test must exercise the join regime")
+      "test must exercise the production-codebook regime")
     val coded = V.withPqCodes(normed.select($"vec_id", $"nv"), "vec_id", "nv", books)
     val plan = coded.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"expected the codebook broadcast join in:\n$plan")
-    val viaJoin = coded.select($"vec_id", $"codes")
+    // the plan-reference kernel needs NO join and NO exchange: the
+    // codebooks ride inside the PqEncodeCodes expression
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"PQ encode must be a pure projection, got:\n$plan")
+    val viaKernel = coded.select($"vec_id", $"codes")
       .as[(Long, Seq[Int])].collect().toMap
+    // both superseded forms — codebook-literal fold and broadcast-join
+    // min_by — are independently written paths the kernel must match
     val viaLiteral = normed
       .withColumn("codes", V.pqEncode($"nv", books))
       .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
-    assert(viaJoin == viaLiteral,
-      "join-path codes must match the literal encode (incl. tie-breaks)")
-    assert(viaJoin.size == 3000 &&
-      viaJoin.values.forall(cs => cs.size == 4 && cs.forall(c => c >= 0 && c < 256)))
+    val viaJoin = V.pqCodesJoin(normed.select($"vec_id", $"nv"), "vec_id", "nv", books)
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    assert(viaKernel == viaLiteral,
+      "kernel codes must match the literal encode (incl. tie-breaks)")
+    assert(viaKernel == viaJoin,
+      "kernel codes must match the broadcast-join encode (incl. tie-breaks)")
+    assert(viaKernel.size == 3000 &&
+      viaKernel.values.forall(cs => cs.size == 4 && cs.forall(c => c >= 0 && c < 256)))
   }
 
   test("C=256 cells x c=256 codebooks persisted IVF-PQ: probe-all degeneracy holds") {
