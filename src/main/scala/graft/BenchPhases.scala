@@ -86,6 +86,7 @@ object BenchPhases {
     "d15_semantic_dedup" -> 4.0,   // C=1 oracle degeneracy is deliberately all-pairs (25M cosines); production C>1 is cell-confined (spec)
     "d18_containment_bloom" -> 4.5, // d14's work PLUS the bloom-gate build pass — the past-the-broadcast-wall path exercised at a scale where broadcast still fits (BloomSemDedupSpec proves path equality); strictly more work than its twin by design
     "d21_canonical_selection" -> 5.5, // composite by construction: d06's exact Jaccard pair-gen PLUS d08-style CC rounds PLUS the survivor agg — budget ≈ the sum of its parts, and the selection step itself adds only one key-sized max_by shuffle
-    "a29_pca_power_iteration" -> 3.5 // 3 power-iteration rounds, each a full gram-matrix pass; one-time model training amortized like the ANN index builds
+    "a29_pca_power_iteration" -> 3.5, // 3 power-iteration rounds, each a full gram-matrix pass; one-time model training amortized like the ANN index builds
+    "a34_nn_descent" -> 4.5 // 3 descent rounds + the IVF init build, each round a localCheckpointed mini-job — cost is the FIXED per-round overhead, not data volume (measured flat ~3 s from sf0.001 to sf0.1); one-time graph construction, amortized like the index builds
   )
 }

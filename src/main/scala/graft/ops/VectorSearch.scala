@@ -309,7 +309,12 @@ object VectorSearch {
       .withColumn("cells", array((0 until gridDims).map(i =>
         floor(element_at(col("v"), i + 1) / col("nrm") / lit(r)).cast("int")): _*))
       .drop("nrm")
-      .cache() // both sides of the grid join read it
+    // both grid-join sides re-scan `base` rather than cache it: an
+    // operator that pins the WHOLE corpus in executor storage is
+    // anti-scale at 100 TB (and a returned-lazy cache can never be
+    // unpersisted, so it would squat on the session's storage for the
+    // caller's lifetime); the recomputed projection is scan + cheap
+    // per-row math
     val offsets = {
       def combos(d: Int): Seq[Seq[Int]] =
         if (d == 0) Seq(Seq.empty)
@@ -984,6 +989,104 @@ object VectorSearch {
       .withColumn("sim", round(G.cosineSim(col("src_v"), col("nbr_v")), 6))
       .select(col("src_id"), col("nbr_id"), col("sim"))
     batchTopK(scored, "src_id", "nbr_id", "sim", k)
+  }
+
+  /** NN-DESCENT kNN-graph refinement (Dong, Moses & Li, "Efficient
+    * k-nearest neighbor graph construction for generic similarity
+    * measures", WWW 2011): start from ANY approximate kNN graph (here:
+    * [[knnGraph]]'s IVF-cell graph) and iterate the paper's one idea —
+    * a neighbor of my neighbor is probably my neighbor. Each round
+    * builds the UNDIRECTED neighborhood B(u) (out-edges ∪ in-edges;
+    * the reverse direction is what lets information flow against the
+    * graph's arrows), proposes every pair that co-occurs in some B(u),
+    * exact-scores the proposals, and keeps each node's top-k of
+    * old ∪ new.
+    *
+    * Scale shape: a round generates Σ|B(u)|² + N·explore ≤
+    * N·((2k)² + explore) candidate rows — LINEAR in N for fixed k,
+    * id-only through dedup, vectors attached by two bounded id-joins —
+    * where brute force is N² and the IVF all-nodes build is Θ(N^1.5).
+    * `rounds` is fixed, ~log N in practice (measured S-curve on a
+    * 500-point manifold from an EMPTY init: recall 0.97 @ 6 rounds,
+    * 1.0 — the exact graph — @ 10; NnDescentSpec pins it). Lineage is
+    * cut per round with an eager localCheckpoint, the same
+    * iterative-plan hygiene as [[Graph]].
+    *
+    * HONESTY about when it works: descent's signal is intrinsic
+    * structure (manifolds/clusters — every real embedding corpus, and
+    * the paper's whole evaluation suite). On an ISOTROPIC corpus there
+    * is no neighbor-of-neighbor signal — measured recall stalls near
+    * the init's (the same concentration-of-measure wall as
+    * [[cosinePairsExact]]'s scale notes) — and a cell-exact init is
+    * propagation-closed outright (every in-cell proposal was already
+    * ranked; spec-pinned bit-for-bit). The spec certificates are the
+    * closure property (refining the exact graph is a no-op) and the
+    * brute-force degeneracy (explore ≥ N ⇒ one round equals the exact
+    * graph — the suite's degenerate-twin pattern).
+    *
+    * A locality-confined init (IVF cells) needs DIVERSITY to converge:
+    * propagation alone can never leave the init's connected components
+    * — measured recall stalls at ~0.32 from an nprobe=1 cell graph on
+    * the isotropic testdata. The paper solves this with random init;
+    * the distributed, deterministic equivalent here is per-round
+    * EXPLORATION CLIQUES (`explore` > 0): nodes hash into buckets of
+    * ~(explore+1) under a seed that CHANGES each round, and every
+    * bucket proposes its internal pairs. Each round contributes
+    * Θ(N·explore) geometry-blind proposals keyed on a hash column — no
+    * global sort, no ring, fresh global mixing every round.
+    *
+    * Determinism: scores are the rounded cosine, ranking is
+    * [[batchTopK]]'s (sim desc, id asc), and exploration seeds are the
+    * round index, so for a deterministic `init` the refined graph is
+    * bit-stable run to run.
+    */
+  def nnDescent(vectors: DataFrame, idCol: String, vecCol: String,
+      init: DataFrame, k: Int, rounds: Int, explore: Int = 0): DataFrame = {
+    val base = vectors.select(col(idCol).as("_nid"), col(vecCol).as("_nv"))
+      .cache() // two id-joins per round read it
+    // one bounded driver action to size the exploration buckets (same
+    // class as trainCentroids' seed collect); never taken at explore=0
+    val nBuckets: Long =
+      if (explore > 0) math.max(1L, base.count() / (explore + 1)) else 1L
+    var g = init.select(col("src_id"), col("nbr_id"), col("sim"))
+    for (rnd <- 1 to rounds) {
+      val edges = g.select(col("src_id"), col("nbr_id"))
+      val und = edges.union(
+        edges.select(col("nbr_id").as("src_id"), col("src_id").as("nbr_id")))
+      val propagated = und.select(col("src_id").as("_u"), col("nbr_id").as("_x"))
+        .join(und.select(col("src_id").as("_u"), col("nbr_id").as("_y")), Seq("_u"))
+        .filter(col("_x") =!= col("_y"))
+        .select(col("_x").as("src_id"), col("_y").as("nbr_id"))
+      val proposals =
+        if (explore == 0) propagated
+        else {
+          val ids = base.select(col("_nid")).withColumn("_bkt",
+            pmod(xxhash64(col("_nid"), lit(rnd.toLong)), lit(nBuckets)))
+          val cliques = ids.select(col("_bkt"), col("_nid").as("src_id"))
+            .join(ids.select(col("_bkt"), col("_nid").as("nbr_id")), Seq("_bkt"))
+            .filter(col("src_id") =!= col("nbr_id"))
+            .select(col("src_id"), col("nbr_id"))
+          propagated.union(cliques)
+        }
+      val cand = proposals
+        .distinct() // id-only until here; ≤ N·((2k)² + explore) rows before dedup
+      val scoredCand = cand
+        .join(base.select(col("_nid").as("src_id"), col("_nv").as("_v1")),
+          Seq("src_id"))
+        .join(base.select(col("_nid").as("nbr_id"), col("_nv").as("_v2")),
+          Seq("nbr_id"))
+        .withColumn("sim", round(G.cosineSim(col("_v1"), col("_v2")), 6))
+        .select(col("src_id"), col("nbr_id"), col("sim"))
+      // duplicates of a surviving edge carry the identical rounded sim,
+      // so the dedup is value-stable; without it a pair present in both
+      // g and the proposals would occupy two top-k heap slots
+      val merged = g.unionByName(scoredCand).dropDuplicates("src_id", "nbr_id")
+      g = batchTopK(merged, "src_id", "nbr_id", "sim", k)
+        .select(col("src_id"), col("nbr_id"), col("sim"))
+        .localCheckpoint(true)
+    }
+    base.unpersist()
+    batchTopK(g, "src_id", "nbr_id", "sim", k) // re-emit with rank
   }
 
   def semDedup(vectors: DataFrame, idCol: String, vecCol: String,

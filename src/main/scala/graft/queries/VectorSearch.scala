@@ -1377,7 +1377,36 @@ object VectorSearch {
       FROM embeddings, q WHERE vec_id <> 0 AND label = 3
       ORDER BY sim DESC, vec_id LIMIT 10"""))
 
+  /** NN-descent refinement ([[graft.ops.VectorSearch.nnDescent]]) of a
+    * sparse IVF-cell kNN graph: the LINEAR-cost all-nodes construction
+    * (Σ|B(u)|² ≤ N·(2k)² + N·explore proposals per round) that
+    * complements the Θ(N^1.5) IVF build measured in SCALE.md's
+    * a30_knn_graph_prod row. The corpus is a deterministic 1-D
+    * manifold keyed by the table's vec_ids (nearby ids ⇒ nearby
+    * vectors) — the INTRINSIC-STRUCTURE regime real embedding corpora
+    * live in and the one NN-descent's convergence provably rides on;
+    * the table's own isotropic embedding column is the algorithm's
+    * adversarial case and its measured degeneration is pinned in
+    * NnDescentSpec (so is the brute-force exactness degeneracy and the
+    * closure property). Deterministic but iterative — not
+    * SQL-expressible, so rows-only here.
+    */
+  val a34 = Q("a34_nn_descent",
+    (s, dir) => {
+      val e = load(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select(col("vec_id"))
+        .withColumn("embedding", transform(sequence(lit(0), lit(15)),
+          i => sin(col("vec_id") * 0.37 + i * 1.3).cast("float")))
+      val cents = V.trainCentroids(e, "vec_id", "embedding", c = 16, iters = 2)
+      val init = V.knnGraph(e, "vec_id", "embedding", cents, k = 5, nprobe = 1)
+      V.nnDescent(e, "vec_id", "embedding", init, k = 5, rounds = 3, explore = 5)
+        .select(col("src_id"), col("nbr_id"), col("sim"), col("rank"))
+        .orderBy(col("src_id"), col("rank"))
+    },
+    None)
+
   def qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
     a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22, a23, a24,
-    a25, a26, a27, a28, a29, a30, a31, a32, a33)
+    a25, a26, a27, a28, a29, a30, a31, a32, a33, a34)
 }

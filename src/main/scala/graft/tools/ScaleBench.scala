@@ -145,6 +145,17 @@ object ScaleBench {
             perQ(s"${name}_probe") = minOf2(() => probe().count(), s"${name}_probe", dir)
           else perQ(s"${name}_probe") = None
         }
+        // several registry queries cache frames they return lazily and
+        // so can never unpersist; over a ~45-minute 4-SF sweep those
+        // entries accumulate until storage-eviction churn and GC
+        // pressure distort the LATE rows (measured: the big N²-verify
+        // rows ran ~2x slower deep into a full sweep than solo at
+        // identical code). Dropping the cache BETWEEN rows keeps each
+        // row's min-of-2 warm behavior while giving every row the same
+        // storage baseline. `Bench` deliberately does NOT do this —
+        // its methodology is pinned since round 6 for round-over-round
+        // comparability and its single-SF sweep is short.
+        spark.catalog.clearCache()
       }
       dir -> perQ.toMap
     }.toMap
