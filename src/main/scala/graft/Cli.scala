@@ -13,6 +13,7 @@ import org.apache.spark.sql.SparkSession
   * sbt "runMain graft.Cli bench"                     # timed run (env-config)
   * sbt "runMain graft.Cli explain [query...]"        # plan audit
   * sbt "runMain graft.Cli scale [query...]"          # scale-trend bench (SCALE.md)
+  * sbt "runMain graft.Cli scaleup [src] [dst] [factor]" # synthesize a bigger SF
   * sbt "runMain graft.Cli demo"                      # library tour
   * sbt "runMain graft.Cli queries"                   # list registered queries
   * sbt "runMain graft.Cli plugins"                   # list registered plugins
@@ -67,6 +68,9 @@ object Cli {
     case "bench" :: _ => Bench.main(Array.empty)
     case "explain" :: rest => tools.Explain.main(rest.toArray)
     case "scale" :: rest => tools.ScaleBench.main(rest.toArray)
+    // synthesize a larger scale factor for the two-point scale proof
+    // (src dst factor all optional — ScaleUp's defaults)
+    case "scaleup" :: rest if rest.size <= 3 => tools.ScaleUp.main(rest.toArray)
     case "demo" :: _ => Demo.main(Array.empty)
     case "queries" :: _ =>
       queries.QueryRegistry.all.sortBy(_.name).foreach { q =>
@@ -233,7 +237,7 @@ object Cli {
     case other =>
       System.err.println(
         s"unknown command ${other.mkString(" ")}; use: verify <sfDir> <outDir> | bench | " +
-          "explain [q...] | scale [q...] | demo | queries | plugins | health | doctor | " +
+          "explain [q...] | scale [q...] | scaleup [src] [dst] [factor] | demo | queries | plugins | health | doctor | " +
           "config show | cache stats|purge-legacy|clear <path> | " +
           "snapshot list|show|create|delete ... | dataset list|fetch <landing> ... | " +
           "cepea indicador <landing> | conab safras|produtos <landing> | " +

@@ -179,19 +179,26 @@ object GraphAnalytics {
 
   /** Hierarchy flattening — the recursive-CTE workload, answered by
     * [[Graph.flattenHierarchy]]'s pointer doubling (⌈log₂ depth⌉
-    * join rounds, one row of state per node). The synthetic forest:
-    * 1-based part ids with parent = id div 4 (ids 1–3 are roots) —
-    * built identically in the oracle, whose recursive CTE walks the
-    * same chains one level at a time. Depth grows with log₄(|part|),
-    * so the oracle and the doubling plan are compared across a
-    * genuinely multi-level tree (depth ≈ 8 at sf0.1).
+    * join rounds, one row of state per node). The synthetic forest
+    * confines each tree to one aligned block of 128 ids: node
+    * `b·128 + i` has parent `b·128 + i div 2` when `i ≥ 2` and is a
+    * root otherwise — a depth-7 binary tree per block, built
+    * identically in the oracle, whose recursive CTE walks the same
+    * chains one level at a time. Blocks make the forest invariant
+    * under any key shift divisible by 128 (parents never cross a
+    * block boundary), so the ScaleUp substrate — replicas shifted by
+    * 10M = 78125·128 — grows the node count ×N while preserving every
+    * chain's shape; a derivation that contracts ids toward zero
+    * (e.g. plain `id div 4`) would dangle parents outside the
+    * replica's key band instead.
     */
   val q65 = Q("q65_hierarchy_flatten",
     (s, dir) => {
       val nodes = load(s, dir, "part")
         .select((col("p_partkey") + 1L).as("node"))
         .select(col("node"),
-          when(expr("node div 4") >= 1L, expr("node div 4")).as("parent"))
+          when(expr("node % 128") >= 2L,
+            expr("node - node % 128 + (node % 128) div 2")).as("parent"))
       Graph.flattenHierarchy(nodes)
         .select(col("node"), col("root"), col("depth"))
         .orderBy(col("node"))
@@ -202,8 +209,9 @@ object GraphAnalytics {
       anc AS (
         SELECT node, node AS cur, CAST(0 AS BIGINT) AS depth FROM nodes
         UNION ALL
-        SELECT node, cur // 4, depth + 1 FROM anc WHERE cur // 4 >= 1)
-      SELECT node, cur AS root, depth FROM anc WHERE cur // 4 < 1
+        SELECT node, cur - cur % 128 + (cur % 128) // 2, depth + 1
+        FROM anc WHERE cur % 128 >= 2)
+      SELECT node, cur AS root, depth FROM anc WHERE cur % 128 < 2
       ORDER BY node"""))
 
   def qs: Seq[Q] = Seq(q61, q62, q63, q64, q65)

@@ -68,14 +68,21 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "target/testdata/sf1.0"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // reuse a live session when invoked through the CLI verb inside a
+    // running application; only a session this main created is stopped
+    val preexisting =
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = preexisting.getOrElse {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
 
     val cipherUdf = udf((s: String, r: Int) => cipher(s, r))
     val reps = spark.range(factor).select(col("id").cast("int").as("__r"))
@@ -133,6 +140,6 @@ object ScaleUp {
       require(s * factor == d, s"$t: $s×$factor != $d")
     }
     println(s"wrote $dst (×$factor of $src)")
-    spark.stop()
+    if (preexisting.isEmpty) spark.stop()
   }
 }

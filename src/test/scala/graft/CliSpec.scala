@@ -39,6 +39,20 @@ class CliSpec extends SparkSuite {
     graft.plugins.Plugins.clear()
   }
 
+  test("scaleup verb synthesizes a key-shifted multiple of a testdata dir") {
+    val dst = s"${Files.createTempDirectory("graft_cli_scaleup")}/sf2x"
+    run("scaleup", "/root/testdata/sf0.001", dst, "2")
+    val src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").count()
+    val out = spark.read.parquet(s"$dst/lineitem.parquet")
+    assert(out.count() == 2 * src, "fact tables must scale by the factor")
+    // dims stay single-copy; keys never collide across replicas
+    assert(spark.read.parquet(s"$dst/nation.parquet").count() ==
+      spark.read.parquet("/root/testdata/sf0.001/nation.parquet").count())
+    assert(out.select("l_orderkey").distinct().count() ==
+      2 * spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey").distinct().count())
+  }
+
   test("cache stats + purge-legacy verbs over a temp KV store") {
     val path = s"${Files.createTempDirectory("graft_cli_cache")}/kv"
     val kv = new KvCache(spark, path)
