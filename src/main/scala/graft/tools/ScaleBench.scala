@@ -31,7 +31,9 @@ import graft.queries.T
   * first; default the three driver testdata dirs). The sf1.0 dir is
   * synthesized by [[ScaleUp]] (×10 of sf0.1, workload shape preserved),
   * turning the 100× plan audit from extrapolation into a measured
-  * two-point ratio.
+  * two-point ratio. With `SPARK_GRAFT_SCALE_X100=<baseDir>,<bigDir>`
+  * set, a second section times [[x100Subset]] on a factor-100
+  * substrate and holds each row to linear on the single ×100 hop.
   */
 object ScaleBench {
   private val DefaultSfs = Seq(
@@ -90,6 +92,31 @@ object ScaleBench {
       val cents = V.trainCentroids(e, "vec_id", "embedding", c = c, iters = 2)
       V.semDedup(e, "vec_id", "embedding", cents, tau = 0.99)
     }))
+
+  /** The ×100 headline subset: linear-bounded operators from every
+    * family — scan/filter/join/window/agg/store/text/graph/multimodal
+    * AND the banded/blocked similarity paths (LSH pairs, PPJoin,
+    * near-dup clusters, Hamming join, embedding near-dups) — timed on
+    * a ×100 substrate when `SPARK_GRAFT_SCALE_X100=<baseDir>,<bigDir>`
+    * is set. [[ScaleUp]]'s perturbation is injective past 100 replicas
+    * (312 affine letter maps, per-replica Murmur3 sign masks), so the
+    * similarity workloads keep their shape on the ×100 hop. The only
+    * exclusions are the Θ(N^1.5)/Θ(N²) design-bounded certification
+    * rows — ×1000/×10000 on this step is their stated bound, not a
+    * regression signal, and nothing new is learned by paying for it.
+    */
+  private val x100Subset: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_filter_daterange", "q04_join3_revenue",
+    "q07_latest_per_key", "q10_monthly_agg", "q14_melt_lineitem",
+    "q27_fact_query", "q30_asof_join", "q31_range_join", "q36_sessionize",
+    "q37_carry_forward", "q40_salted_agg", "q60_topk_per_key",
+    "q61_pagerank", "q62_triangle_count", "q65_hierarchy_flatten",
+    "q67_ohlc_bars", "d01_exact_dedup", "d11_decontaminate",
+    "a03_embedding_neardups", "d02_minhash_lsh_pairs", "d06_ngram_jaccard",
+    "d08_neardup_clusters", "q59_hamming_simjoin",
+    "t01_token_counts", "t23_sequence_packing", "t08_heavy_hitters",
+    "t17_bm25_score", "s01_upsert_merge", "v01_contract_violations",
+    "m01_multimodal_features")
 
   def main(args: Array[String]): Unit = {
     val sfs = sys.env.get("SPARK_GRAFT_SFS")
@@ -225,6 +252,66 @@ object ScaleBench {
     sb ++= f" -> whole-suite growth ×${totals.last / totals(totals.size - 2)}%.2f on a ×${step.toInt} data step.\n"
     sb ++= (if (flagged.isEmpty) s"\nNo query grows beyond its stated bound on the ×${step.toInt} step.\n"
     else s"\nFlagged beyond stated bound: ${flagged.sorted.mkString(", ")}.\n")
+
+    // ×100 step: time the headline subset on a ×100 substrate against
+    // the base point already measured in the main table above (same
+    // JVM, same min-of-2/clearCache methodology).
+    sys.env.get("SPARK_GRAFT_SCALE_X100").foreach { spec =>
+      val parts = spec.split(",").map(_.trim).filter(_.nonEmpty)
+      require(parts.length == 2, "SPARK_GRAFT_SCALE_X100=<baseDir>,<bigDir>")
+      val (baseDir, bigDir) = (parts(0), parts(1))
+      require(times.contains(baseDir),
+        s"x100 base $baseDir must be one of SPARK_GRAFT_SFS")
+      Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
+        try T.load(spark, bigDir, t).count() catch { case _: Throwable => () }
+      }
+      val big: Map[String, Option[Double]] = x100Subset.map { n =>
+        val run = SparkEntry.queries(n)
+        val t = minOf2(() => run(spark, bigDir).count(), n, bigDir)
+        spark.catalog.clearCache()
+        n -> t
+      }.toMap
+      val (baseL, bigL) =
+        (Paths.get(baseDir).getFileName.toString, Paths.get(bigDir).getFileName.toString)
+      sb ++= s"\n## The ×100 step — headline subset at $bigL\n\n"
+      sb ++= s"$bigL is `ScaleUp` at factor 100 from $baseL — one hundred\n"
+      sb ++= "key-shifted replicas, dims single-copy, so input volume grows\n"
+      sb ++= s"×100 in one hop. `ratio` = t($bigL) / t($baseL); every subset row\n"
+      sb ++= "is a linear-bounded operator, so the bound is ×100 (same 25%\n"
+      sb ++= "measurement band as above). The subset spans every family,\n"
+      sb ++= "including the banded/blocked similarity paths (LSH pairs, PPJoin,\n"
+      sb ++= "near-dup clusters, Hamming join, embedding near-dups): ScaleUp's\n"
+      sb ++= "perturbation is injective past 100 replicas (312 affine letter\n"
+      sb ++= "maps, per-replica Murmur3 sign masks), so those workloads keep\n"
+      sb ++= "their pair structure on the hop. Only the N^1.5/N² design-bounded\n"
+      sb ++= "certification rows stay ×10-only (×1000 on this step is their\n"
+      sb ++= "stated bound, not a signal). Ratios far below ×100 mean fixed\n"
+      sb ++= "planning/launch overhead still dominates at the small end.\n\n"
+      sb ++= s"| query | $baseL s | $bigL s | ratio ($baseL->$bigL) | verdict |\n"
+      sb ++= "|---|---|---|---|---|\n"
+      var flagged100 = List.empty[String]
+      x100Subset.sorted.foreach { n =>
+        val a = times(baseDir).get(n).flatten
+        val b = big.get(n).flatten
+        val ratio = for { x <- a; y <- b } yield y / x
+        val verdict = ratio match {
+          case None => "FAIL"
+          case Some(r) if r > 100.0 * 1.25 =>
+            flagged100 ::= n; f"EXCEEDS LINEAR (×$r%.1f > ×100 +25%%)"
+          case Some(r) if r > 100.0 =>
+            f"ok (×$r%.1f — inside the 25%% measurement band over ×100)"
+          case Some(r) => f"ok (×$r%.1f)"
+        }
+        def fmt(t: Option[Double]): String = t.map(v => f"$v%.3f").getOrElse("FAIL")
+        sb ++= s"| $n | ${fmt(a)} | ${fmt(b)} | ${ratio.map(r => f"$r%.1f").getOrElse("-")} | $verdict |\n"
+      }
+      val (baseTot, bigTot) = (
+        x100Subset.flatMap(n => times(baseDir).get(n).flatten).sum,
+        big.values.flatten.sum)
+      sb ++= f"\n**×100 totals:** $baseL $baseTot%.1f s / $bigL $bigTot%.1f s -> subset growth ×${bigTot / baseTot}%.1f on a ×100 data step.\n"
+      sb ++= (if (flagged100.isEmpty) "\nNo headline query grows beyond linear on the ×100 step.\n"
+      else s"\nFlagged beyond linear on the ×100 step: ${flagged100.sorted.mkString(", ")}.\n")
+    }
     if (args.isEmpty) Files.writeString(Paths.get("SCALE.md"), sb.result())
     println(sb.result())
     spark.stop()

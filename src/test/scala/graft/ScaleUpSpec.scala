@@ -59,6 +59,31 @@ class ScaleUpSpec extends AnyFunSuite {
     }
   }
 
+  test("letter maps are pairwise distinct across 100 replicas (factor-100 substrate)") {
+    // past r = 25 the map is affine (a != 1); a plain rotation would
+    // collapse replicas r and r+26 onto identical text — the exact
+    // failure that made similarity rows ineligible for a ×100 step
+    val s = "the quick brown fox jumps over the lazy dog"
+    val outs = (0 until 100).map(r => ScaleUp.cipher(s, r))
+    assert(outs.distinct.size == 100, "every replica must carry distinct text")
+  }
+
+  test("cross-replica letter-shingle overlap stays far below near-dup range for 100 replicas") {
+    val s = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val shin = (0 until 100).map(r =>
+      shingles(ScaleUp.cipher(s, r)).filter(_.forall(_.isLetter)))
+    var worst = 0.0
+    for (r <- 0 until 100; q <- 0 until r) {
+      val jac = shin(r).intersect(shin(q)).size.toDouble /
+        shin(r).union(shin(q)).size
+      worst = math.max(worst, jac)
+    }
+    // distinct affine maps can coincide on isolated shingles, but any
+    // pair of replicas must stay an order of magnitude below every
+    // similarity threshold the dedup family uses (>= 0.5)
+    assert(worst < 0.05, f"worst cross-replica Jaccard $worst%.3f")
+  }
+
   test("CJK block rotates inside its own range and stays bijective") {
     val s = "北京上海广州深圳"
     for (r <- 1 to 9) {
