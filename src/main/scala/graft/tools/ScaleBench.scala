@@ -100,10 +100,11 @@ object ScaleBench {
     * a ×100 substrate when `SPARK_GRAFT_SCALE_X100=<baseDir>,<bigDir>`
     * is set. [[ScaleUp]]'s perturbation is injective past 100 replicas
     * (312 affine letter maps, per-replica Murmur3 sign masks), so the
-    * similarity workloads keep their shape on the ×100 hop. The only
-    * exclusions are the Θ(N^1.5)/Θ(N²) design-bounded certification
-    * rows — ×1000/×10000 on this step is their stated bound, not a
-    * regression signal, and nothing new is learned by paying for it.
+    * similarity workloads keep their shape on the ×100 hop. The two
+    * Θ(N^1.5) production-configuration rows ride along, held to
+    * ×100^1.5; the only exclusions are the Θ(N²) exactness-
+    * certification twins — ×10000 on this step is their stated bound,
+    * not a regression signal, and hours of wall clock to confirm it.
     */
   private val x100Subset: Seq[String] = Seq(
     "q01_pricing_summary", "q02_filter_daterange", "q04_join3_revenue",
@@ -116,7 +117,10 @@ object ScaleBench {
     "d08_neardup_clusters", "q59_hamming_simjoin",
     "t01_token_counts", "t23_sequence_packing", "t08_heavy_hitters",
     "t17_bm25_score", "s01_upsert_merge", "v01_contract_violations",
-    "m01_multimodal_features")
+    "m01_multimodal_features",
+    // the two production-configuration N^1.5 rows, held to x100^1.5:
+    // even the faiss-sized ANN/SemDeDup configs are measured on the hop
+    "a30_knn_graph_prod", "d15_semantic_dedup_prod")
 
   def main(args: Array[String]): Unit = {
     val sfs = sys.env.get("SPARK_GRAFT_SFS")
@@ -266,7 +270,7 @@ object ScaleBench {
         try T.load(spark, bigDir, t).count() catch { case _: Throwable => () }
       }
       val big: Map[String, Option[Double]] = x100Subset.map { n =>
-        val run = SparkEntry.queries(n)
+        val run = extras.getOrElse(n, SparkEntry.queries(n))
         val t = minOf2(() => run(spark, bigDir).count(), n, bigDir)
         spark.catalog.clearCache()
         n -> t
@@ -276,17 +280,20 @@ object ScaleBench {
       sb ++= s"\n## The ×100 step — headline subset at $bigL\n\n"
       sb ++= s"$bigL is `ScaleUp` at factor 100 from $baseL — one hundred\n"
       sb ++= "key-shifted replicas, dims single-copy, so input volume grows\n"
-      sb ++= s"×100 in one hop. `ratio` = t($bigL) / t($baseL); every subset row\n"
-      sb ++= "is a linear-bounded operator, so the bound is ×100 (same 25%\n"
-      sb ++= "measurement band as above). The subset spans every family,\n"
-      sb ++= "including the banded/blocked similarity paths (LSH pairs, PPJoin,\n"
-      sb ++= "near-dup clusters, Hamming join, embedding near-dups): ScaleUp's\n"
-      sb ++= "perturbation is injective past 100 replicas (312 affine letter\n"
-      sb ++= "maps, per-replica Murmur3 sign masks), so those workloads keep\n"
-      sb ++= "their pair structure on the hop. Only the N^1.5/N² design-bounded\n"
-      sb ++= "certification rows stay ×10-only (×1000 on this step is their\n"
-      sb ++= "stated bound, not a signal). Ratios far below ×100 mean fixed\n"
-      sb ++= "planning/launch overhead still dominates at the small end.\n\n"
+      sb ++= s"×100 in one hop. `ratio` = t($bigL) / t($baseL); each row is held\n"
+      sb ++= "to its stated bound on the hop — ×100 for the linear rows, ×1000\n"
+      sb ++= "for the two Θ(N^1.5) production-configuration rows — with the\n"
+      sb ++= "same 25% measurement band as above. The subset spans every\n"
+      sb ++= "family, including the banded/blocked similarity paths (LSH\n"
+      sb ++= "pairs, PPJoin, near-dup clusters, Hamming join, embedding\n"
+      sb ++= "near-dups) and the faiss-sized ANN/SemDeDup production configs:\n"
+      sb ++= "ScaleUp's perturbation is injective past 100 replicas (312\n"
+      sb ++= "affine letter maps, per-replica Murmur3 sign masks), so those\n"
+      sb ++= "workloads keep their pair structure on the hop. Only the Θ(N²)\n"
+      sb ++= "exactness-certification twins stay ×10-only (×10000 on this\n"
+      sb ++= "step is their stated bound, not a signal — and hours of wall\n"
+      sb ++= "clock). Ratios far below the bound mean fixed planning/launch\n"
+      sb ++= "overhead still dominates at the small end.\n\n"
       sb ++= s"| query | $baseL s | $bigL s | ratio ($baseL->$bigL) | verdict |\n"
       sb ++= "|---|---|---|---|---|\n"
       var flagged100 = List.empty[String]
@@ -294,12 +301,17 @@ object ScaleBench {
         val a = times(baseDir).get(n).flatten
         val b = big.get(n).flatten
         val ratio = for { x <- a; y <- b } yield y / x
+        // the _prod rows keep their stated N^1.5 bound on the x100 hop
+        val (exp, note) = statedBounds.getOrElse(n, (1.0, ""))
+        val bound = math.pow(100.0, exp)
         val verdict = ratio match {
           case None => "FAIL"
-          case Some(r) if r > 100.0 * 1.25 =>
-            flagged100 ::= n; f"EXCEEDS LINEAR (×$r%.1f > ×100 +25%%)"
-          case Some(r) if r > 100.0 =>
-            f"ok (×$r%.1f — inside the 25%% measurement band over ×100)"
+          case Some(r) if r > bound * 1.25 =>
+            flagged100 ::= n; f"EXCEEDS STATED BOUND (×$r%.1f > ×$bound%.0f +25%%)"
+          case Some(r) if r > bound =>
+            f"ok (×$r%.1f — inside the 25%% measurement band over ×$bound%.0f)"
+          case Some(r) if exp > 1.0 =>
+            f"within design bound ×$bound%.0f (×$r%.1f) — $note"
           case Some(r) => f"ok (×$r%.1f)"
         }
         def fmt(t: Option[Double]): String = t.map(v => f"$v%.3f").getOrElse("FAIL")
@@ -309,8 +321,8 @@ object ScaleBench {
         x100Subset.flatMap(n => times(baseDir).get(n).flatten).sum,
         big.values.flatten.sum)
       sb ++= f"\n**×100 totals:** $baseL $baseTot%.1f s / $bigL $bigTot%.1f s -> subset growth ×${bigTot / baseTot}%.1f on a ×100 data step.\n"
-      sb ++= (if (flagged100.isEmpty) "\nNo headline query grows beyond linear on the ×100 step.\n"
-      else s"\nFlagged beyond linear on the ×100 step: ${flagged100.sorted.mkString(", ")}.\n")
+      sb ++= (if (flagged100.isEmpty) "\nNo headline query grows beyond its stated bound on the ×100 step.\n"
+      else s"\nFlagged beyond stated bound on the ×100 step: ${flagged100.sorted.mkString(", ")}.\n")
     }
     if (args.isEmpty) Files.writeString(Paths.get("SCALE.md"), sb.result())
     println(sb.result())
