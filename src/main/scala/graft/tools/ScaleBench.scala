@@ -129,15 +129,29 @@ object ScaleBench {
     require(sfs.size >= 2, "need at least two scale dirs to form a ratio")
     val step = sys.env.getOrElse("SPARK_GRAFT_SCALE_STEP", "10").toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try spark.range(1000000L).selectExpr("sum(id)").collect()
-    catch { case _: Throwable => () }
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      try s.range(1000000L).selectExpr("sum(id)").collect()
+      catch { case _: Throwable => () }
+      s
+    }
+    var spark = newSession()
+    // a fatal task error (e.g. a heap OOM on the largest substrate)
+    // stops the local SparkContext; without recovery every LATER row of
+    // a ~50-minute artifact run would record FAIL for a reason that has
+    // nothing to do with that row. Rebuild the session and keep
+    // sweeping — only the row that killed the context stays FAIL.
+    def ensureAlive(): Unit = if (spark.sparkContext.isStopped) {
+      System.err.println("[scale] SparkContext stopped — rebuilding session")
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      spark = newSession()
+    }
 
     // optional args = subset of query names (quick re-time of one query);
     // SCALE.md is only written on full runs
@@ -159,12 +173,14 @@ object ScaleBench {
     // per-SF, per-row min-of-2 seconds (None = failed); row set =
     // combined queries + _build/_probe splits, matching bench_full.json
     val times: Map[String, Map[String, Option[Double]]] = sfs.map { dir =>
+      ensureAlive()
       Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
         try graft.queries.T.load(spark, dir, t).count()
         catch { case _: Throwable => () }
       }
       val perQ = scala.collection.mutable.Map.empty[String, Option[Double]]
       names.foreach { name =>
+        ensureAlive()
         val run = extras.get(name)
           .getOrElse(SparkEntry.queries(name))
         perQ(name) = minOf2(() => run(spark, dir).count(), name, dir)
@@ -266,10 +282,12 @@ object ScaleBench {
       val (baseDir, bigDir) = (parts(0), parts(1))
       require(times.contains(baseDir),
         s"x100 base $baseDir must be one of SPARK_GRAFT_SFS")
+      ensureAlive()
       Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
         try T.load(spark, bigDir, t).count() catch { case _: Throwable => () }
       }
       val big: Map[String, Option[Double]] = x100Subset.map { n =>
+        ensureAlive()
         val run = extras.getOrElse(n, SparkEntry.queries(n))
         val t = minOf2(() => run(spark, bigDir).count(), n, bigDir)
         spark.catalog.clearCache()
