@@ -78,7 +78,7 @@ object ScaleBench {
     * (CellAssign/CellProbes: constant-size plans, centroids prepared
     * once per executor) that production C requires.
     */
-  private val extras: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private[tools] val extras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a30_knn_graph_prod" -> ((s, dir) => {
       val e = T.load(s, dir, "embeddings")
         .filter(pmod(col("vec_id"), lit(5)) === 0)
@@ -235,6 +235,10 @@ object ScaleBench {
     sb ++= "counterpart named in the verdict; the `_prod` rows measure those\n"
     sb ++= "production configurations (IVF C = ⌈4√N⌉, plan-reference kernel\n"
     sb ++= "regime) against their stated Θ(N^1.5).\n\n"
+    sb ++= "This file measures the DATA axis at fixed compute; COMPUTE.md\n"
+    sb ++= "(`graft.tools.CoreSweep`) measures the COMPUTE axis at fixed data —\n"
+    sb ++= "strong scaling (sf10 at 8 vs 32 cores) and weak scaling (data ×10\n"
+    sb ++= "with cores ×4) over the heavy tail of the ×100 subset below.\n\n"
     sb ++= s"| query | ${labels.map(_ + " s").mkString(" | ")} | ratio (${labels(labels.size - 2)}->${labels.last}) | verdict |\n"
     sb ++= s"|---|${labels.map(_ => "---").mkString("|")}|---|---|\n"
     var flagged = List.empty[String]
