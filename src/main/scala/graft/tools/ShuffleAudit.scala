@@ -73,13 +73,14 @@ object ShuffleAudit {
     * FINAL plan, so build-heavy rows read as amplification UPPER
     * bounds.
     */
-  private def scanBytes(df: org.apache.spark.sql.DataFrame): Option[Long] = {
+  private[graft] def scanBytes(df: org.apache.spark.sql.DataFrame): Option[Long] = {
     val sizes = df.queryExecution.optimizedPlan.collectLeaves().map { leaf =>
       try leaf.stats.sizeInBytes catch { case _: Throwable => BigInt(-1) }
     }
-    // RDD-backed leaves (e.g. localCheckpoint results inside iterative
-    // operators) carry the optimizer's UNKNOWN sentinel, not a size —
-    // any such leaf means the row has no static scan denominator.
+    // Frames constructed over raw RDDs inside the iterative operators
+    // carry the optimizer's UNKNOWN sentinel, not a size (checkpoints
+    // of planned frames keep their origin stats and stay measurable) —
+    // any sentinel leaf means the row has no static scan denominator.
     val unknown = BigInt(1L) << 40
     if (sizes.exists(s => s < 0 || s >= unknown)) None
     else Some(sizes.sum.min(BigInt(Long.MaxValue)).toLong)
