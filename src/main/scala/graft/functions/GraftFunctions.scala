@@ -193,9 +193,22 @@ object GraftFunctions {
     // A session built with [[GraftExtensions]] already carries these
     // names (injected as built-ins): registering over them would both
     // WARN and shadow the injected ExpressionInfo, so present names are
-    // left alone rather than replaced.
-    def absent(name: String): Boolean =
-      !reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+    // left alone rather than replaced. A present name that graft did
+    // NOT inject (a user temp function claimed e.g. `hash64` first) is
+    // also left alone — the user wins — but that shadows graft's SQL
+    // semantics, so it is logged once per session to keep SQL-path
+    // behavior differences diagnosable.
+    val graftOwner = classOf[GraftExtensions].getName
+    val foreign = scala.collection.mutable.ListBuffer.empty[String]
+    def absent(name: String): Boolean = {
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(id)) true
+      else {
+        val owner = reg.lookupFunction(id).map(_.getClassName).getOrElse("")
+        if (owner != graftOwner) foreign += name
+        false
+      }
+    }
     def raw(name: String, f: Seq[Expression] => Expression): Unit =
       if (absent(name)) reg.createOrReplaceTempFunction(name, f, "built-in")
     def one(name: String, f: Expression => Expression): Unit =
@@ -224,6 +237,11 @@ object GraftFunctions {
     raw("kll_quantiles",
       exprs => KllQuantiles(exprs(0), literalK(exprs(1), "kll_quantiles"),
         Seq(0.25, 0.5, 0.75)))
+    if (foreign.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"graft SQL functions shadowed by pre-existing session functions " +
+          s"(user registration wins; SQL calls will NOT use graft's " +
+          s"implementation): ${foreign.mkString(", ")}")
   }
 
   /** k arguments of SQL-registered sketch functions must be literal

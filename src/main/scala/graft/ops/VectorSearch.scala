@@ -1000,15 +1000,22 @@ object VectorSearch {
     * the reverse direction is what lets information flow against the
     * graph's arrows), proposes every pair that co-occurs in some B(u),
     * exact-scores the proposals, and keeps each node's top-k of
-    * old ∪ new.
+    * old ∪ new. Out-degree is ≤ k by construction but in-degree is
+    * NOT (hub nodes appear in many top-k lists — the norm in high
+    * dimension), so the in-edges are capped at each node's top-k
+    * before the pair join — the paper's reverse-neighbor sampling
+    * (ρK), made deterministic by ranking on (sim desc, id asc).
     *
-    * Scale shape: a round generates Σ|B(u)|² + N·explore ≤
+    * Scale shape: with both directions capped, |B(u)| ≤ 2k for every
+    * node, so a round generates Σ|B(u)|² + N·explore ≤
     * N·((2k)² + explore) candidate rows — LINEAR in N for fixed k,
     * id-only through dedup, vectors attached by two bounded id-joins —
     * where brute force is N² and the IVF all-nodes build is Θ(N^1.5).
     * `rounds` is fixed, ~log N in practice (measured S-curve on a
-    * 500-point manifold from an EMPTY init: recall 0.97 @ 6 rounds,
-    * 1.0 — the exact graph — @ 10; NnDescentSpec pins it). Lineage is
+    * 500-point manifold from an EMPTY init: recall 0.94 @ 6 rounds,
+    * 1.0 — the exact graph — @ 12; NnDescentSpec pins it; the reverse
+    * cap costs ~2 rounds vs unbounded in-edges, the paper's stated
+    * sampling trade). Lineage is
     * cut per round with an eager localCheckpoint, the same
     * iterative-plan hygiene as [[Graph]].
     *
@@ -1051,8 +1058,28 @@ object VectorSearch {
     var g = init.select(col("src_id"), col("nbr_id"), col("sim"))
     for (rnd <- 1 to rounds) {
       val edges = g.select(col("src_id"), col("nbr_id"))
-      val und = edges.union(
-        edges.select(col("nbr_id").as("src_id"), col("src_id").as("nbr_id")))
+      // Reverse-neighbor cap (the paper's ρK reverse SAMPLING): out-
+      // degree is ≤ k by construction, but in-degree is unbounded — a
+      // hub node appearing in many top-k lists would otherwise make
+      // |B(hub)| ~ N and the propagation self-join below Θ(N²).
+      // Keeping k in-edges per node bounds |B(u)| ≤ 2k for every node,
+      // which is what makes the stated Σ|B(u)|² ≤ N·(2k)² round bound
+      // actually hold; hubness is the norm in high-dim kNN graphs, so
+      // this is the scale path, not an edge case. The kept subset is a
+      // round-seeded hash sample (rank on xxhash64(edge, round)) — the
+      // deterministic form of the paper's RANDOM sampling: a fixed
+      // "best" subset would starve propagation of diversity (measured:
+      // top-k-by-sim capping stalls the manifold convergence spec at
+      // ~0.95), while rotating the sample each round restores it.
+      // Capping only removes proposals, so the closure and brute-force
+      // degeneracy certificates are untouched.
+      val rev = batchTopK(
+        g.select(col("nbr_id").as("src_id"), col("src_id").as("nbr_id"))
+          .withColumn("_h",
+            xxhash64(col("src_id"), col("nbr_id"), lit(rnd.toLong))),
+        "src_id", "nbr_id", "_h", k)
+        .select(col("src_id"), col("nbr_id"))
+      val und = edges.union(rev)
       val propagated = und.select(col("src_id").as("_u"), col("nbr_id").as("_x"))
         .join(und.select(col("src_id").as("_u"), col("nbr_id").as("_y")), Seq("_u"))
         .filter(col("_x") =!= col("_y"))

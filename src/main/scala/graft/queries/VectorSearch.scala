@@ -1379,7 +1379,9 @@ object VectorSearch {
 
   /** NN-descent refinement ([[graft.ops.VectorSearch.nnDescent]]) of a
     * sparse IVF-cell kNN graph: the LINEAR-cost all-nodes construction
-    * (Σ|B(u)|² ≤ N·(2k)² + N·explore proposals per round) that
+    * (Σ|B(u)|² ≤ N·(2k)² + N·explore proposals per round — the bound
+    * holds because in-edges are capped at top-k per node before the
+    * pair join, the paper's reverse sampling) that
     * complements the Θ(N^1.5) IVF build measured in SCALE.md's
     * a30_knn_graph_prod row. The corpus is a deterministic 1-D
     * manifold keyed by the table's vec_ids (nearby ids ⇒ nearby

@@ -1,5 +1,7 @@
 package graft.store
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,15 +15,42 @@ import org.apache.spark.sql.functions._
   * the scan list before any I/O.
   *
   * The sidecar is one parquet table `(file, min_<c>, max_<c>, ...)`
-  * computed in a single aggregate scan grouped by `_metadata.file_path`
+  * computed in a single aggregate scan grouped by `_metadata.file_name`
   * and stored UNDER the data directory as `_stats` — the underscore
   * prefix keeps every normal table read blind to it. Stats rows are
   * metadata-scale (one per file), so collecting the pruned file list to
   * the driver is bounded by design.
+  *
+  * Sidecars are keyed by file NAME, not absolute path (same contract
+  * as [[TxStore]]'s deletion vectors, and unpartitioned-layout-only
+  * for the same reason): names survive the commit machinery that
+  * moves or re-links whole directories — staging-claim renames,
+  * RESTORE/clone hard-link carry-forward — where a recorded absolute
+  * path would dangle. Readers resolve names against the directory
+  * being read.
   */
 object Skipping {
 
   private def statsPath(dir: String) = s"$dir/_stats"
+
+  /** The parquet part-files of a sidecar directory, listed explicitly.
+    * Sidecar dirs are underscore-prefixed so DATA reads stay blind to
+    * them — but handing such a path straight to `spark.read` makes the
+    * source's hidden-path filter log a `All paths were ignored` WARN
+    * for every read (it still reads correctly). Passing the leaf files
+    * avoids the warning and skips one driver-side glob.
+    */
+  private[store] def sidecarFiles(dir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir)
+    val s = java.nio.file.Files.list(p)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq
+    finally s.close()
+  }
+
+  private def readSidecar(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(sidecarFiles(dir): _*)
 
   /** Morton (Z-order) interleave of the low `bits` of two non-negative
     * integer columns — the multi-dimensional clustering key behind
@@ -62,7 +91,7 @@ object Skipping {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     spark.read.parquet(dir)
-      .groupBy(col("_metadata.file_path").as("file"))
+      .groupBy(col("_metadata.file_name").as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1) // one row per data file — metadata-scale
       .write.mode(SaveMode.Overwrite).parquet(statsPath(dir))
@@ -75,12 +104,12 @@ object Skipping {
     */
   def pruneFiles(spark: SparkSession, dir: String, c: String,
       lo: Column, hi: Column): (Seq[String], Long) = {
-    val stats = spark.read.parquet(statsPath(dir))
+    val stats = readSidecar(spark, statsPath(dir))
     val total = stats.count()
     val kept = stats.filter(
         col(s"max_$c").isNull || col(s"min_$c").isNull ||
         (col(s"max_$c") >= lo && col(s"min_$c") <= hi))
-      .select(col("file")).collect().map(_.getString(0)).toSeq
+      .select(col("file")).collect().map(r => s"$dir/${r.getString(0)}").toSeq
     (kept, total)
   }
 
@@ -127,7 +156,7 @@ object Skipping {
     val positions = array((0 until BloomFileK).map(i =>
       pmod(xxhash64(col(c), lit(i)), lit(BloomFileBits))): _*)
     spark.read.parquet(dir)
-      .select(col("_metadata.file_path").as("file"), explode(positions).as("pos"))
+      .select(col("_metadata.file_name").as("file"), explode(positions).as("pos"))
       .select(col("file"), shiftright(col("pos"), 6).cast("int").as("idx"),
         call_function("shiftleft", lit(1L),
           col("pos").bitwiseAND(lit(63L)).cast("int")).as("bit"))
@@ -143,7 +172,7 @@ object Skipping {
   /** Files whose Bloom admits `key`, plus the total file count. */
   def pruneFilesByBloom(spark: SparkSession, dir: String,
       key: Column): (Seq[String], Long) = {
-    val blooms = spark.read.parquet(bloomPath(dir))
+    val blooms = readSidecar(spark, bloomPath(dir))
     val total = blooms.count()
     val test = (0 until BloomFileK).map { i =>
       val pos = pmod(xxhash64(key, lit(i)), col("mbits"))
@@ -153,7 +182,7 @@ object Skipping {
         pos.bitwiseAND(lit(63L)).cast("int"))) =!= lit(0L)
     }.reduce(_ && _)
     val kept = blooms.filter(test)
-      .select(col("file")).collect().map(_.getString(0)).toSeq
+      .select(col("file")).collect().map(r => s"$dir/${r.getString(0)}").toSeq
     (kept, total)
   }
 

@@ -27,12 +27,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    (and therefore the table) untouched;
   *  - the pointer flip is a same-filesystem `ATOMIC_MOVE`, and carries
   *    an optimistic-concurrency check on the expected base version
-  *    (lost-update protection for racing writers).
+  *    (lost-update protection for racing writers);
+  *  - version numbers are CLAIMED with a filesystem conditional put
+  *    ([[claimVersion]]: build at a writer-unique staging path, one
+  *    atomic rename into place) — so racing writers in DIFFERENT
+  *    processes also get exactly one winner per version
+  *    (TxStoreCrossProcessSpec races real JVMs to prove it).
   *
   * At 100 TB the snapshot write becomes a partition-overwrite (only
-  * partitions containing touched PKs are rewritten) and `_current`
-  * lives in a store with atomic rename/CAS (HDFS rename, DynamoDB-style
-  * lock for S3) — the protocol is unchanged.
+  * partitions containing touched PKs are rewritten) and the claim
+  * rename maps onto the store's own conditional put (HDFS rename, S3
+  * If-None-Match) — the protocol is unchanged.
   */
 object TxStore {
 
@@ -41,20 +46,22 @@ object TxStore {
 
   private def currentFile(root: String): Path = Paths.get(root, "_current")
 
-  /** Per-root commit monitor — the IN-PROCESS form of the CAS boundary
-    * every commit needs: the read-base → write-snapshot → verify →
-    * pointer-flip critical section runs under the table's monitor, so
-    * two threads racing commits on the same base version get exactly
-    * one winner (the loser sees the moved pointer and conflicts
-    * cleanly, touching nothing). Commits to a table are serialized;
-    * the snapshot WRITE inside is still fully parallel across
-    * executors, so this costs nothing at scale — one driver owns a
-    * table's commit protocol, which is also Delta's stance. ACROSS
-    * processes the same section must be guarded by the store's own
-    * conditional-put (HDFS atomic rename, DynamoDB-style lock for S3)
-    * in place of [[flipPointer]]'s local ATOMIC_MOVE — the monitor
-    * documents exactly the boundary that swap replaces
-    * (TxStoreSpec "two racing writers" proves the contract).
+  /** Per-root commit monitor — the IN-PROCESS arbitration: the
+    * read-base → write-snapshot → verify → pointer-flip critical
+    * section runs under the table's monitor, so two threads racing
+    * commits on the same base version get exactly one winner (the
+    * loser sees the moved pointer and conflicts cleanly, touching
+    * nothing) without ever paying a snapshot write to lose. Commits to
+    * a table are serialized; the snapshot WRITE inside is still fully
+    * parallel across executors, so this costs nothing at scale — one
+    * driver owns a table's commit protocol, which is also Delta's
+    * stance. ACROSS processes the arbiter is [[claimVersion]]'s
+    * conditional put (atomic rename of the staged version dir): a
+    * racing JVM that loses the claim gets the same
+    * [[ConcurrentCommitException]] read-retry contract
+    * (TxStoreSpec "two racing writers" proves the in-process contract;
+    * TxStoreCrossProcessSpec races real JVMs for the cross-process
+    * one).
     */
   private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def withCommitLock[T](root: String)(body: => T): T =
@@ -102,7 +109,13 @@ object TxStore {
     val schema = StructType(Seq(
       StructField("version", LongType), StructField("action", StringType),
       StructField("parent", LongType), StructField("num_files", LongType)))
-    spark.read.schema(schema).json(logDir(root).toString)
+    val manifests = {
+      val l = Files.list(logDir(root))
+      try l.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".json")).toSeq
+      finally l.close()
+    }
+    spark.read.schema(schema).json(manifests: _*)
       .filter(col("version") <= cur)
       .orderBy(col("version"))
   }
@@ -144,6 +157,13 @@ object TxStore {
 
   private def dvPath(dir: String): Path = Paths.get(dir, "_dv")
 
+  /** Read a version's deletion-vector sidecar by explicit file list
+    * ([[Skipping.sidecarFiles]] — avoids the hidden-path WARN an
+    * underscore-leaf input path triggers on every read).
+    */
+  private def readDv(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(Skipping.sidecarFiles(dvPath(dir).toString): _*)
+
   /** The logical rows of a version directory: raw files minus the
     * deletion-vector positions, when a `_dv/` sidecar exists.
     */
@@ -158,7 +178,7 @@ object TxStore {
     import org.apache.spark.sql.functions.col
     if (!Files.exists(dvPath(dir))) df
     else {
-      val dv = spark.read.parquet(dvPath(dir).toString)
+      val dv = readDv(spark, dir)
       df.withColumn("__dv_file", col("_metadata.file_name"))
         .withColumn("__dv_row", col("_metadata.row_index"))
         .join(dv, col("__dv_file") === dv("file_name") &&
@@ -187,17 +207,15 @@ object TxStore {
       "deletion vectors require an unpartitioned layout " +
         "(partitioned tables delete at partition grain)")
     val next = expected + 1
-    val nextDir = versionDir(root, next)
-    if (Files.exists(Paths.get(nextDir)))
-      throw new ConcurrentCommitException(
-        s"snapshot v$next already exists at $root (concurrent writer)")
-    try {
+    claimVersion(root, next) { nextDir =>
       linkTree(Paths.get(baseDir), Paths.get(nextDir))
       // new deletions, evaluated over the parent's LOGICAL rows (the
       // anti-join keeps already-deleted positions from re-matching);
       // NULL predicate keeps the row, SQL DELETE semantics. Metadata
       // columns are captured BEFORE any join so they resolve against
-      // the file-source relation.
+      // the file-source relation. DV sidecars are keyed by file NAME,
+      // so computing them against the staging path stays valid after
+      // the claim rename.
       val withMeta = spark.read.parquet(nextDir)
         .withColumn("__dv_file", col("_metadata.file_name"))
         .withColumn("__dv_row", col("_metadata.row_index"))
@@ -205,7 +223,7 @@ object TxStore {
       val live =
         if (!hadDv) withMeta
         else {
-          val dv = spark.read.parquet(dvPath(nextDir).toString)
+          val dv = readDv(spark, nextDir)
           withMeta.join(dv, withMeta("__dv_file") === dv("file_name") &&
             withMeta("__dv_row") === dv("row_index"), "left_anti")
         }
@@ -214,7 +232,7 @@ object TxStore {
           col("__dv_row").as("row_index"))
       val merged =
         if (hadDv)
-          spark.read.parquet(dvPath(nextDir).toString).union(doomed).distinct()
+          readDv(spark, nextDir).union(doomed).distinct()
         else doomed
       // write-then-swap: the merged sidecar is fully written to a side
       // path before the one it was computed FROM is replaced (never
@@ -224,9 +242,9 @@ object TxStore {
       merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       deleteRecursively(dvPath(nextDir))
       Files.move(tmp, dvPath(nextDir))
-    } catch { case e: Throwable => deleteRecursively(Paths.get(nextDir)); throw e }
+    }
     if (currentVersion(root) != Some(expected)) {
-      deleteRecursively(Paths.get(nextDir))
+      deleteRecursively(Paths.get(versionDir(root, next)))
       throw new ConcurrentCommitException(
         s"table at $root moved past v$expected; retry on the new snapshot")
     }
@@ -279,24 +297,23 @@ object TxStore {
     withCommitLock(dstRoot) {
       require(currentVersion(dstRoot).isEmpty, s"table already initialized at $dstRoot")
       Files.createDirectories(Paths.get(dstRoot, "_versions"))
-      val dstV1 = Paths.get(versionDir(dstRoot, 1L))
       // The source commit lock is NOT held (a clone must not block the
       // source's writers), so a concurrent expireVersions on the source
-      // can delete v$srcV mid-link. Failure handling makes that a clean
-      // retryable error instead of an unrecoverable partial dst: any
-      // link/copy failure deletes the partial v1, and after linking we
-      // re-verify the source dir still exists — links taken from a tree
-      // that was being deleted underneath us may be incomplete.
-      try {
-        linkTree(Paths.get(versionDir(srcRoot, srcV)), dstV1)
-        if (!Files.exists(Paths.get(versionDir(srcRoot, srcV)))) {
-          deleteRecursively(dstV1)
-          throw new ConcurrentCommitException(
-            s"source version v$srcV at $srcRoot expired during clone; retry")
+      // can delete v$srcV mid-link. A bare post-link `exists(srcDir)`
+      // is NOT enough: deletion removes files before the directory, so
+      // the dir can still be present while the tree we linked was
+      // already partial. Completeness is therefore verified against
+      // the source's own listing — list before, link exactly that
+      // list, re-list after; any difference (or a vanished file midway)
+      // means a deletion was in flight and the clone is torn down as a
+      // clean retryable conflict instead of committing a partial v1.
+      claimVersion(dstRoot, 1L) { dstV1 =>
+        try linkTreeVerified(Paths.get(versionDir(srcRoot, srcV)), Paths.get(dstV1))
+        catch {
+          case _: java.nio.file.NoSuchFileException =>
+            throw new ConcurrentCommitException(
+              s"source version v$srcV at $srcRoot expired during clone; retry")
         }
-      } catch {
-        case e: ConcurrentCommitException => throw e
-        case e: Throwable => deleteRecursively(dstV1); throw e
       }
       // hidden-partitioning layout (if any) is part of the table's identity
       val layout = Paths.get(srcRoot, "_layout.json")
@@ -477,9 +494,8 @@ object TxStore {
   def initPartitioned(df: DataFrame, root: String, partCol: String): Long = withCommitLock(root) {
     require(currentVersion(root).isEmpty, s"table already initialized at $root")
     Files.createDirectories(Paths.get(root, "_versions"))
-    val dir = versionDir(root, 1L)
-    try df.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dir)
-    catch { case e: Throwable => deleteRecursively(Paths.get(dir)); throw e }
+    claimVersion(root, 1L)(dir =>
+      df.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(dir))
     writeManifest(root, 1L, "init", parent = None)
     flipPointer(root, expected = None, next = 1L)
     1L
@@ -509,22 +525,16 @@ object TxStore {
     val touchedBase = base.filter(col(partCol).isInCollection(touched))
     val merged = Store.upsert(touchedBase, updates, pk)
     val next = expected + 1
-    val nextDir = versionDir(root, next)
-    if (Files.exists(Paths.get(nextDir)))
-      throw new ConcurrentCommitException(
-        s"snapshot v$next already exists at $root (concurrent writer)")
-    try {
+    claimVersion(root, next) { nextDir =>
       merged.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(nextDir)
       // carry untouched partitions forward as hard links
       val writtenParts = partitionDirs(nextDir)
       partitionDirs(baseDir).filterNot(writtenParts.contains).foreach { p =>
         linkTree(Paths.get(baseDir, p), Paths.get(nextDir, p))
       }
-    } catch {
-      case e: Throwable => deleteRecursively(Paths.get(nextDir)); throw e
     }
     if (currentVersion(root) != Some(expected)) {
-      deleteRecursively(Paths.get(nextDir))
+      deleteRecursively(Paths.get(versionDir(root, next)))
       throw new ConcurrentCommitException(
         s"table at $root moved past v$expected; retry on the new snapshot")
     }
@@ -560,6 +570,45 @@ object TxStore {
     } finally s.close()
   }
 
+  /** Relative paths of every regular file under `from`. */
+  private def listFilesRel(from: Path): Set[Path] = {
+    val s = Files.walk(from)
+    try s.iterator().asScala.filter(Files.isRegularFile(_))
+      .map(from.relativize).toSet
+    finally s.close()
+  }
+
+  /** [[linkTree]] with a completeness proof, for linking a tree whose
+    * owner's lock is NOT held (cross-table clone): list the source,
+    * link exactly that list, re-list and require set equality. A
+    * concurrent delete of the source is detected whichever way the
+    * race falls — a file vanishing mid-link surfaces as
+    * NoSuchFileException; a deletion that started before the first
+    * listing (deletes files, then dirs) leaves the after-listing
+    * smaller. Sound because version dirs are immutable: no writer ever
+    * adds or replaces files at an existing version, so listing
+    * inequality can only mean deletion in flight.
+    */
+  private def linkTreeVerified(from: Path, to: Path): Unit = {
+    val before = listFilesRel(from)
+    Files.createDirectories(to)
+    before.toSeq.sorted.foreach { rel =>
+      val (f, t) = (from.resolve(rel), to.resolve(rel))
+      Files.createDirectories(t.getParent)
+      try Files.createLink(t, f)
+      catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        Files.copy(f, t) }
+    }
+    val after =
+      try listFilesRel(from)
+      catch { case _: java.nio.file.NoSuchFileException => Set.empty[Path] }
+    if (after != before)
+      throw new ConcurrentCommitException(
+        s"source tree $from changed during link " +
+          s"(${before.size} files listed, ${after.size} after; " +
+          "concurrent retention delete): retry")
+  }
+
   /** RESTORE as a commit (Delta's RESTORE TABLE ... TO VERSION): the
     * next version's content IS a retained older version's, hard-linked
     * file for file — no data movement, the rollback of a bad load is
@@ -578,14 +627,9 @@ object TxStore {
     require(Files.exists(fromDir),
       s"version v$toVersion expired by retention; cannot restore")
     val next = expected + 1
-    val nextDir = Paths.get(versionDir(root, next))
-    if (Files.exists(nextDir))
-      throw new ConcurrentCommitException(
-        s"snapshot v$next already exists at $root (concurrent writer)")
-    try linkTree(fromDir, nextDir)
-    catch { case e: Throwable => deleteRecursively(nextDir); throw e }
+    claimVersion(root, next)(nextDir => linkTree(fromDir, Paths.get(nextDir)))
     if (currentVersion(root) != Some(expected)) {
-      deleteRecursively(nextDir)
+      deleteRecursively(Paths.get(versionDir(root, next)))
       throw new ConcurrentCommitException(
         s"table at $root moved past v$expected; retry on the new snapshot")
     }
@@ -734,16 +778,12 @@ object TxStore {
       throw new IllegalStateException(s"no committed version at $root"))
     val base = readSnapshotDir(spark, versionDir(root, expected))
     val next = expected + 1
-    val nextDir = versionDir(root, next)
-    if (Files.exists(Paths.get(nextDir)))
-      throw new ConcurrentCommitException(
-        s"snapshot v$next already exists at $root (concurrent writer)")
-    try {
+    claimVersion(root, next) { nextDir =>
       Skipping.writeZOrdered(base, nextDir, colA, colB, numFiles)
       Skipping.writeStats(spark, nextDir, Seq(colA, colB))
-    } catch { case e: Throwable => deleteRecursively(Paths.get(nextDir)); throw e }
+    }
     if (currentVersion(root) != Some(expected)) {
-      deleteRecursively(Paths.get(nextDir))
+      deleteRecursively(Paths.get(versionDir(root, next)))
       throw new ConcurrentCommitException(
         s"table at $root moved past v$expected; retry on the new snapshot")
     }
@@ -768,14 +808,10 @@ object TxStore {
       throw new IllegalStateException(s"no committed version at $root"))
     val base = readSnapshotDir(spark, versionDir(root, expected))
     val next = expected + 1
-    val nextDir = versionDir(root, next)
-    if (Files.exists(Paths.get(nextDir)))
-      throw new ConcurrentCommitException(
-        s"snapshot v$next already exists at $root (concurrent writer)")
-    try base.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(nextDir)
-    catch { case e: Throwable => deleteRecursively(Paths.get(nextDir)); throw e }
+    claimVersion(root, next)(nextDir =>
+      base.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(nextDir))
     if (currentVersion(root) != Some(expected)) {
-      deleteRecursively(Paths.get(nextDir))
+      deleteRecursively(Paths.get(versionDir(root, next)))
       throw new ConcurrentCommitException(
         s"table at $root moved past v$expected; retry on the new snapshot")
     }
@@ -801,18 +837,16 @@ object TxStore {
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val next = expected + 1
-    val nextDir = versionDir(root, next)
-    if (Files.exists(Paths.get(nextDir)))
-      throw new ConcurrentCommitException(
-        s"snapshot v$next already exists at $root (concurrent writer)")
-    try partitionBy match {
-      case Some(pc) =>
-        df.write.mode(SaveMode.ErrorIfExists).partitionBy(pc).parquet(nextDir)
-      case None =>
-        df.write.mode(SaveMode.ErrorIfExists).parquet(nextDir)
-    } catch { case e: Throwable => deleteRecursively(Paths.get(nextDir)); throw e }
+    claimVersion(root, next) { nextDir =>
+      partitionBy match {
+        case Some(pc) =>
+          df.write.mode(SaveMode.ErrorIfExists).partitionBy(pc).parquet(nextDir)
+        case None =>
+          df.write.mode(SaveMode.ErrorIfExists).parquet(nextDir)
+      }
+    }
     if (currentVersion(root) != Some(expected)) {
-      deleteRecursively(Paths.get(nextDir))
+      deleteRecursively(Paths.get(versionDir(root, next)))
       throw new ConcurrentCommitException(
         s"table at $root moved past v$expected; retry on the new snapshot")
     }
@@ -938,9 +972,15 @@ object TxStore {
     }
   }
 
-  /** Remove data directories above the committed version — orphans from
-    * failed or conflicted commits. Safe anytime: committed snapshots
-    * are never touched.
+  /** Remove data directories above the committed version — orphans
+    * from failed or conflicted commits — plus `.staging.` leftovers
+    * from writers that died mid-build, and version claims orphaned by
+    * a process that died between [[claimVersion]] and the pointer flip
+    * (such a claim blocks its version number until vacuumed). Safe
+    * anytime in-process (committed snapshots are never touched);
+    * across processes it is EXCLUSIVE maintenance — do not run while
+    * another process is mid-commit, or its in-flight claim reads as an
+    * orphan.
     */
   def vacuum(root: String): Seq[Long] = withCommitLock(root) {
     // under the commit lock: a dir above _current is only an orphan if
@@ -958,7 +998,14 @@ object TxStore {
             val removed = Seq.newBuilder[Long]
             orphans.forEachRemaining { p =>
               val name = p.getFileName.toString
-              if (name.startsWith("v")) {
+              if (name.contains(".staging.")) {
+                // staging left by a writer that died mid-build (a live
+                // writer's staging is protected by vacuum's exclusive-
+                // maintenance contract, same as the dirs above _current)
+                deleteRecursively(p)
+                name.stripPrefix("v").takeWhile(_ != '.').toLongOption
+                  .foreach(removed += _)
+              } else if (name.startsWith("v")) {
                 val v = name.drop(1).toLongOption
                 if (v.exists(_ > committed)) { deleteRecursively(p); removed += v.get }
               }
@@ -977,25 +1024,64 @@ object TxStore {
     }
   }
 
-  /** Write one immutable snapshot. A pre-existing directory means a
-    * concurrent writer claimed this version — surfaced as a conflict,
-    * never deleted. On a mid-write failure only the directory THIS call
-    * created is removed, so a retry of the same version can proceed.
+  /** CONDITIONAL PUT of a version directory — the cross-PROCESS commit
+    * arbitration (the seam [[withCommitLock]]'s in-process monitor
+    * documents). The version's content is built at a writer-unique
+    * staging path (`_versions/v<N>.staging.<token>` — racing writers
+    * can never interleave files into one directory), then claimed with
+    * one atomic rename to `_versions/v<N>`: rename(2) onto an existing
+    * non-empty directory fails, so of ANY number of racing processes
+    * exactly one wins a given version number. The loser's staging is
+    * torn down and the loss surfaces as [[ConcurrentCommitException]] —
+    * the same read-retry contract as every in-process conflict. The
+    * cheap exists() pre-check is an ergonomic fast-fail only; the
+    * rename is the arbiter.
+    *
+    * Claim order forces pointer order: flipping `_current` to N happens
+    * only in the commit that claimed v<N>, and claiming v<N+1> requires
+    * reading `_current` = N first, so pointer history is linear with no
+    * further conditional machinery. A writer that DIES between claim
+    * and flip leaves an orphaned claim that blocks that version number;
+    * [[vacuum]] (exclusive maintenance — never run concurrently with
+    * cross-process writers) reclaims it, the same janitor stance as
+    * object-store TTL cleanup. On a store with true conditional
+    * put (S3 If-None-Match, HDFS rename) this method is the single
+    * swap point.
     */
-  private def writeVersion(df: DataFrame, root: String, v: Long): Unit = {
-    val dir = versionDir(root, v)
-    if (Files.exists(Paths.get(dir)))
+  private def claimVersion(root: String, v: Long)(build: String => Unit): Unit = {
+    val finalDir = Paths.get(versionDir(root, v))
+    if (Files.exists(finalDir))
       throw new ConcurrentCommitException(
         s"snapshot v$v already exists at $root (concurrent writer)")
-    try df.write.mode(SaveMode.ErrorIfExists).parquet(dir)
-    catch {
-      case e: Throwable =>
-        deleteRecursively(Paths.get(dir))
-        throw e
-    }
+    val staging = Paths.get(root, "_versions",
+      s"v$v.staging.${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      build(staging.toString)
+      try Files.move(staging, finalDir, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          if (Files.exists(finalDir))
+            throw new ConcurrentCommitException(
+              s"snapshot v$v at $root claimed by a concurrent process " +
+                "(lost the rename); retry on the new snapshot")
+          else throw e
+      }
+    } finally deleteRecursively(staging) // no-op after a winning rename
   }
 
-  /** Atomic pointer flip: write aside, ATOMIC_MOVE into place. */
+  /** Write one immutable snapshot through [[claimVersion]]. On a
+    * mid-write failure only this writer's staging is removed, so a
+    * retry of the same version can proceed.
+    */
+  private def writeVersion(df: DataFrame, root: String, v: Long): Unit =
+    claimVersion(root, v)(dir =>
+      df.write.mode(SaveMode.ErrorIfExists).parquet(dir))
+
+  /** Atomic pointer flip: write aside, ATOMIC_MOVE into place.
+    * Unconditional REPLACE is sound because only the process that won
+    * [[claimVersion]] for `next` ever flips to `next`, and claims are
+    * totally ordered by the expected-version chain.
+    */
   private def flipPointer(root: String, expected: Option[Long], next: Long): Unit = {
     val tmp = Paths.get(root, s"_current.tmp.$next")
     Files.writeString(tmp, next.toString)

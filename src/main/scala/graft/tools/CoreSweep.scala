@@ -53,7 +53,10 @@ import graft.SparkEntry
   *
   * Knobs: `SPARK_GRAFT_CORES_LO`/`_HI` (default 8/32),
   * `SPARK_GRAFT_CORES_SMALL`/`_BIG` (default the ScaleUp sf1.0 / sf10
-  * substrates), `SPARK_GRAFT_CORES_WARM` (default driver sf0.001).
+  * substrates), `SPARK_GRAFT_CORES_STEP` (the small→big data factor,
+  * default 10 — override alongside the dirs so the weak-scaling ideal
+  * matches the substrates), `SPARK_GRAFT_CORES_WARM` (default driver
+  * sf0.001).
   * Optional args restrict the subset (dry runs); COMPUTE.md is only
   * written on full runs.
   */
@@ -85,38 +88,39 @@ object CoreSweep {
   private val strongNotes: Map[String, String] = Map(
     "a03_embedding_neardups" ->
       ("float[64] pair verification is memory-bandwidth-bound: util " +
-        "drops toward ~0.6 at 32 threads while total CPU-seconds " +
-        "inflate ~1.8x on one heap — a saturated memory bus, not " +
-        "missing parallelism. On a cluster each executor JVM gets its " +
-        "own memory channels; the local[8] column is that shape."),
+        "drops at the high core count while total CPU-seconds inflate " +
+        "on one heap (compare the two util columns) — a saturated " +
+        "memory bus, not missing parallelism. On a cluster each " +
+        "executor JVM gets its own memory channels; the low-core " +
+        "column is that shape."),
     "d08_neardup_clusters" ->
       ("iterative large-star/small-star rounds with a localCheckpoint " +
         "materialization between rounds: the per-round fixed cost " +
         "(stage launch + checkpoint write) does not shrink with cores, " +
-        "and CPU-seconds inflate ~2x at 32 threads on one heap. More " +
+        "and CPU-seconds inflate with thread count on one heap. More " +
         "DATA per round — the cluster direction — is the axis that " +
         "amortizes it (see its weak-scaling row)."),
     "d11_decontaminate" ->
       ("allocation-heavy gram materialization: util stays high at " +
-        "both core counts while total CPU-seconds inflate ~3x at 32 " +
-        "threads on one heap — memory-bandwidth/collector contention, " +
+        "both core counts while total CPU-seconds inflate with thread " +
+        "count on one heap — memory-bandwidth/collector contention, " +
         "the single-JVM artifact the preamble describes. The " +
         "bits-not-strings variants (d16 Bloom gate, d18 containment " +
         "bloom) exist precisely to cut this byte volume at the 100 TB " +
         "operating point."),
     "t08_heavy_hitters" ->
       ("same shape: token-stream Misra-Gries is allocation-bound " +
-        "(util ~0.85-1.0, CPU-seconds inflate with threads); the " +
-        "per-executor-JVM layout of a real cluster is the fix, not a " +
-        "plan change."),
+        "(util high at both core counts, CPU-seconds inflate with " +
+        "threads); the per-executor-JVM layout of a real cluster is " +
+        "the fix, not a plan change."),
     "q65_hierarchy_flatten" ->
       ("iterative pointer-doubling: ceil(log2 depth) rounds, each a " +
-        "stage barrier over modest per-round data — util ~0.25 at 32 " +
-        "cores because round latency, not divisible work, bounds the " +
-        "wall at this substrate size. Parallel work per round grows " +
-        "with data (its ×100 data-axis ratio sits far inside the " +
-        "linear bound in SCALE.md), so utilization recovers exactly " +
-        "where a cluster needs it to."))
+        "stage barrier over modest per-round data — low util at the " +
+        "high core count because round latency, not divisible work, " +
+        "bounds the wall at this substrate size. Parallel work per " +
+        "round grows with data (its ×100 data-axis ratio sits far " +
+        "inside the linear bound in SCALE.md), so utilization recovers " +
+        "exactly where a cluster needs it to."))
 
   def main(args: Array[String]): Unit = {
     val loCores = sys.env.getOrElse("SPARK_GRAFT_CORES_LO", "8").toInt
@@ -217,7 +221,11 @@ object CoreSweep {
     val strongHi = sweep(hiCores, bigDir)
 
     val coreRatio = hiCores.toDouble / loCores
-    val weakIdeal = 10.0 / coreRatio // substrates are a ×10 data step
+    // the small→big data step: must match the substrates SMALL/BIG
+    // actually point at (the ScaleUp defaults are a ×10 pair); override
+    // together with the dirs or the weak-scaling ideal is mislabeled
+    val dataStep = sys.env.getOrElse("SPARK_GRAFT_CORES_STEP", "10").toDouble
+    val weakIdeal = dataStep / coreRatio
 
     def fmt(c: Option[Cell]): String = c.map(v => f"${v.wall}%.3f").getOrElse("FAIL")
     def fmtUtil(c: Option[Cell]): String = c.map(v => f"${v.util}%.2f").getOrElse("-")
@@ -274,18 +282,19 @@ object CoreSweep {
       noted.foreach { n => sb ++= s"- **$n** — ${strongNotes(n)}\n" }
     }
 
-    sb ++= s"\n## Weak scaling — data ×10 with cores ×${coreRatio.toInt}\n\n"
-    sb ++= s"sf1.0 on local[$loCores] vs sf10 on local[$hiCores]: the cluster-growth\n"
+    sb ++= s"\n## Weak scaling — data ×${dataStep.toInt} with cores ×${coreRatio.toInt}\n\n"
+    sb ++= s"`$smallDir` on local[$loCores] vs `$bigDir` on local[$hiCores]\n"
+    sb ++= s"(a ×${dataStep.toInt} data step): the cluster-growth\n"
     sb ++= "contract in miniature. A linear operator with flat per-core\n"
-    sb ++= f"throughput grows ×10/×${coreRatio.toInt} = ×$weakIdeal%.1f in wall time on this hop; a\n"
-    sb ++= "cluster growing cores ×10 with the data would hold it flat.\n"
+    sb ++= f"throughput grows ×${dataStep.toInt}/×${coreRatio.toInt} = ×$weakIdeal%.1f in wall time on this hop; a\n"
+    sb ++= s"cluster growing cores ×${dataStep.toInt} with the data would hold it flat.\n"
     sb ++= f"`scaled growth` = growth/$weakIdeal%.1f — ≤ ~1 means per-core throughput\n"
     sb ++= "held or improved as data and compute grew together (values just\n"
     sb ++= "over 1 on multi-second rows are inside SCALE.md's 25% measurement\n"
     sb ++= "band; the two Θ(N^1.5) production rows are EXPECTED above 1 — their\n"
-    sb ++= f"stated work grows ×10^1.5 = ×${math.pow(10, 1.5)}%.1f on the hop, so their scaled-\n"
-    sb ++= f"growth target is ~${math.sqrt(10.0)}%.1f, not 1).\n\n"
-    sb ++= s"| query | sf1.0@$loCores" + s"c s | sf10@$hiCores" + "c s | growth | scaled growth |\n"
+    sb ++= f"stated work grows ×${dataStep.toInt}%d^1.5 = ×${math.pow(dataStep, 1.5)}%.1f on the hop, so their scaled-\n"
+    sb ++= f"growth target is ~${math.sqrt(dataStep)}%.1f, not 1).\n\n"
+    sb ++= s"| query | small@$loCores" + s"c s | big@$hiCores" + "c s | growth | scaled growth |\n"
     sb ++= "|---|---|---|---|---|\n"
     names.foreach { n =>
       val (a, b) = (weakBase(n), strongHi(n))
@@ -295,7 +304,7 @@ object CoreSweep {
         s"${g.map(v => f"${v / weakIdeal}%.2f").getOrElse("-")} |\n"
     }
     val wTot = weakBase.values.flatten.map(_.wall).sum
-    sb ++= f"\n**Totals:** sf1.0@$loCores" + f"c $wTot%.1f s / sf10@$hiCores" +
+    sb ++= f"\n**Totals:** small@$loCores" + f"c $wTot%.1f s / big@$hiCores" +
       f"c $hiTot%.1f s -> subset growth ×${hiTot / wTot}%.2f " +
       f"(ideal linear ×$weakIdeal%.1f).\n"
 
