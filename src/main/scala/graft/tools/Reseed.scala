@@ -64,9 +64,14 @@ object Reseed {
     /** uniform in [0, n) */
     def draw(key: Column, salt: Int, n: Int): Column =
       pmod(h(key, salt), lit(n))
-    /** multiplicative jitter in [0.9, 1.1] */
+    /** multiplicative jitter in [0.9, 1.1], quantized to cents — the
+      * driver's own value granularity. Quantization matters: the
+      * oracle queries round their aggregates, and full-precision
+      * jittered doubles push summation-order noise past the rounding
+      * threshold (34 last-digit hash mismatches before this).
+      */
     def jitter(x: Column, key: Column, salt: Int): Column =
-      x * (lit(0.9) + draw(key, salt, 2001).cast("double") / lit(10000.0))
+      round(x * (lit(0.9) + draw(key, salt, 2001).cast("double") / lit(10000.0)), 2)
     /** re-deal a categorical from its own observed domain */
     def redeal(df: DataFrame, c: String, key: Column, salt: Int): Column = {
       val domain = df.select(col(c)).distinct()

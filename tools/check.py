@@ -14,7 +14,9 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     p = f"{sf_dir}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isdir(p):  # Spark-written table = directory of part files
+        p = f"{p}/*.parquet"
+    if os.path.isdir(f"{sf_dir}/{t}.parquet") or os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
