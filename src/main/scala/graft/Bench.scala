@@ -20,6 +20,19 @@ import org.apache.spark.sql.SparkSession
   * the moment the failures were fixed. A bench with a non-empty
   * `failed` list is not comparable round-over-round.
   *
+  * Round-10 triage of a direction-consistent family drift (d10/d06/
+  * d21/a32 up ×1.3-1.65 r8→r9 with no dedup-code change): re-run solo
+  * (fresh JVM each, [[graft.tools.SoloBench]] min-of-3) on BOTH code
+  * versions on one machine state, the r9 code was FASTER than the r8
+  * code on all four (e.g. d10 3.10→2.66 s, d21 4.42→3.37 s) — the
+  * committed-bench drift was cross-SESSION machine state, not code.
+  * Same-family rows move together because they share allocation
+  * patterns, so they breathe together with the machine. The
+  * round-over-round comparison that is code-attributable is therefore
+  * solo-vs-solo on one machine state; committed-bench deltas between
+  * rounds carry an environment term the budget/flagged gate absorbs
+  * but per-row ratios do not.
+  *
   * Queries with a one-time construction phase ([[BenchPhases.phased]])
   * additionally report `<name>_build` (index/table construction, timed
   * once) and `<name>_probe` (steady-state read, min of two runs) rows.
