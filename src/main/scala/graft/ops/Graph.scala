@@ -208,11 +208,33 @@ object Graph {
     while (remaining > 0 && round < maxRounds) {
       val anc = h.select(col("node").as("a_node"), col("anc").as("a_anc"),
         col("depth").as("a_depth"), col("done").as("a_done"))
-      h = h.filter(!col("done"))
+      // The ancestor side is node-sized every round; the PENDING side
+      // shrinks geometrically. Once the frontier fits a broadcast, the
+      // round's join becomes a shuffle-FREE scan of the checkpointed
+      // state (BHJ: frontier built once, node table streamed) instead
+      // of two node-sized exchanges into however many shuffle
+      // partitions the session runs — which is what made small-frontier
+      // rounds stage-latency-bound and inverted local strong scaling
+      // (COMPUTE.md q65). `remaining` is already counted per round, so
+      // the gate is free; the row bound keeps driver/executor broadcast
+      // memory trivially small (4 longs/row ≈ 32 MB at the cap).
+      val pending = h.filter(!col("done"))
+      val pendingJ =
+        if (remaining <= 1000000L) broadcast(pending) else pending
+      // The union stacks the join's partitions on top of the carried
+      // done-set's EVERY round (p, 2p, 3p, ...), so without a cap each
+      // checkpoint job launches more — mostly empty — tasks than the
+      // last; coalesce (narrow, no shuffle) pins the per-round task
+      // count to the core count, which is what keeps doubling rounds
+      // latency-flat as the round index grows.
+      val parts = math.max(1,
+        nodes.sparkSession.sparkContext.defaultParallelism)
+      h = pendingJ
         .join(anc, col("anc") === col("a_node"))
         .select(col("node"), col("a_anc").as("anc"),
           (col("depth") + col("a_depth")).as("depth"), col("a_done").as("done"))
         .union(h.filter(col("done")))
+        .coalesce(parts)
         .localCheckpoint(true)
       remaining = h.filter(!col("done")).count()
       round += 1
