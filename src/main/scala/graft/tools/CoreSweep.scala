@@ -117,7 +117,12 @@ object CoreSweep {
       ("iterative pointer-doubling: ceil(log2 depth) rounds, each a " +
         "stage barrier over modest per-round data — low util at the " +
         "high core count because round latency, not divisible work, " +
-        "bounds the wall at this substrate size. Parallel work per " +
+        "bounds the wall at this substrate size. Round 10 removed the " +
+        "structural inversion (per-round partition stacking coalesced, " +
+        "frontier broadcast when it fits): measured solo this row is " +
+        ">x1 speedup at 32c (restricted-sweep and fresh-JVM runs " +
+        "agree); a sub-x1 reading in the FULL sweep is shared-JVM " +
+        "ordering by the heavy rows before it. Parallel work per " +
         "round grows with data (its ×100 data-axis ratio sits far " +
         "inside the linear bound in SCALE.md), so utilization recovers " +
         "exactly where a cluster needs it to."))
