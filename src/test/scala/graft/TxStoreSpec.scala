@@ -804,4 +804,64 @@ class TxStoreSpec extends SparkSuite {
     Layout.write(root, Layout.Bucket("o_custkey", 8))
     assert(Layout.read(root) == Layout.Bucket("o_custkey", 8))
   }
+
+  test("vacuum reclaims dead staging dirs and orphaned claims; live history untouched") {
+    val root = freshRoot()
+    TxStore.init(Seq((1L, "soja", 100.0)).toDF("k", "produto", "v"), root)
+    TxStore.commitUpsert(spark, root,
+      Seq((2L, "milho", 50.0)).toDF("k", "produto", "v"), Seq("k"))
+    val versions = java.nio.file.Paths.get(root, "_versions")
+    // a writer that died mid-BUILD leaves its unique staging dir...
+    val staging = versions.resolve("v3.staging.deadbeef")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.writeString(staging.resolve("part-0.parquet"), "x")
+    // ...and one that died between CLAIM and FLIP leaves a claimed dir
+    // above _current that blocks v3 for every later writer
+    val claimed = versions.resolve("v3")
+    java.nio.file.Files.createDirectories(claimed)
+    java.nio.file.Files.writeString(claimed.resolve("part-0.parquet"), "x")
+    intercept[TxStore.ConcurrentCommitException] {
+      TxStore.commitUpsert(spark, root,
+        Seq((3L, "trigo", 30.0)).toDF("k", "produto", "v"), Seq("k"))
+    }
+    TxStore.vacuum(root)
+    assert(!java.nio.file.Files.exists(staging), "staging orphan reclaimed")
+    assert(!java.nio.file.Files.exists(claimed), "dead claim reclaimed")
+    // the blocked version number is usable again; history stays linear
+    assert(TxStore.commitUpsert(spark, root,
+      Seq((3L, "trigo", 30.0)).toDF("k", "produto", "v"), Seq("k")) == 3L)
+    assert(rows(root) ==
+      Set((1L, "soja", 100.0), (2L, "milho", 50.0), (3L, "trigo", 30.0)))
+    assert(TxStore.readVersion(spark, root, 1L).count() == 1)
+  }
+
+  test("stats/bloom sidecars survive RESTORE after the source version expires (name-keyed)") {
+    val root = freshRoot()
+    val base = (1L to 2000L).map(k => (k, (k * 2654435761L) % 1000L, s"p${k % 7}"))
+      .toDF("k", "g", "produto")
+    TxStore.init(base.repartitionByRange(8, col("k")), root)
+    TxStore.commitZorder(spark, root, "k", "g", numFiles = 8) // v2 + _stats
+    TxStore.writeBloomStats(spark, root, "k")                 // v2 + _blooms
+    // layout churn on top, then roll back to the z-ordered version
+    TxStore.commitRepartition(spark, root, "produto")         // v3
+    TxStore.commitRestore(spark, root, toVersion = 2L)        // v4 links v2
+    // expire everything below the restore — the restored version's
+    // sidecars must keep working with their SOURCE files gone
+    // (path-keyed sidecars dangled here before round 10's name keying)
+    TxStore.expireVersions(root, keepLast = 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(TxStore.versionDir(root, 2L))))
+    val got = TxStore.readRange(spark, root, "g", lit(0L), lit(100L))
+      .as[(Long, Long, String)].collect().toSet
+    val want = base.filter($"g".between(0L, 100L)).as[(Long, Long, String)]
+      .collect().toSet
+    assert(got == want, "range read over the restored version after expiry")
+    val pt = TxStore.readPoint(spark, root, "k", lit(42L))
+      .as[(Long, Long, String)].collect().toSet
+    assert(pt == base.filter($"k" === 42L).as[(Long, Long, String)].collect().toSet)
+    // and the skipping is real, not a lossy fallback: strict file subset
+    val v4 = TxStore.versionDir(root, 4L)
+    val (kept, total) = graft.store.Skipping.pruneFiles(spark, v4, "g", lit(0L), lit(100L))
+    assert(total == 8 && kept.size < total, s"pruning intact: ${kept.size}/$total")
+  }
 }
