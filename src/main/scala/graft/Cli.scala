@@ -14,6 +14,9 @@ import org.apache.spark.sql.SparkSession
   * sbt "runMain graft.Cli explain [query...]"        # plan audit
   * sbt "runMain graft.Cli scale [query...]"          # scale-trend bench (SCALE.md)
   * sbt "runMain graft.Cli scaleup [src] [dst] [factor]" # synthesize a bigger SF
+  * sbt "runMain graft.Cli reseed [src] [dst] [seed]" # seed-perturbed substrate
+  * sbt "runMain graft.Cli solobench <query...>"      # solo min-of-3 timing
+  * sbt "runMain graft.Cli streambench"               # streaming-sink artifact (STREAM.md)
   * sbt "runMain graft.Cli demo"                      # library tour
   * sbt "runMain graft.Cli queries"                   # list registered queries
   * sbt "runMain graft.Cli plugins"                   # list registered plugins
@@ -71,6 +74,13 @@ object Cli {
     // synthesize a larger scale factor for the two-point scale proof
     // (src dst factor all optional — ScaleUp's defaults)
     case "scaleup" :: rest if rest.size <= 3 => tools.ScaleUp.main(rest.toArray)
+    // seed-perturbed substrate for the second-seed oracle sweep
+    case "reseed" :: rest if rest.size <= 3 => tools.Reseed.main(rest.toArray)
+    // fresh-JVM-grade single-query timing (run via runMain for a truly
+    // fresh JVM; the verb exists for discoverability)
+    case "solobench" :: rest if rest.nonEmpty => tools.SoloBench.main(rest.toArray)
+    // streaming sink throughput + state-boundedness artifact (STREAM.md)
+    case "streambench" :: _ => tools.StreamBench.main(Array.empty)
     case "demo" :: _ => Demo.main(Array.empty)
     case "queries" :: _ =>
       queries.QueryRegistry.all.sortBy(_.name).foreach { q =>
@@ -237,7 +247,9 @@ object Cli {
     case other =>
       System.err.println(
         s"unknown command ${other.mkString(" ")}; use: verify <sfDir> <outDir> | bench | " +
-          "explain [q...] | scale [q...] | scaleup [src] [dst] [factor] | demo | queries | plugins | health | doctor | " +
+          "explain [q...] | scale [q...] | scaleup [src] [dst] [factor] | " +
+          "reseed [src] [dst] [seed] | solobench <q...> | streambench | " +
+          "demo | queries | plugins | health | doctor | " +
           "config show | cache stats|purge-legacy|clear <path> | " +
           "snapshot list|show|create|delete ... | dataset list|fetch <landing> ... | " +
           "cepea indicador <landing> | conab safras|produtos <landing> | " +

@@ -72,4 +72,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows(1).getDouble(1) == 3.5)
     assert(rows(0).isNullAt(2)) // missing declared column -> typed null
   }
+
+  test("a pre-existing user function shadows graft's SQL name (user wins, logged, rest register)") {
+    // fresh session: the shared one already carries graft's registry
+    val s = SparkSuite.session.newSession()
+    s.udf.register("hash64", (x: String) => 777L)
+    graft.functions.GraftFunctions.register(s)
+    // the user's registration wins — graft must NOT replace it
+    assert(s.sql("SELECT hash64('abc') AS h").collect()(0).getLong(0) == 777L)
+    // every name the user did not claim registers normally
+    assert(s.sql("SELECT strip_accents('Paraná') AS p")
+      .collect()(0).getString(0) == "Parana")
+    assert(s.sql("SELECT simhash64('a b c') IS NOT NULL AS ok")
+      .collect()(0).getBoolean(0))
+  }
 }
