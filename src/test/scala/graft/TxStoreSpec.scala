@@ -864,4 +864,56 @@ class TxStoreSpec extends SparkSuite {
     val (kept, total) = graft.store.Skipping.pruneFiles(spark, v4, "g", lit(0L), lit(100L))
     assert(total == 8 && kept.size < total, s"pruning intact: ${kept.size}/$total")
   }
+
+  test("clone racing retention: every successful clone is a complete committed snapshot") {
+    // cloneTable holds only the DESTINATION lock, so a source-side
+    // expireVersions can delete the version being linked mid-clone.
+    // The contract: a clone either fails with the retryable conflict
+    // or lands COMPLETE — never a silent partial (the seam the
+    // before/after listing in linkTreeVerified closes; a bare
+    // post-link exists() check let partials through).
+    val root = freshRoot()
+    // version k holds exactly 100+k rows spread over 4 files, so any
+    // clone that lost a file cannot match ANY committed row count
+    def snap(n: Int) = (1 to n).map(i => (i.toLong, s"p$i", i * 1.0))
+      .toDF("k", "produto", "v").repartition(4)
+    TxStore.init(snap(101), root)
+    val committedCounts =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    committedCounts.add(101L)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // writer: advance the table and expire aggressively (keepLast=1)
+    val writer = new Thread(() => {
+      var n = 102
+      while (!stop.get() && n < 140) {
+        TxStore.commitReplace(spark, root, snap(n))
+        committedCounts.add(n.toLong)
+        TxStore.expireVersions(root, keepLast = 1)
+        n += 1
+      }
+      stop.set(true)
+    })
+    writer.start()
+    var clones = 0; var conflicts = 0
+    val base = java.nio.file.Files.createTempDirectory("graft_clone_race")
+    try {
+      var i = 0
+      while (!stop.get() && i < 200) {
+        val dst = base.resolve(s"c$i").toString
+        try {
+          TxStore.cloneTable(spark, root, dst)
+          val got = TxStore.read(spark, dst).count()
+          assert(committedCounts.contains(got),
+            s"partial clone: $got rows matches no committed snapshot")
+          clones += 1
+        } catch {
+          case _: TxStore.ConcurrentCommitException => conflicts += 1
+          case e: IllegalStateException
+            if e.getMessage.contains("no committed version") => conflicts += 1
+        }
+        i += 1
+      }
+    } finally { stop.set(true); writer.join(60000) }
+    assert(clones > 0, s"race produced no successful clone ($conflicts conflicts)")
+  }
 }
