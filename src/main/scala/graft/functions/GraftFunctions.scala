@@ -197,15 +197,23 @@ object GraftFunctions {
     // NOT inject (a user temp function claimed e.g. `hash64` first) is
     // also left alone — the user wins — but that shadows graft's SQL
     // semantics, so it is logged once per session to keep SQL-path
-    // behavior differences diagnosable.
-    val graftOwner = classOf[GraftExtensions].getName
+    // behavior differences diagnosable. "Graft-owned" must cover every
+    // class name a graft registration can surface: the extensions
+    // injector, AND temp functions from a previous register() pass on a
+    // session sharing this registry — createOrReplaceTempFunction
+    // records the builder LAMBDA's class (graft.functions.…$$Lambda…)
+    // in ExpressionInfo, so a bare `!= GraftExtensions` check would
+    // mislabel graft's own prior registrations as user shadows and WARN
+    // falsely on every later entry point.
     val foreign = scala.collection.mutable.ListBuffer.empty[String]
+    def graftOwned(owner: String): Boolean =
+      owner == null || owner.isEmpty || owner.startsWith("graft.")
     def absent(name: String): Boolean = {
       val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
       if (!reg.functionExists(id)) true
       else {
-        val owner = reg.lookupFunction(id).map(_.getClassName).getOrElse("")
-        if (owner != graftOwner) foreign += name
+        val owner = reg.lookupFunction(id).map(_.getClassName).orNull
+        if (!graftOwned(owner)) foreign += name
         false
       }
     }

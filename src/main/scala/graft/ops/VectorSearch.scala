@@ -1002,9 +1002,13 @@ object VectorSearch {
     * exact-scores the proposals, and keeps each node's top-k of
     * old ∪ new. Out-degree is ≤ k by construction but in-degree is
     * NOT (hub nodes appear in many top-k lists — the norm in high
-    * dimension), so the in-edges are capped at each node's top-k
-    * before the pair join — the paper's reverse-neighbor sampling
-    * (ρK), made deterministic by ranking on (sim desc, id asc).
+    * dimension), so the in-edges are capped at k per node before the
+    * pair join — the paper's reverse-neighbor sampling (ρK), realized
+    * as a deterministic round-seeded hash sample: edges rank on
+    * xxhash64(src, nbr, round), so the kept subset rotates each round
+    * like the paper's random sample (a fixed sim-ranked "best" subset
+    * starves propagation of diversity and stalls convergence — see the
+    * in-loop comment and NnDescentSpec measurements).
     *
     * Scale shape: with both directions capped, |B(u)| ≤ 2k for every
     * node, so a round generates Σ|B(u)|² + N·explore ≤

@@ -52,6 +52,18 @@ object Skipping {
   private def readSidecar(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(sidecarFiles(dir): _*)
 
+  /** Resolve a sidecar `file` entry against the directory being read.
+    * Current sidecars store bare file NAMES (see class doc); sidecars
+    * written before that format change stored absolute URIs
+    * (`file:///...` from `_metadata.file_path`). An absolute URI run
+    * through the name-keyed prepend would produce a nonexistent
+    * `$dir/file:/...` path and fail the read with no hint of the format
+    * mismatch — so legacy rows (any value carrying a URI scheme) are
+    * used verbatim instead. Rebuilding the sidecar upgrades it.
+    */
+  private def resolveFile(dir: String, stored: String): String =
+    if (stored.contains(":/")) stored else s"$dir/$stored"
+
   /** Morton (Z-order) interleave of the low `bits` of two non-negative
     * integer columns — the multi-dimensional clustering key behind
     * Delta's OPTIMIZE ZORDER: range-partitioning + sorting on the
@@ -109,7 +121,7 @@ object Skipping {
     val kept = stats.filter(
         col(s"max_$c").isNull || col(s"min_$c").isNull ||
         (col(s"max_$c") >= lo && col(s"min_$c") <= hi))
-      .select(col("file")).collect().map(r => s"$dir/${r.getString(0)}").toSeq
+      .select(col("file")).collect().map(r => resolveFile(dir, r.getString(0))).toSeq
     (kept, total)
   }
 
@@ -182,7 +194,7 @@ object Skipping {
         pos.bitwiseAND(lit(63L)).cast("int"))) =!= lit(0L)
     }.reduce(_ && _)
     val kept = blooms.filter(test)
-      .select(col("file")).collect().map(r => s"$dir/${r.getString(0)}").toSeq
+      .select(col("file")).collect().map(r => resolveFile(dir, r.getString(0))).toSeq
     (kept, total)
   }
 

@@ -1001,10 +1001,16 @@ object TxStore {
               if (name.contains(".staging.")) {
                 // staging left by a writer that died mid-build (a live
                 // writer's staging is protected by vacuum's exclusive-
-                // maintenance contract, same as the dirs above _current)
+                // maintenance contract, same as the dirs above _current).
+                // The dir is always deleted, but its version number is
+                // only REPORTED as removed when that version is above
+                // the pointer: a loser's (or crashed claimant's)
+                // staging for an already-committed version is debris
+                // next to a live snapshot, and listing it would tell
+                // callers a committed version was removed.
                 deleteRecursively(p)
                 name.stripPrefix("v").takeWhile(_ != '.').toLongOption
-                  .foreach(removed += _)
+                  .filter(_ > committed).foreach(removed += _)
               } else if (name.startsWith("v")) {
                 val v = name.drop(1).toLongOption
                 if (v.exists(_ > committed)) { deleteRecursively(p); removed += v.get }

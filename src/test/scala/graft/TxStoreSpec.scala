@@ -820,13 +820,24 @@ class TxStoreSpec extends SparkSuite {
     val claimed = versions.resolve("v3")
     java.nio.file.Files.createDirectories(claimed)
     java.nio.file.Files.writeString(claimed.resolve("part-0.parquet"), "x")
+    // ...and a commit-race LOSER's staging for a version that DID get
+    // committed (by the winner) — debris next to a live snapshot
+    val loserStaging = versions.resolve("v2.staging.cafe")
+    java.nio.file.Files.createDirectories(loserStaging)
+    java.nio.file.Files.writeString(loserStaging.resolve("part-0.parquet"), "x")
     intercept[TxStore.ConcurrentCommitException] {
       TxStore.commitUpsert(spark, root,
         Seq((3L, "trigo", 30.0)).toDF("k", "produto", "v"), Seq("k"))
     }
-    TxStore.vacuum(root)
+    val removed = TxStore.vacuum(root)
     assert(!java.nio.file.Files.exists(staging), "staging orphan reclaimed")
     assert(!java.nio.file.Files.exists(claimed), "dead claim reclaimed")
+    assert(!java.nio.file.Files.exists(loserStaging), "loser staging reclaimed")
+    // reporting: v3 (above the pointer) is removed; v2 is a LIVE
+    // committed version — its loser-staging debris must not be
+    // reported as a removed version
+    assert(removed.contains(3L), "orphaned v3 reported removed")
+    assert(!removed.contains(2L), "live v2 not reported removed")
     // the blocked version number is usable again; history stays linear
     assert(TxStore.commitUpsert(spark, root,
       Seq((3L, "trigo", 30.0)).toDF("k", "produto", "v"), Seq("k")) == 3L)
