@@ -47,6 +47,32 @@ object Bloom {
           pmod(pos, lit(64L)).cast("int"))) =!= 0
       }.reduce(_ && _)
     }
+
+    /** JVM-side twin of [[mightContain]] for STRING keys — bit-for-bit
+      * the same k probes (Catalyst xxhash64 chaining from seed 42 over
+      * (key, i), then pmod), pinned equal by BloomSpec. Exists because
+      * the Column form is only fast where codegen reaches it: embedded
+      * in an interpreted higher-order-function lambda (testing each
+      * element of an array column), the word-table literal measured
+      * ~1.4 ms PER ELEMENT — the literal's value participates in
+      * per-eval expression machinery — versus sub-µs here, so per-gram
+      * row paths close over the filter and call this instead.
+      */
+    def mightContainString(key: String): Boolean = {
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.sql.types.{IntegerType, StringType}
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(key)
+      var i = 0
+      while (i < k) {
+        val h = XxHash64Function.hash(i, IntegerType,
+          XxHash64Function.hash(u, StringType, 42L))
+        val pos = java.lang.Math.floorMod(h, mBits)
+        if ((words((pos / 64).toInt) & (1L << (pos % 64).toInt)) == 0L)
+          return false
+        i += 1
+      }
+      true
+    }
   }
 
   /** Builds the bloom over the distinct values of `keyCol`. `nRows` is
@@ -57,20 +83,37 @@ object Bloom {
   def build(build: DataFrame, keyCol: String, nRows: Long, k: Int = 5): Filter = {
     val mBits = math.min(MaxBits,
       math.max(64L, java.lang.Long.highestOneBit(nRows * BitsPerRow) * 2))
-    val nWords = (mBits / 64).toInt
-    val hashCols = (0 until k).map(i =>
-      pmod(xxhash64(col(keyCol), lit(i)), lit(mBits)))
-    // one bit_or-aggregated word table; ≤ m/64 rows reach the driver —
-    // bounded by MaxBits/64 = 256 Ki longs regardless of build size
-    val words = new Array[Long](nWords)
+    union(empty(mBits, k), build, keyCol)
+  }
+
+  /** An all-zero filter of fixed geometry — the starting point for an
+    * INCREMENTALLY-maintained bloom whose key space grows over time
+    * (size for the ceiling, not the current cardinality: the geometry
+    * is frozen at creation because bit positions depend on mBits).
+    */
+  def empty(mBits: Long = MaxBits, k: Int = 5): Filter =
+    Filter(new Array[Long]((mBits / 64).toInt), mBits, k)
+
+  /** `f` plus the keys of `build` — the incremental maintenance step.
+    * Bit-setting is monotone and idempotent (bit_or), so unions are
+    * order-free and replay-safe: re-adding an already-absorbed batch
+    * is a no-op, which is what lets an always-on sink maintain its
+    * bloom without batch-id bookkeeping. One distributed aggregate;
+    * ≤ m/64 rows reach the driver — bounded by MaxBits/64 = 256 Ki
+    * longs regardless of build size.
+    */
+  def union(f: Filter, build: DataFrame, keyCol: String): Filter = {
+    val hashCols = (0 until f.k).map(i =>
+      pmod(xxhash64(col(keyCol), lit(i)), lit(f.mBits)))
+    val words = f.words.clone()
     build.select(explode(array(hashCols: _*)).as("pos"))
       .select((col("pos") / 64).cast("int").as("w"),
         call_function("shiftleft", lit(1L),
           pmod(col("pos"), lit(64L)).cast("int")).as("b"))
       .groupBy(col("w")).agg(expr("bit_or(b)").as("word"))
       .collect()
-      .foreach(r => words(r.getInt(0)) = r.getLong(1))
-    Filter(words, mBits, k)
+      .foreach(r => words(r.getInt(0)) |= r.getLong(1))
+    Filter(words, f.mBits, f.k)
   }
 
   /** Bloom-pruned inner equi-join: probe rows failing the membership

@@ -934,6 +934,79 @@ object TxStore {
     }
   }
 
+  /** APPEND-commit: the next version is `rows` written as fresh parquet
+    * part files plus the ENTIRE previous version hard-linked alongside —
+    * O(batch) data work and O(#files) link metadata, never a base read
+    * or rewrite. [[commitUpsert]] rebuilds the full snapshot per call
+    * (inherent to MERGE over an unpartitioned snapshot table), which
+    * makes a long-running insert-only stream pay O(corpus) per batch;
+    * this is the Delta/Iceberg append path for that stream. INSERT-ONLY
+    * BY CONTRACT: the caller must guarantee the appended keys are
+    * absent from the table (curation/decontamination sinks prove
+    * novelty before admission) — violating it yields duplicate keys,
+    * exactly as appending to any table format would. File-count growth
+    * is one part-file set per append; long streams compact with
+    * [[commitCompaction]], which folds the accumulated links back into
+    * few files as an ordinary commit. Same staging-claim + pointer-flip
+    * machinery — and the same all-or-nothing guarantee — as every other
+    * commit.
+    */
+  def commitAppend(spark: SparkSession, root: String, rows: DataFrame,
+      expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
+    val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val baseDir = Paths.get(versionDir(root, expected))
+    // align column order to the committed schema so every part file in
+    // the mixed version dir carries one physical layout
+    val baseSchema = spark.read.parquet(baseDir.toString).schema
+    require(rows.columns.toSet == baseSchema.fieldNames.toSet,
+      s"append schema ${rows.columns.toSeq.sorted} != " +
+        s"table ${baseSchema.fieldNames.toSeq.sorted} (use commitUpsertEvolve)")
+    val aligned = rows.select(baseSchema.fieldNames.toSeq.map(
+      org.apache.spark.sql.functions.col): _*)
+    val next = expected + 1
+    claimVersion(root, next) { nextDir =>
+      aligned.write.mode(SaveMode.ErrorIfExists).parquet(nextDir)
+      // carry the base forward: part-file names are job-UUID-unique, so
+      // only writer-job artifacts (_SUCCESS and its crc) collide — the
+      // new job already wrote those, keep its own
+      val s = Files.walk(baseDir)
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+        val t = Paths.get(nextDir).resolve(baseDir.relativize(f))
+        Files.createDirectories(t.getParent)
+        if (!Files.exists(t))
+          try Files.createLink(t, f)
+          catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            Files.copy(f, t) }
+      } finally s.close()
+    }
+    if (currentVersion(root) != Some(expected)) {
+      deleteRecursively(Paths.get(versionDir(root, next)))
+      throw new ConcurrentCommitException(
+        s"table at $root moved past v$expected; retry on the new snapshot")
+    }
+    writeManifest(root, next, "append", Some(expected))
+    flipPointer(root, Some(expected), next)
+    next
+  }
+
+  /** [[commitBatch]]'s insert-only sibling: [[commitAppend]] under the
+    * streaming batch-id high-water mark (replays dropped wholesale).
+    * For foreachBatch sinks whose admissions are provably novel keys —
+    * the O(batch)-per-microbatch commit a forever-running curation
+    * stream needs.
+    */
+  def commitBatchAppend(spark: SparkSession, root: String, batch: DataFrame,
+      batchId: Long): Boolean = withCommitLock(root) {
+    if (lastBatchId(root).exists(batchId <= _)) false
+    else {
+      if (currentVersion(root).isEmpty) init(batch, root)
+      else if (!batch.isEmpty) commitAppend(spark, root, batch)
+      Files.writeString(Paths.get(root, "_last_batch"), batchId.toString)
+      true
+    }
+  }
+
   /** Retention: expire committed versions older than the newest
     * `keepLast` (Delta's VACUUM RETAIN, single-writer case). Expired
     * version directories and their manifests are deleted — time travel

@@ -278,6 +278,27 @@ object StreamBench {
           "const")
       }
 
+      // -- curation sink, ALL-novel stream (corpus grows a full batch
+      //    per batch — the stress case for per-batch admission cost;
+      //    the gram-bloom gate must keep it ∝ batch, not ∝ corpus) --
+      locally {
+        val in = MemoryStream[(Long, String)]
+        val df = in.toDF().toDF("doc_id", "text")
+        val root = mk("curg_tbl"); val chk = mk("curg_chk")
+        val q = Streaming.curationSink(df, root, tau = 0.6, chk)
+        val docRpb = math.max(20, rpb / 40)
+        val gen = (b: Int) => (0 until docRpb).map { i =>
+          val id = b.toLong * docRpb + i
+          (id, (0 until 30).map(j => s"w${(id * 131 + j * 7919) % 9999991}")
+            .mkString(" "))
+        }
+        val (w, s) = driveTimed(in, q, gen)
+        results :+= Row("curation_growing", volume, batches.toLong * docRpb, w, s,
+          "batch ms",
+          "gram-bloom gate: admission cost ∝ batch (corpus grows; cost must not)",
+          "flat")
+      }
+
       // -- HLL sketch table (per-key distinct counts) --
       locally {
         val in = MemoryStream[(String, String)]

@@ -240,6 +240,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("curation gram bloom: persisted, a superset of corpus grams, rebuilt when missing") {
+    import graft.store.TxStore
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_curbl").resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_curblck").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b = "one two three four five six seven eight nine ten eleven twelve"
+    val in = MemoryStream[(Long, String)]
+    val src = in.toDF().toDF("doc_id", "text")
+    var q = Streaming.curationSink(src, root, tau = 0.6, checkpoint = ckpt)
+    try { in.addData((1L, a), (2L, b)); q.processAllAvailable() }
+    finally q.stop()
+    val blPath = Streaming.curationBloomPath(root)
+    // persisted beside the table, and a superset of the corpus's grams
+    // (the invariant the crash ordering — bloom before commit — protects)
+    val bl = Streaming.loadGramBloom(blPath).get
+    val corpusGrams = TxStore.read(spark, root)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.ops.Dedup.shingles(col("text"), 3)).as("g"))
+      .as[String].collect()
+    assert(corpusGrams.nonEmpty && corpusGrams.forall(bl.mightContainString))
+    // delete the bloom and restart the stream: the sink must rebuild it
+    // from the corpus in one scan and still reject persisted near-dups
+    // while admitting novel docs
+    java.nio.file.Files.delete(java.nio.file.Paths.get(blPath))
+    q = Streaming.curationSink(src, root, tau = 0.6, checkpoint = ckpt)
+    try {
+      in.addData((3L, a + " tail"),
+        (4L, "north south east west up down left right forward backward"))
+      q.processAllAvailable()
+      assert(TxStore.read(spark, root).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 2L, 4L))
+    } finally q.stop()
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(blPath)))
+  }
+
   test("decontamination sink: contaminated docs never enter the corpus, clean ones always do") {
     import graft.store.TxStore
     implicit val sqlCtx = spark.sqlContext

@@ -927,4 +927,50 @@ class TxStoreSpec extends SparkSuite {
     } finally { stop.set(true); writer.join(60000) }
     assert(clones > 0, s"race produced no successful clone ($conflicts conflicts)")
   }
+
+  test("append commit: O(batch) write, base hard-linked forward, time travel intact") {
+    val root = freshRoot()
+    TxStore.init(Seq((1L, "soja", 100.0), (2L, "milho", 50.0)).toDF("k", "produto", "v"), root)
+    // columns deliberately reordered: append must align to the table layout
+    val batch = Seq(("arroz", 3L, 25.0), ("trigo", 4L, 12.5)).toDF("produto", "k", "v")
+    assert(TxStore.commitAppend(spark, root, batch) == 2L)
+    assert(rows(root) == Set((1L, "soja", 100.0), (2L, "milho", 50.0),
+      (3L, "arroz", 25.0), (4L, "trigo", 12.5)))
+    // prior version untouched by the append
+    assert(TxStore.readVersion(spark, root, 1L).as[(Long, String, Double)]
+      .collect().toSet == Set((1L, "soja", 100.0), (2L, "milho", 50.0)))
+    // every v1 parquet file is carried into v2 by name (link, not rewrite)
+    def parquetNames(v: Long): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(TxStore.versionDir(root, v)))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    assert(parquetNames(1L).subsetOf(parquetNames(2L)))
+    assert(TxStore.history(spark, root).where($"version" === 2L)
+      .select("action").as[String].head() == "append")
+    // schema drift is a loud error, not a silent column shuffle
+    intercept[IllegalArgumentException] {
+      TxStore.commitAppend(spark, root, Seq((5L, "x")).toDF("k", "produto"))
+    }
+  }
+
+  test("batch-append fence: replays dropped, fresh batches applied, empty batches versionless") {
+    val root = freshRoot()
+    val b1 = Seq((1L, "soja", 100.0)).toDF("k", "produto", "v")
+    assert(TxStore.commitBatchAppend(spark, root, b1, batchId = 0L))
+    val b2 = Seq((2L, "milho", 50.0)).toDF("k", "produto", "v")
+    assert(TxStore.commitBatchAppend(spark, root, b2, batchId = 1L))
+    assert(rows(root) == Set((1L, "soja", 100.0), (2L, "milho", 50.0)))
+    val v = TxStore.currentVersion(root)
+    // replay of batch 1 (restart semantics): dropped wholesale
+    assert(!TxStore.commitBatchAppend(spark, root, b2, batchId = 1L))
+    assert(TxStore.currentVersion(root) == v)
+    // an empty novel batch advances the fence but mints no version
+    assert(TxStore.commitBatchAppend(spark, root, b1.limit(0), batchId = 2L))
+    assert(TxStore.currentVersion(root) == v)
+    assert(TxStore.lastBatchId(root).contains(2L))
+  }
 }
