@@ -187,7 +187,30 @@ object GraftFunctions {
   /** Register SQL-callable versions of the custom expressions (once
     * per session — safe to call from every entry point).
     */
+  /** Several registered queries declare a DELIBERATE single-partition
+    * window with a materialized constant partition key — their frames
+    * are metadata-scale by construction (block totals, a 10-bin
+    * histogram, a limit-k rank), and `PlanLintSpec` machine-governs
+    * the pattern (it sees through constant keys, so they stay on its
+    * allowlist). Spark's `EliminateWindowPartitions` strips any
+    * foldable key back out, reverting the spec to empty — which makes
+    * `WindowExec` WARN on every run about a choice the lint already
+    * proves safe. Sessions that install graft keep the declared key by
+    * excluding that single rule; results are identical either way (the
+    * rule only removes constant keys, which only these declarations
+    * use), and on a session without the exclusion the queries still
+    * run correctly, with Spark's warning restored.
+    */
+  private def keepDeclaredWindowPartitions(spark: SparkSession): Unit = {
+    val rule = "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions"
+    val key = "spark.sql.optimizer.excludedRules"
+    val cur = spark.conf.getOption(key).getOrElse("")
+    if (!cur.split(",").map(_.trim).contains(rule))
+      spark.conf.set(key, if (cur.isEmpty) rule else s"$cur,$rule")
+  }
+
   def register(spark: SparkSession): Unit = {
+    keepDeclaredWindowPartitions(spark)
     if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
     // A session built with [[GraftExtensions]] already carries these

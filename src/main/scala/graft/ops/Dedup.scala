@@ -104,7 +104,7 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       minSim: Double = 0.5): DataFrame =
     minhashLshPairsFromSigs(
-      minhashSignatures(df, idCol, textCol, shingleSize, numHashes).cache(),
+      cacheOnce(minhashSignatures(df, idCol, textCol, shingleSize, numHashes)),
       numHashes, bands, minSim)
 
   /** SimHash near-dup pairs: 64-bit sketch cut into `bands` chunks
@@ -137,10 +137,10 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("sim"), b * width).bitwiseAND(lit(mask)).as("chunk"))
     }
-    val exploded = sk.select(col("doc_id"), col("sim"),
+    val exploded = cacheOnce(sk.select(col("doc_id"), col("sim"),
       explode(array(bandCols: _*)).as("e"))
       .select(col("doc_id"), col("sim"), col("e.band"), col("e.chunk"))
-      .cache() // sketch computed once, read by both self-join sides
+    ) // sketch computed once, read by both self-join sides
     val a = exploded.select(col("band"), col("chunk"),
       col("doc_id").as("id1"), col("sim").as("sim1"))
     val b = exploded.select(col("band"), col("chunk"),
@@ -295,7 +295,7 @@ object Dedup {
         // doc says an estimate is fine), and the build skips dedup
         // entirely because bit_or bit-setting is idempotent over
         // duplicate keys
-        val pf = pFlat.cache()
+        val pf = cacheOnce(pFlat)
         val nKeys = pf.agg(approx_count_distinct(col("h"))).head().getLong(0)
         c.filter(Bloom.build(pf, "h", nRows = nKeys).mightContain(col("h")))
           .join(pf, Seq("h"))
@@ -329,10 +329,10 @@ object Dedup {
     // shingle strings (set cardinalities — and therefore Jaccard — are
     // unchanged barring a 64-bit collision, which the DuckDB oracle
     // comparison would surface, same stance as d01)
-    val docs = tagged.select(col("doc_id"), col("side"),
+    val docs = cacheOnce(tagged.select(col("doc_id"), col("side"),
         transform(makeShingles(col("text")), x => xxhash64(x)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .cache() // read by the prefix index and both verify-join sides
+    ) // read by the prefix index and both verify-join sides
     val toks = docs.select(col("doc_id"), col("side"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
     // global token order: rarest first (document frequency asc, token

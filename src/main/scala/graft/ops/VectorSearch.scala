@@ -203,10 +203,10 @@ object VectorSearch {
       c: Int, iters: Int = 3, sampleMod: Int = 1): Array[Seq[Float]] = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val sample = (if (sampleMod <= 1) vectors
+    val sample = cacheOnce((if (sampleMod <= 1) vectors
       else vectors.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0))
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .cache() // read once per Lloyd round
+    ) // read once per Lloyd round
     var cents: Array[Seq[Float]] = sample
       .orderBy(xxhash64(col("id")), col("id")).limit(c)
       .select(col("v")).collect()
@@ -587,7 +587,7 @@ object VectorSearch {
       col(vecCol).cast("array<double>").as("v"))
     // read once per Lloyd round; a single seed pass + iters encode
     // passes otherwise re-scan the input
-    val cached = if (iters > 1) base.cache() else base
+    val cached = if (iters > 1) cacheOnce(base) else base
     // deterministic seeds: the first c VECTORS in (xxhash64(id), id)
     // order — one TakeOrdered over n rows, sliced into every subspace
     // driver-side. (Per-subspace seed order equals the id order, so
@@ -905,7 +905,7 @@ object VectorSearch {
       struct(lit(t).as("tbl"),
         G.hyperplaneLsh(col("v"), nbits, baseSeed + t).as("bucket"))
     }
-    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    val base = cacheOnce(vectors.select(col(idCol).as("id"), col(vecCol).as("v")))
     val b = base.select(col("id"), explode(array(tableCols: _*)).as("e"))
       .select(col("id"), col("e.tbl"), col("e.bucket"))
     // pair dedup on ids only; vectors rejoin after the distinct so the
@@ -1053,8 +1053,9 @@ object VectorSearch {
     */
   def nnDescent(vectors: DataFrame, idCol: String, vecCol: String,
       init: DataFrame, k: Int, rounds: Int, explore: Int = 0): DataFrame = {
-    val base = vectors.select(col(idCol).as("_nid"), col(vecCol).as("_nv"))
-      .cache() // two id-joins per round read it
+    val base = cacheOnce(vectors
+      .select(col(idCol).as("_nid"), col(vecCol).as("_nv"))
+    ) // two id-joins per round read it
     // one bounded driver action to size the exploration buckets (same
     // class as trainCentroids' seed collect); never taken at explore=0
     val nBuckets: Long =

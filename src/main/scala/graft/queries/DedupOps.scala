@@ -67,8 +67,8 @@ object DedupOps {
       val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
         shingleSize = 3, numHashes = 64, bands = 16, minSim = 0.5)
       // shingle arrays are read by both verify-join sides — compute once
-      val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
-        .cache()
+      val sh = graft.ops.cacheOnce(
+        docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh")))
       pairs
         .join(sh.withColumnRenamed("doc_id", "id1").withColumnRenamed("sh", "sh1"), Seq("id1"))
         .join(sh.withColumnRenamed("doc_id", "id2").withColumnRenamed("sh", "sh2"), Seq("id2"))
@@ -102,7 +102,7 @@ object DedupOps {
       // (the LSH-style frequent-token guard)
       val rare = fpsAll.groupBy(col("fp"))
         .agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("fp")
-      val fps = fpsAll.join(rare, Seq("fp")).cache()
+      val fps = graft.ops.cacheOnce(fpsAll.join(rare, Seq("fp")))
       fps.select(col("fp"), col("doc_id").as("id1"))
         .join(fps.select(col("fp"), col("doc_id").as("id2")), Seq("fp"))
         .filter(col("id1") < col("id2"))
@@ -717,7 +717,7 @@ object DedupOps {
           explode(G.winnowFingerprint(col("text"), k = 8, w = 1)).as("fp"))
       val rare = fpsAll.groupBy(col("fp"))
         .agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("fp")
-      val fps = fpsAll.join(rare, Seq("fp")).cache()
+      val fps = graft.ops.cacheOnce(fpsAll.join(rare, Seq("fp")))
       fps.select(col("fp"), col("doc_id").as("id1"))
         .join(fps.select(col("fp"), col("doc_id").as("id2")), Seq("fp"))
         .filter(col("id1") < col("id2"))

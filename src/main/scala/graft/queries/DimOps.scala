@@ -118,8 +118,10 @@ object DimOps {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val n = Dims.municipios.size
-      val indexed = Dims.municipioDim(s).withColumn("idx",
-        (row_number().over(Window.orderBy(col("codigo_ibge"))) - 1).cast("int"))
+      val indexed = Dims.municipioDim(s).withColumn("_all", lit(0))
+        .withColumn("idx", (row_number().over(Window.partitionBy(col("_all"))
+          .orderBy(col("codigo_ibge"))) - 1).cast("int"))
+        .drop("_all")
       val inputs = load(s, dir, "customer")
         .withColumn("idx", pmod(col("c_custkey"), lit(n)).cast("int"))
         .join(broadcast(indexed), Seq("idx"))

@@ -301,9 +301,11 @@ object TextAnalysis {
       val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
       val top = counts.orderBy(col("freq").desc, col("token")).limit(100)
       val total = toks.agg(count(lit(1)).as("_total"))
-      val w = Window.orderBy(col("freq").desc, col("token"))
+      val w = Window.partitionBy(col("_all"))
+        .orderBy(col("freq").desc, col("token"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       top.crossJoin(broadcast(total))
+        .withColumn("_all", lit(0))
         .withColumn("rank", row_number().over(w))
         .withColumn("cum_share",
           round(sum(col("freq")).over(w).cast("double") / col("_total"), 6))

@@ -44,9 +44,14 @@ object TextAnalysis2 {
           size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
           expr("doc_id div 1024").as("block"))
       val blocks = docs.groupBy(col("block")).agg(sum(col("n_tok")).as("tok_b"))
-      val wBlocks = Window.orderBy(col("block"))
+      // the one sequential step runs over the corpus/1024-row block
+      // frame; the single partition is DECLARED via a materialized
+      // constant key (an empty partition spec means the same physical
+      // plan but a WindowExec warning on every run — the partition
+      // column makes the deliberate choice explicit to the engine)
+      val wBlocks = Window.partitionBy(col("_all")).orderBy(col("block"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val bases = blocks
+      val bases = blocks.withColumn("_all", lit(0))
         .withColumn("base", coalesce(sum(col("tok_b")).over(wBlocks), lit(0L)))
         .select(col("block"), col("base"))
       val wInBlock = Window.partitionBy(col("block")).orderBy(col("doc_id"))
@@ -177,8 +182,9 @@ object TextAnalysis2 {
         .agg(count(lit(1)).as("n_tok"),
           round(sum(col("lam")).cast("double"), 6).as("dsir_w"))
       val top = weights.orderBy(col("dsir_w").desc, col("doc_id")).limit(100)
-      val wTop = Window.orderBy(col("dsir_w").desc, col("doc_id"))
-      top.withColumn("rank", row_number().over(wTop))
+      val wTop = Window.partitionBy(col("_all"))
+        .orderBy(col("dsir_w").desc, col("doc_id"))
+      top.withColumn("_all", lit(0)).withColumn("rank", row_number().over(wTop))
         .select(col("doc_id"), col("n_tok"), col("dsir_w"), col("rank"))
         .orderBy(col("rank"))
     },

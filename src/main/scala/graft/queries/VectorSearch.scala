@@ -904,8 +904,9 @@ object VectorSearch {
         .groupBy(col("doc_id"))
         .agg(sum(col("contrib")).cast("double").as("bm25"))
       val bmTop = bm25.orderBy(col("bm25").desc, col("doc_id")).limit(n)
-        .withColumn("bm25_rank", row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .withColumn("_all", lit(0))
+        .withColumn("bm25_rank", row_number().over(Window.partitionBy(col("_all"))
+          .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
         .select(col("doc_id"), col("bm25_rank"))
       // dense side: a01's brute-force cosine, top-50
       val e = load(s, dir, "embeddings")
@@ -913,8 +914,9 @@ object VectorSearch {
           e.filter(col("vec_id") === 0), "embedding", n)
         .select(col("vec_id"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id")).limit(n)
-        .withColumn("cos_rank", row_number().over(
-          Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+        .withColumn("_all", lit(0))
+        .withColumn("cos_rank", row_number().over(Window.partitionBy(col("_all"))
+          .orderBy(col("sim").desc, col("vec_id"))).cast("long"))
         .select(col("vec_id"), col("cos_rank"))
       bmTop.join(cosTop, col("doc_id") === col("vec_id"), "full_outer")
         .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
@@ -970,13 +972,17 @@ object VectorSearch {
     * The rank computation is the SCALE-CORRECT form: scores are
     * 6-dp-rounded sigmoids, so grouping by score value yields at most
     * 1,000,001 buckets BY CONSTRUCTION — per-bucket (pos, total)
-    * counts aggregate map-side, the cumulative window runs over the
-    * bounded bucket frame (never per-row), and average-rank tie
-    * handling falls out exactly: items in a bucket share rank
-    * cum_before + (cnt+1)/2, so
-    * AUC = (Σ_pos avg_rank − P(P+1)/2) / (P·N). A 100 TB corpus
-    * shuffles ≤ 1e6 bucket rows through the window; the per-row work
-    * is one groupBy.
+    * counts aggregate map-side, and average-rank tie handling falls
+    * out exactly: items in a bucket share rank cum_before + (cnt+1)/2,
+    * so AUC = (Σ_pos avg_rank − P(P+1)/2) / (P·N).
+    *
+    * The cumulative count over the bucket frame is a TWO-LEVEL prefix
+    * sum (t23's shape): buckets fold into ≤1,001 `floor(score·1000)`
+    * blocks, block totals take the one sequential window (≤1,001 rows,
+    * explicit single-partition key), and broadcast block bases anchor
+    * a per-block window that runs in parallel — so no task ever sorts
+    * the full 1e6-bucket frame, and the per-row work is one groupBy at
+    * any corpus size.
     */
   val a26 = Q("a26_model_auc",
     (s, dir) => {
@@ -990,10 +996,18 @@ object VectorSearch {
         .withColumn("pos", (col("label") % 2 === 1).cast("long"))
       val buckets = scored.groupBy(col("score"))
         .agg(sum(col("pos")).as("p_b"), count(lit(1)).as("c_b"))
-      val wOrd = Window.orderBy(col("score"))
+        .withColumn("blk", floor(col("score") * 1000).cast("long"))
+      val wBlk = Window.partitionBy(col("_all")).orderBy(col("blk"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      buckets
-        .withColumn("cum_before", coalesce(sum(col("c_b")).over(wOrd), lit(0L)))
+      val bases = buckets.groupBy(col("blk")).agg(sum(col("c_b")).as("c_blk"))
+        .withColumn("_all", lit(0))
+        .withColumn("base", coalesce(sum(col("c_blk")).over(wBlk), lit(0L)))
+        .select(col("blk"), col("base"))
+      val wInBlk = Window.partitionBy(col("blk")).orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      buckets.join(broadcast(bases), Seq("blk"))
+        .withColumn("cum_before",
+          col("base") + coalesce(sum(col("c_b")).over(wInBlk), lit(0L)))
         .select((col("p_b") * (col("cum_before").cast("double") +
           (col("c_b") + lit(1)).cast("double") / 2.0)).as("rank_sum"),
           col("p_b"), col("c_b"))

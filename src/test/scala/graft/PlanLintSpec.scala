@@ -57,12 +57,16 @@ class PlanLintSpec extends SparkSuite {
   /** Queries whose plan legitimately sorts a whole frame through one
     * Window partition: every one runs over a frame already reduced to
     * metadata scale (a constant-cardinality aggregate or a local dim),
-    * never over per-row data.
+    * never over per-row data. All three now DECLARE the single
+    * partition with a materialized constant key (no WindowExec WARN);
+    * the lint sees through that key — see [[effectivelyGlobal]] — so
+    * they still need these entries, which is the point: deliberate
+    * single-partition frames stay governed here.
     */
   private val globalWindowByDesign = Set(
     "t23_sequence_packing", // cumulative base over `doc_id div 1024` block totals (corpus/1024 rows, recursable)
     "v10_dist_drift",       // proportions over the 10-bin histogram frame (groupBy least(floor/50000, 9) ⇒ ≤10 rows)
-    "a26_model_auc"         // cumulative ranks over the score-BUCKET frame: 6-dp sigmoid scores ⇒ ≤ 1,000,001 buckets by construction, never per-row
+    "a26_model_auc"         // cumulative base over floor(score·1000) block totals (≤1,001 rows; per-bucket ranks then run block-parallel)
   )
 
   import org.apache.spark.sql.catalyst.plans.logical._
@@ -80,15 +84,45 @@ class PlanLintSpec extends SparkSuite {
     case other => other.children.forall(bounded)
   }
 
-  /** A Window with no partitionBy funnels its entire input through ONE
-    * task (Exchange SinglePartition → Sort → Window) — the pattern
-    * that silently works at sf0.01 and serializes at 100 TB. Only
-    * allowed when the input is structurally bounded (a limit or local
+  /** True when every partition expression of the spec is constant —
+    * foldable outright, or an attribute whose defining Alias (looked
+    * up through the child plan) is foldable. Partitioning by a
+    * materialized constant column is the sanctioned idiom for a
+    * DELIBERATE single-partition window (it silences the WindowExec
+    * warning); the lint must see through it, or the idiom would be a
+    * free pass around the global-window check.
+    */
+  private def constantPartition(
+      spec: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      child: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    def definedFoldable(a: Attribute): Boolean =
+      child.collectFirst {
+        case p: Project if p.projectList.exists {
+          case al: Alias => al.exprId == a.exprId
+          case _         => false
+        } => p.projectList.collectFirst {
+          case al: Alias if al.exprId == a.exprId => al.child.foldable
+        }.get
+      }.getOrElse(false)
+    spec.nonEmpty && spec.forall {
+      case e if e.foldable => true
+      case a: Attribute    => definedFoldable(a)
+      case _               => false
+    }
+  }
+
+  /** A Window with no partitionBy — or one partitioned only by
+    * constants — funnels its entire input through ONE task (Exchange
+    * → Sort → Window on a single hash bucket) — the pattern that
+    * silently works at sf0.01 and serializes at 100 TB. Only allowed
+    * when the input is structurally bounded (a limit or local
     * relation below it) or declared above.
     */
   private def unboundedGlobalWindows(plan: LogicalPlan): Seq[String] =
     plan.collect {
-      case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+      case w: Window if (w.partitionSpec.isEmpty ||
+          constantPartition(w.partitionSpec, w.child)) && !bounded(w.child) =>
         s"global-sort Window over unbounded input: ${w.windowExpressions.map(_.name).mkString(",")}"
     }
 
@@ -122,6 +156,15 @@ class PlanLintSpec extends SparkSuite {
     val offender = docs.withColumn("rank",
       row_number().over(Window.orderBy(col("doc_id"))))
     assert(unboundedGlobalWindows(offender.queryExecution.optimizedPlan).nonEmpty)
+    // ...the constant-partition-key idiom (the WARN-silencing form) is
+    // seen through, not waved past
+    val evader = docs.withColumn("_all", lit(0)).withColumn("rank",
+      row_number().over(Window.partitionBy(col("_all")).orderBy(col("doc_id"))))
+    assert(unboundedGlobalWindows(evader.queryExecution.optimizedPlan).nonEmpty)
+    // ...a genuinely keyed window does not fire
+    val keyed = docs.withColumn("rank", row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+    assert(unboundedGlobalWindows(keyed.queryExecution.optimizedPlan).isEmpty)
     // ...and does NOT fire once the frame is limit-bounded (t10/t25 shape)
     val boundedTopK = docs.orderBy(col("doc_id")).limit(100)
       .withColumn("rank", row_number().over(Window.orderBy(col("doc_id"))))
