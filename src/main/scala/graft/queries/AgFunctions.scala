@@ -114,7 +114,11 @@ object AgFunctions {
             .cast("double").as("kg_from_arroba"),
           G.convertUnit(q, lit("parsec"), lit("kg"), lit(null).cast("string"))
             .cast("double").as("unknown_unit"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // l_quantity completes the total order: the scaled substrates
+        // carry duplicate (l_orderkey, l_linenumber) pairs, and every
+        // other output column is a function of quantity, so ties left
+        // open here are the one way two engines can disagree
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     },
     Some("""
       SELECT l_orderkey, l_linenumber, l_quantity,
@@ -124,7 +128,8 @@ object AgFunctions {
         ROUND(l_quantity * 25.4012, 4) AS kg_from_bushel_milho,
         ROUND(l_quantity * 15, 4) AS kg_from_arroba,
         CAST(NULL AS DOUBLE) AS unknown_unit
-      FROM lineitem WHERE l_orderkey < 2000 ORDER BY l_orderkey, l_linenumber"""))
+      FROM lineitem WHERE l_orderkey < 2000
+      ORDER BY l_orderkey, l_linenumber, l_quantity"""))
 
   /** F8 — safra (harvest-year) calendar: group a fact table by the
     * Jul-1-boundary safra of its date (reference `dates.py:15-25`).

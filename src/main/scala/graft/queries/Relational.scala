@@ -15,6 +15,14 @@ import graft.queries.T._
 object Relational {
 
   /** TPC-H Q1-style pricing summary — partial agg + tiny shuffle (A1). */
+  /** The oracle's `sum_disc_price` cast routes through VARCHAR because
+    * DuckDB's DECIMAL(38,8)→DOUBLE converts scaled-int128 → double →
+    * ÷1e8 (two roundings: the int128 exceeds 2^53), which is off by
+    * one ulp for some sums — e.g. 2693383520.00590000 → …0.0059004.
+    * Spark's cast (and DuckDB's VARCHAR→DOUBLE strtod) round correctly,
+    * and the two exact DECIMAL sums are identical (verified digit by
+    * digit at sf0.1/sf1.0); only the lossy final cast diverged.
+    */
   val q01 = Q("q01_pricing_summary",
     (s, dir) => {
       val li = load(s, dir, "lineitem")
@@ -34,7 +42,7 @@ object Relational {
       SELECT l_returnflag, l_linestatus,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
         CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
         COUNT(*) AS count_order
@@ -321,7 +329,10 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"),
           expr("stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, " +
             "'discount', l_discount, 'tax', l_tax) AS (measure, val)"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+        // val completes the total order — scaled substrates carry
+        // duplicate (l_orderkey, l_linenumber) pairs whose tie order
+        // would otherwise be engine-dependent
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"), col("val"))
     },
     Some("""
       SELECT l_orderkey, l_linenumber, measure, val FROM (
@@ -332,7 +343,7 @@ object Relational {
         SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem WHERE l_orderkey < 1000
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem WHERE l_orderkey < 1000) t
-      ORDER BY l_orderkey, l_linenumber, measure"""))
+      ORDER BY l_orderkey, l_linenumber, measure, val"""))
 
   /** R3 — union of homogeneous frames by name (reference `ibge/api.py:265-285`). */
   val q15 = Q("q15_union_slices",

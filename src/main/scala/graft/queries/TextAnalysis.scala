@@ -419,28 +419,51 @@ object TextAnalysis {
     * top 5 per language — so IF the candidate set covers the true
     * top-5, the result is exact and the plain window oracle
     * hash-matches. MG only GUARANTEES presence above n/(k+1) (~0.5%
-    * of a group's tokens at k=200); on this corpus every top-5 token
-    * clears that bar by an order of magnitude (which the oracle
-    * verifies), but on a flatter distribution k must grow with
-    * 1/freq(top-5) — the k-vs-tail trade every MG deployment sizes.
+    * of a group's tokens at k=200), so the prune is CERTIFIED before
+    * it is trusted: per language, the 5th candidate's exact count must
+    * clear the miss bound n_lang/(k+1) — then no absent token can
+    * displace the top 5. A language that fails the certificate (a
+    * spectrum flat enough that its top-5 sits below ~0.5% — where
+    * heavy-hitter pruning buys nothing anyway) falls back to the exact
+    * per-token groupBy, keeping the result exact AT EVERY SCALE
+    * instead of only where the sketch happens to hold. The certificate
+    * read is one row per language (bounded driver pull); n_lang rides
+    * the same aggregate as the MG pass, so certification adds no scan.
     */
   val t13 = Q("t13_group_heavy_hitters",
     (s, dir) => {
+      val mgK = 200
       val toks = load(s, dir, "documents")
         .select(col("lang"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
-      val cand = toks.groupBy(col("lang"))
-        .agg(G.mgTopK(col("token"), 200).as("cands"))
+      def exactTop5(counts: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("freq").desc, col("token"))
+        counts.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("lang"), col("rank"), col("token"), col("freq"))
+          .orderBy(col("lang"), col("rank"))
+      }
+      val agg1 = toks.groupBy(col("lang"))
+        .agg(G.mgTopK(col("token"), mgK).as("cands"),
+          count(lit(1)).as("n_lang"))
+      val cand = agg1
         .select(col("lang"), explode(col("cands")).as("c"))
         .select(col("lang"), col("c.item").as("token"))
-      val counts = toks.join(broadcast(cand), Seq("lang", "token"))
-        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("freq"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("freq").desc, col("token"))
-      counts.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("lang"), col("rank"), col("token"), col("freq"))
-        .orderBy(col("lang"), col("rank"))
+      val counts = graft.ops.cacheOnce(
+        toks.join(broadcast(cand), Seq("lang", "token"))
+          .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("freq")))
+      val pruned = exactTop5(counts)
+      val certified = pruned.groupBy(col("lang"))
+        .agg(min(col("freq")).as("f5"), count(lit(1)).as("n_ranked"))
+        .join(agg1.select(col("lang"), col("n_lang")), Seq("lang"))
+        .select(col("lang"),
+          (col("n_ranked") === 5 &&
+            col("f5") * (mgK + 1) > col("n_lang")).as("ok"))
+        .collect() // one row per language
+      if (certified.forall(_.getBoolean(1))) pruned
+      else exactTop5(
+        toks.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("freq")))
     },
     Some("""
       WITH toks AS (
@@ -767,6 +790,12 @@ object TextAnalysis {
           explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
       val freqs = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
       val total = toks.agg(count(lit(1)).as("_total"))
+      // the doc mean rides in exact integer MICRO-units end to end:
+      // per-token surprisal is 6-dp decimal (×1e6 = an exact long),
+      // and mean = round-half-up((2·Σ + n) div 2n) in integer
+      // arithmetic — round(double÷count, 6) instead lands on a .5
+      // boundary somewhere in a 50k-doc corpus and the two engines'
+      // double-rounding disagrees by the last printed digit
       toks.join(freqs, Seq("token"))
         .crossJoin(broadcast(total))
         .withColumn("surprisal",
@@ -774,9 +803,12 @@ object TextAnalysis {
             .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
-          round(sum(col("surprisal")).cast("double") / count(lit(1)), 6)
-            .as("mean_surprisal"))
+          sum((col("surprisal") * lit(1000000)).cast("long")).as("s_u"))
+        .withColumn("mean_surprisal",
+          expr("(2 * s_u + n_tokens) div (2 * n_tokens)").cast("double")
+            / lit(1000000.0))
         .withColumn("ppl", round(exp(col("mean_surprisal")), 4))
+        .select(col("doc_id"), col("n_tokens"), col("mean_surprisal"), col("ppl"))
         .orderBy(col("doc_id"))
     },
     Some("""
@@ -785,14 +817,18 @@ object TextAnalysis {
           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
         FROM documents),
       freqs AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1),
-      tot AS (SELECT COUNT(*) AS total FROM toks)
-      SELECT doc_id, COUNT(*) AS n_tokens,
-        ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(freq AS DOUBLE) / tot.total), 6)
-          AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal,
-        ROUND(EXP(ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(freq AS DOUBLE) / tot.total), 6)
-          AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)), 4) AS ppl
-      FROM toks JOIN freqs USING (token), tot
-      GROUP BY doc_id, tot.total ORDER BY doc_id"""))
+      tot AS (SELECT COUNT(*) AS total FROM toks),
+      per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          SUM(CAST(CAST(ROUND(-LN(CAST(freq AS DOUBLE) / tot.total), 6)
+            AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS s_u
+        FROM toks JOIN freqs USING (token), tot
+        GROUP BY doc_id, tot.total)
+      SELECT doc_id, n_tokens,
+        CAST((2 * s_u + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1000000.0
+          AS mean_surprisal,
+        ROUND(EXP(CAST((2 * s_u + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1000000.0), 4) AS ppl
+      FROM per_doc ORDER BY doc_id"""))
 
   /** Epoch upsampling — t16's other half (Muennighoff et al. 2023,
     * "Scaling Data-Constrained Language Models": under-represented
