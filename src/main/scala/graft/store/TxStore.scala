@@ -905,10 +905,26 @@ object TxStore {
       Skipping.readPoint(spark, versionDir(root, v), c, key))
   }
 
-  /** Highest streaming batch id already folded into the table. */
+  /** Highest streaming batch id already folded into the table: the
+    * max of the `_last_batch` fence file and the CURRENT version's
+    * staged `_batch_id` marker. The marker is what makes append
+    * commits exactly-once across a crash: it is created inside the
+    * staged version directory, so it becomes visible atomically WITH
+    * the version's pointer flip — a writer that dies between the flip
+    * and the fence-file write leaves a committed version whose marker
+    * still fences the replay. (MERGE commits don't need the marker —
+    * re-upserting identical rows is value-idempotent — but appends
+    * are not, so [[commitBatchAppend]] stages one on every commit.)
+    */
   def lastBatchId(root: String): Option[Long] = {
     val f = Paths.get(root, "_last_batch")
-    if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+    val fenced =
+      if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+    val staged = currentVersion(root).flatMap { v =>
+      val m = Paths.get(versionDir(root, v), "_batch_id")
+      if (Files.exists(m)) Some(Files.readString(m).trim.toLong) else None
+    }
+    (fenced ++ staged).reduceOption(_ max _)
   }
 
   /** Idempotent per-microbatch MERGE — the streaming sink contract
@@ -952,7 +968,8 @@ object TxStore {
     * commit.
     */
   def commitAppend(spark: SparkSession, root: String, rows: DataFrame,
-      expectedVersion: Option[Long] = None): Long = withCommitLock(root) {
+      expectedVersion: Option[Long] = None,
+      batchId: Option[Long] = None): Long = withCommitLock(root) {
     val expected = expectedVersion.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val baseDir = Paths.get(versionDir(root, expected))
@@ -967,11 +984,18 @@ object TxStore {
     val next = expected + 1
     claimVersion(root, next) { nextDir =>
       aligned.write.mode(SaveMode.ErrorIfExists).parquet(nextDir)
+      // the streaming fence rides INSIDE the staged dir so it commits
+      // atomically with the version (see lastBatchId); the underscore
+      // prefix hides it from Spark/DuckDB readers and the file counter
+      batchId.foreach(id =>
+        Files.writeString(Paths.get(nextDir, "_batch_id"), id.toString))
       // carry the base forward: part-file names are job-UUID-unique, so
       // only writer-job artifacts (_SUCCESS and its crc) collide — the
-      // new job already wrote those, keep its own
+      // new job already wrote those, keep its own. The base's own
+      // _batch_id marker must NOT travel (it fences a different batch).
       val s = Files.walk(baseDir)
-      try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+      try s.iterator().asScala.filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString != "_batch_id").foreach { f =>
         val t = Paths.get(nextDir).resolve(baseDir.relativize(f))
         Files.createDirectories(t.getParent)
         if (!Files.exists(t))
@@ -994,14 +1018,32 @@ object TxStore {
     * streaming batch-id high-water mark (replays dropped wholesale).
     * For foreachBatch sinks whose admissions are provably novel keys —
     * the O(batch)-per-microbatch commit a forever-running curation
-    * stream needs.
+    * stream needs. Unlike a replayed MERGE, a replayed APPEND is not
+    * value-idempotent, so the fence must commit atomically with the
+    * data: every version (including the first) stages a `_batch_id`
+    * marker inside its own directory, and [[lastBatchId]] reads the
+    * committed version's marker as well as the post-flip fence file —
+    * a crash anywhere between the pointer flip and the fence write
+    * still drops the replay instead of double-appending.
     */
   def commitBatchAppend(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long): Boolean = withCommitLock(root) {
     if (lastBatchId(root).exists(batchId <= _)) false
     else {
-      if (currentVersion(root).isEmpty) init(batch, root)
-      else if (!batch.isEmpty) commitAppend(spark, root, batch)
+      if (currentVersion(root).isEmpty) {
+        // inline init so the first batch's fence marker is staged
+        // atomically with v1 (init() + a marker written after the flip
+        // would reopen the crash gap for the very first batch)
+        Files.createDirectories(Paths.get(root, "_versions"))
+        claimVersion(root, 1L) { dir =>
+          batch.write.mode(SaveMode.ErrorIfExists).parquet(dir)
+          Files.writeString(Paths.get(dir, "_batch_id"), batchId.toString)
+        }
+        writeManifest(root, 1L, "init", parent = None)
+        flipPointer(root, expected = None, next = 1L)
+      }
+      else if (!batch.isEmpty)
+        commitAppend(spark, root, batch, batchId = Some(batchId))
       Files.writeString(Paths.get(root, "_last_batch"), batchId.toString)
       true
     }

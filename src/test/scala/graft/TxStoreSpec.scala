@@ -973,4 +973,30 @@ class TxStoreSpec extends SparkSuite {
     assert(TxStore.currentVersion(root) == v)
     assert(TxStore.lastBatchId(root).contains(2L))
   }
+
+  test("append fence survives a crash between pointer flip and fence write") {
+    // a replayed APPEND is not value-idempotent, so the fence must
+    // commit atomically with the data: losing the post-flip fence file
+    // (the crash-gap state) must still drop the replay — the committed
+    // version's own staged marker carries the batch id
+    val root = freshRoot()
+    val b1 = Seq((1L, "soja", 100.0)).toDF("k", "produto", "v")
+    val b2 = Seq((2L, "milho", 50.0)).toDF("k", "produto", "v")
+    TxStore.commitBatchAppend(spark, root, b1, batchId = 0L)
+    TxStore.commitBatchAppend(spark, root, b2, batchId = 1L)
+    // simulate the crash gap: fence file gone, version already flipped
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_last_batch"))
+    assert(TxStore.lastBatchId(root).contains(1L)) // marker still fences
+    assert(!TxStore.commitBatchAppend(spark, root, b2, batchId = 1L))
+    assert(rows(root) == Set((1L, "soja", 100.0), (2L, "milho", 50.0)))
+    // same gap on the VERY FIRST batch: v1's marker fences the re-init
+    val root2 = freshRoot()
+    TxStore.commitBatchAppend(spark, root2, b1, batchId = 0L)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root2, "_last_batch"))
+    assert(!TxStore.commitBatchAppend(spark, root2, b1, batchId = 0L))
+    assert(rows(root2) == Set((1L, "soja", 100.0)))
+    // and the sink keeps absorbing fresh batches after recovery
+    assert(TxStore.commitBatchAppend(spark, root2, b2, batchId = 1L))
+    assert(rows(root2) == Set((1L, "soja", 100.0), (2L, "milho", 50.0)))
+  }
 }
