@@ -93,11 +93,15 @@ class GoldenReferenceSpec extends SparkSuite {
     assert(dataRows.size == 639)
 
     val agro = Set("BGI", "CCM", "CNL", "ETH", "ICF", "SJC", "SOY")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("row_idx"))
+    // declared single-partition carry-forward over the 639-row fixture
+    // (constant key instead of an empty spec, as in the main queries)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_all")).orderBy(col("row_idx"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val df = dataRows.zipWithIndex
       .map { case (r, i) => (i.toLong, r(0), r(1), r(2), r(3), r(4), r(5)) }
       .toDF("row_idx", "c0", "venc", "aj_ant", "aj_atual", "varia", "aj_contrato")
+      .withColumn("_all", lit(0))
       // S2/W6: the ticker cell is only present on the first row of each
       // block — carry it forward relationally
       .withColumn("ticker_cell",
