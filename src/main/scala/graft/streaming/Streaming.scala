@@ -357,10 +357,14 @@ object Streaming {
     * Appends are not value-idempotent (unlike MERGE), so replays are
     * dropped by a batch-id high-water mark beside the index; the marker
     * is written after the append, so the crash window between them
-    * re-appends one batch (at-least-once). The production hardening is
-    * the TxStore shape — append as a versioned commit — documented in
-    * [[graft.ops.VectorSearch.appendToIvfIndex]]; the probe path and
-    * cell geometry are identical either way.
+    * re-appends one batch (at-least-once). The exactly-once hardening
+    * is the TxStore shape — append as a versioned commit with the
+    * fence STAGED INSIDE the version so it lands atomically with the
+    * pointer flip — now implemented as
+    * [[graft.store.TxStore.commitBatchAppend]] (crash gap spec-forced
+    * in TxStoreSpec) and used by the curation and decontamination
+    * sinks; the raw-directory index keeps the at-least-once contract
+    * because its cell partitions have no version pointer to flip.
     */
   private[graft] def ivfAppendBatch(batch: DataFrame, batchId: Long,
       idCol: String, vecCol: String, cents: Array[Seq[Float]],
