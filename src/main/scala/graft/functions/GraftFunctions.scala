@@ -184,6 +184,18 @@ object GraftFunctions {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
+  /** Names a graft [[register]] pass actually wrote into a registry —
+    * weak-keyed by the registry instance (sessions can share one). A
+    * null/empty owner class in ExpressionInfo is only evidence of graft
+    * ownership when graft itself registered that name there; a USER
+    * temp function whose info carries no class name must still be
+    * reported as a shadow, or the WARN diagnostic quietly loses exactly
+    * the case it exists for.
+    */
+  private val graftWroteNames =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[AnyRef, java.util.Set[String]]())
+
   /** Register SQL-callable versions of the custom expressions (once
     * per session — safe to call from every entry point).
     */
@@ -209,9 +221,14 @@ object GraftFunctions {
       spark.conf.set(key, if (cur.isEmpty) rule else s"$cur,$rule")
   }
 
-  def register(spark: SparkSession): Unit = {
+  /** @return the names found shadowed by FOREIGN (non-graft) session
+    *         functions on this pass — empty on a clean registry or a
+    *         repeat call; the same list the shadow WARN reports.
+    */
+  def register(spark: SparkSession): Seq[String] = {
     keepDeclaredWindowPartitions(spark)
-    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null)
+      return Seq.empty
     val reg = spark.sessionState.functionRegistry
     // A session built with [[GraftExtensions]] already carries these
     // names (injected as built-ins): registering over them would both
@@ -229,19 +246,28 @@ object GraftFunctions {
     // mislabel graft's own prior registrations as user shadows and WARN
     // falsely on every later entry point.
     val foreign = scala.collection.mutable.ListBuffer.empty[String]
-    def graftOwned(owner: String): Boolean =
-      owner == null || owner.isEmpty || owner.startsWith("graft.")
+    val wrote = graftWroteNames.computeIfAbsent(reg,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+    // a null/empty owner is graft-owned only if graft REGISTERED that
+    // name in this registry — a user temp function with no recorded
+    // class name is a foreign shadow and must be logged as one
+    def graftOwned(owner: String, name: String): Boolean =
+      if (owner == null || owner.isEmpty) wrote.contains(name)
+      else owner.startsWith("graft.")
     def absent(name: String): Boolean = {
       val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
       if (!reg.functionExists(id)) true
       else {
         val owner = reg.lookupFunction(id).map(_.getClassName).orNull
-        if (!graftOwned(owner)) foreign += name
+        if (!graftOwned(owner, name)) foreign += name
         false
       }
     }
     def raw(name: String, f: Seq[Expression] => Expression): Unit =
-      if (absent(name)) reg.createOrReplaceTempFunction(name, f, "built-in")
+      if (absent(name)) {
+        reg.createOrReplaceTempFunction(name, f, "built-in")
+        wrote.add(name)
+      }
     def one(name: String, f: Expression => Expression): Unit =
       raw(name, exprs => f(exprs.head))
     one("strip_accents", StripAccents)
@@ -273,6 +299,7 @@ object GraftFunctions {
         s"graft SQL functions shadowed by pre-existing session functions " +
           s"(user registration wins; SQL calls will NOT use graft's " +
           s"implementation): ${foreign.mkString(", ")}")
+    foreign.toSeq
   }
 
   /** k arguments of SQL-registered sketch functions must be literal

@@ -42,6 +42,14 @@ object Skipping {
     */
   private[store] def sidecarFiles(dir: String): Seq[String] = {
     val p = java.nio.file.Paths.get(dir)
+    // fail CLOSED with a pointer to the fix: a version with no sidecar
+    // (e.g. one minted by TxStore.commitAppend, which deliberately does
+    // not carry the base's now-stale sidecars forward) must never be
+    // answered from another version's stats — rebuild for this version
+    if (!java.nio.file.Files.isDirectory(p))
+      throw new IllegalStateException(
+        s"no skipping sidecar at $dir — rebuild it for THIS version " +
+          "(TxStore.writeStats/writeBloomStats) before skipping reads")
     val s = java.nio.file.Files.list(p)
     try s.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))

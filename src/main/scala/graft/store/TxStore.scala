@@ -979,6 +979,19 @@ object TxStore {
     require(rows.columns.toSet == baseSchema.fieldNames.toSet,
       s"append schema ${rows.columns.toSeq.sorted} != " +
         s"table ${baseSchema.fieldNames.toSeq.sorted} (use commitUpsertEvolve)")
+    // name-set equality is not enough: a batch with matching names but
+    // drifted types would pass and write MIXED physical schemas into one
+    // version dir, failing only at some later read with no pointer back
+    // to the offending append — so types fail loudly here instead
+    val baseTypes = baseSchema.fields.map(f => f.name -> f.dataType).toMap
+    val drifted = rows.schema.fields.collect {
+      case f if baseTypes(f.name) != f.dataType =>
+        s"${f.name}: batch ${f.dataType.simpleString} != " +
+          s"table ${baseTypes(f.name).simpleString}"
+    }
+    require(drifted.isEmpty,
+      s"append column types drifted from the committed schema " +
+        s"(cast the batch or use commitUpsertEvolve): ${drifted.mkString("; ")}")
     val aligned = rows.select(baseSchema.fieldNames.toSeq.map(
       org.apache.spark.sql.functions.col): _*)
     val next = expected + 1
@@ -992,10 +1005,22 @@ object TxStore {
       // carry the base forward: part-file names are job-UUID-unique, so
       // only writer-job artifacts (_SUCCESS and its crc) collide — the
       // new job already wrote those, keep its own. The base's own
-      // _batch_id marker must NOT travel (it fences a different batch).
+      // _batch_id marker must NOT travel (it fences a different batch),
+      // and neither may the `_stats`/`_blooms` skipping sidecars: they
+      // describe the BASE file set, so a carried copy would make
+      // readRange/readPoint on the appended version silently drop every
+      // appended row. Excluding them fails those reads closed ("no
+      // sidecar for this version") until the caller rebuilds stats.
+      // `_dv` DOES travel: deletion vectors are per-file-name facts that
+      // stay true for the linked base files and match no appended file.
+      def isSkippingSidecar(f: Path): Boolean = {
+        val head = baseDir.relativize(f).getName(0).toString
+        head == "_stats" || head == "_blooms"
+      }
       val s = Files.walk(baseDir)
       try s.iterator().asScala.filter(f => Files.isRegularFile(f) &&
-          f.getFileName.toString != "_batch_id").foreach { f =>
+          f.getFileName.toString != "_batch_id" &&
+          !isSkippingSidecar(f)).foreach { f =>
         val t = Paths.get(nextDir).resolve(baseDir.relativize(f))
         Files.createDirectories(t.getParent)
         if (!Files.exists(t))
@@ -1028,8 +1053,16 @@ object TxStore {
     */
   def commitBatchAppend(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long): Boolean = withCommitLock(root) {
-    if (lastBatchId(root).exists(batchId <= _)) false
-    else {
+    val fence = lastBatchId(root)
+    if (fence.exists(batchId <= _)) {
+      // replay fenced only by the current version's marker (fence file
+      // lost in the crash gap): repair `_last_batch` now so the fence
+      // outlives later commits that replace the marker-bearing version
+      // (belt to [[preserveFence]]'s braces — durable at first contact)
+      fence.foreach(id =>
+        Files.writeString(Paths.get(root, "_last_batch"), id.toString))
+      false
+    } else {
       if (currentVersion(root).isEmpty) {
         // inline init so the first batch's fence marker is staged
         // atomically with v1 (init() + a marker written after the flip
@@ -1198,12 +1231,36 @@ object TxStore {
     claimVersion(root, v)(dir =>
       df.write.mode(SaveMode.ErrorIfExists).parquet(dir))
 
+  /** Persist the streaming fence before the version it rides in is
+    * superseded. A writer that crashed between a [[commitBatchAppend]]
+    * pointer flip and its `_last_batch` write leaves the fence ONLY in
+    * the current version's staged `_batch_id` marker — and the next
+    * non-append commit (compaction, upsert, delete, restore) mints a
+    * version WITHOUT a marker, which would erase the fence and let a
+    * later replay double-append. Copying the marker down into
+    * `_last_batch` right before every flip makes the fence survive any
+    * maintenance commit: monotone (only ever raises the recorded id)
+    * and always under the caller's commit lock.
+    */
+  private def preserveFence(root: String): Unit = {
+    val f = Paths.get(root, "_last_batch")
+    val fenced =
+      if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+    currentVersion(root)
+      .map(v => Paths.get(versionDir(root, v), "_batch_id"))
+      .filter(Files.exists(_))
+      .map(m => Files.readString(m).trim.toLong)
+      .filter(staged => fenced.forall(_ < staged))
+      .foreach(staged => Files.writeString(f, staged.toString))
+  }
+
   /** Atomic pointer flip: write aside, ATOMIC_MOVE into place.
     * Unconditional REPLACE is sound because only the process that won
     * [[claimVersion]] for `next` ever flips to `next`, and claims are
     * totally ordered by the expected-version chain.
     */
   private def flipPointer(root: String, expected: Option[Long], next: Long): Unit = {
+    preserveFence(root)
     val tmp = Paths.get(root, s"_current.tmp.$next")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, currentFile(root), StandardCopyOption.ATOMIC_MOVE,

@@ -77,7 +77,8 @@ class ExtensionsSpec extends AnyFunSuite {
     // fresh session: the shared one already carries graft's registry
     val s = SparkSuite.session.newSession()
     s.udf.register("hash64", (x: String) => 777L)
-    graft.functions.GraftFunctions.register(s)
+    val foreign = graft.functions.GraftFunctions.register(s)
+    assert(foreign == Seq("hash64"))
     // the user's registration wins — graft must NOT replace it
     assert(s.sql("SELECT hash64('abc') AS h").collect()(0).getLong(0) == 777L)
     // every name the user did not claim registers normally
@@ -85,5 +86,23 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect()(0).getString(0) == "Parana")
     assert(s.sql("SELECT simhash64('a b c') IS NOT NULL AS ok")
       .collect()(0).getBoolean(0))
+  }
+
+  test("a user function with NO recorded owner class is still reported as a foreign shadow") {
+    // ExpressionInfo with an empty class name is exactly the case a
+    // bare null/empty => graft-owned rule silently swallowed: the user
+    // claimed the name, graft must not treat the blank owner as its own
+    val s = SparkSuite.session.newSession()
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("hash64")
+    s.sessionState.functionRegistry.registerFunction(
+      id,
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("", "hash64"),
+      exprs => org.apache.spark.sql.catalyst.expressions.Literal(888L))
+    val foreign = graft.functions.GraftFunctions.register(s)
+    assert(foreign == Seq("hash64"), "blank-owner user function must be logged as foreign")
+    // and the user's registration still wins
+    assert(s.sql("SELECT hash64('abc') AS h").collect()(0).getLong(0) == 888L)
+    // a clean fresh session reports nothing foreign
+    assert(graft.functions.GraftFunctions.register(SparkSuite.session.newSession()).isEmpty)
   }
 }

@@ -999,4 +999,80 @@ class TxStoreSpec extends SparkSuite {
     assert(TxStore.commitBatchAppend(spark, root2, b2, batchId = 1L))
     assert(rows(root2) == Set((1L, "soja", 100.0), (2L, "milho", 50.0)))
   }
+
+  test("skipping sidecars do not travel with appends (stale stats would drop appended rows)") {
+    val root = freshRoot()
+    val base = (1L to 100L).map(k => (k, s"p$k", k * 1.0)).toDF("k", "produto", "v")
+      .repartitionByRange(4, $"k")
+    TxStore.init(base, root)
+    TxStore.writeStats(spark, root, Seq("k"))
+    TxStore.writeBloomStats(spark, root, "k")
+    assert(TxStore.readRange(spark, root, "k", lit(1L), lit(10L)).count() == 10)
+    TxStore.commitAppend(spark, root,
+      Seq((101L, "novo", 1.0)).toDF("k", "produto", "v"))
+    // the appended version must NOT carry v1's sidecars: they describe
+    // the BASE file set, so a carried copy would silently drop every
+    // appended row from readRange/readPoint
+    val v2 = java.nio.file.Paths.get(TxStore.versionDir(root, 2L))
+    assert(!java.nio.file.Files.exists(v2.resolve("_stats")))
+    assert(!java.nio.file.Files.exists(v2.resolve("_blooms")))
+    // skipping reads fail CLOSED until stats are rebuilt for v2
+    val e = intercept[IllegalStateException] {
+      TxStore.readRange(spark, root, "k", lit(90L), lit(200L)).count()
+    }
+    assert(e.getMessage.contains("no skipping sidecar"))
+    intercept[IllegalStateException] {
+      TxStore.readPoint(spark, root, "k", lit(101L)).count()
+    }
+    // rebuild for THIS version -> appended row visible to skipping reads
+    TxStore.writeStats(spark, root, Seq("k"))
+    TxStore.writeBloomStats(spark, root, "k")
+    assert(TxStore.readRange(spark, root, "k", lit(90L), lit(200L))
+      .select("k").as[Long].collect().toSet == (90L to 101L).toSet)
+    assert(TxStore.readPoint(spark, root, "k", lit(101L)).count() == 1L)
+  }
+
+  test("append fence survives maintenance commits minted inside the crash gap") {
+    val root = freshRoot()
+    val b1 = Seq((1L, "soja", 100.0)).toDF("k", "produto", "v")
+    val b2 = Seq((2L, "milho", 50.0)).toDF("k", "produto", "v")
+    TxStore.commitBatchAppend(spark, root, b1, batchId = 0L)
+    TxStore.commitBatchAppend(spark, root, b2, batchId = 1L)
+    val fence = java.nio.file.Paths.get(root, "_last_batch")
+    // crash gap: fence file lost, fence lives only in v-current's marker.
+    // A fenced replay must repair the file, not just return false —
+    // otherwise the fence stays one maintenance commit from erasure.
+    java.nio.file.Files.delete(fence)
+    assert(!TxStore.commitBatchAppend(spark, root, b2, batchId = 1L))
+    assert(java.nio.file.Files.readString(fence).trim == "1")
+    // same gap, but a COMPACTION (marker-less version) lands before any
+    // replay: the flip must persist the marker into the fence file, or
+    // the subsequent replay double-appends
+    java.nio.file.Files.delete(fence)
+    TxStore.commitCompaction(spark, root, numFiles = 1)
+    assert(TxStore.lastBatchId(root).contains(1L))
+    assert(!TxStore.commitBatchAppend(spark, root, b2, batchId = 1L))
+    assert(rows(root) == Set((1L, "soja", 100.0), (2L, "milho", 50.0)))
+    // fresh batches still apply after all that surgery
+    assert(TxStore.commitBatchAppend(spark, root,
+      Seq((3L, "arroz", 25.0)).toDF("k", "produto", "v"), batchId = 2L))
+    assert(rows(root) == Set((1L, "soja", 100.0), (2L, "milho", 50.0),
+      (3L, "arroz", 25.0)))
+  }
+
+  test("append with drifted column types is a loud error, not mixed physical schemas") {
+    val root = freshRoot()
+    TxStore.init(Seq((1L, "soja", 100.0)).toDF("k", "produto", "v"), root)
+    // same column NAMES, but k arrives as Int where the table holds Long
+    val e = intercept[IllegalArgumentException] {
+      TxStore.commitAppend(spark, root,
+        Seq((2, "milho", 50.0)).toDF("k", "produto", "v"))
+    }
+    assert(e.getMessage.contains("drifted"))
+    assert(TxStore.currentVersion(root).contains(1L)) // nothing minted
+    // a correctly-typed batch still appends
+    TxStore.commitAppend(spark, root,
+      Seq((2L, "milho", 50.0)).toDF("k", "produto", "v"))
+    assert(rows(root) == Set((1L, "soja", 100.0), (2L, "milho", 50.0)))
+  }
 }
