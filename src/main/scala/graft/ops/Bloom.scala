@@ -58,6 +58,30 @@ object Bloom {
       * per-eval expression machinery — versus sub-µs here, so per-gram
       * row paths close over the filter and call this instead.
       */
+    /** Fraction of set bits. The classic estimates follow: FP rate ≈
+      * fill^k, and the distinct-key count that produced the fill is
+      * n ≈ -(m/k)·ln(1-fill) — both used by the saturation-regeneration
+      * path (a long-lived incrementally-maintained bloom cannot keep a
+      * frozen geometry forever; see
+      * [[graft.streaming.Streaming.curationSink]]).
+      */
+    def fillFraction: Double = {
+      var ones = 0L
+      var i = 0
+      while (i < words.length) { ones += java.lang.Long.bitCount(words(i)); i += 1 }
+      ones.toDouble / mBits
+    }
+
+    def fpEstimate: Double = math.pow(fillFraction, k)
+
+    /** Inverted fill formula; clamped to ≥1 so a sizing loop always
+      * terminates. A fully-saturated filter (fill = 1.0) has lost the
+      * information to estimate n — callers size from their own count.
+      */
+    def estimatedKeys: Long =
+      if (fillFraction >= 1.0) Long.MaxValue
+      else math.max(1L, math.round(-(mBits.toDouble / k) * math.log1p(-fillFraction)))
+
     def mightContainString(key: String): Boolean = {
       import org.apache.spark.sql.catalyst.expressions.XxHash64Function
       import org.apache.spark.sql.types.{IntegerType, StringType}
@@ -93,6 +117,24 @@ object Bloom {
     */
   def empty(mBits: Long = MaxBits, k: Int = 5): Filter =
     Filter(new Array[Long]((mBits / 64).toInt), mBits, k)
+
+  /** Predicted FP rate of a k-hash bloom of `mBits` holding `n` keys:
+    * (1 - e^(-kn/m))^k. Used to size a REGENERATED geometry before
+    * paying the rebuild scan.
+    */
+  def predictedFp(mBits: Long, k: Int, n: Long): Double =
+    math.pow(1.0 - math.exp(-k.toDouble * n / mBits), k)
+
+  /** Smallest power-of-two doubling of `fromBits` whose predicted FP
+    * for `n` keys is ≤ `targetFp` (capped at 2^30 bits = 128 MiB —
+    * past that a bit table stops being a broadcastable gate and the
+    * caller should shard it).
+    */
+  def sizeFor(n: Long, targetFp: Double, fromBits: Long, k: Int = 5): Long = {
+    var m = fromBits
+    while (m < (1L << 30) && predictedFp(m, k, n) > targetFp) m *= 2
+    m
+  }
 
   /** `f` plus the keys of `build` — the incremental maintenance step.
     * Bit-setting is monotone and idempotent (bit_or), so unions are

@@ -106,6 +106,27 @@ object Streaming {
 
   private[graft] def curationBloomPath(root: String) = root + "_grambloom"
 
+  /** Estimated-FP ceiling that triggers gram-bloom regeneration (the
+    * gate stays correct at ANY FP rate — this bounds the wasted-suspect
+    * tail, not correctness).
+    */
+  private[graft] val CurationBloomMaxFp = 0.03
+
+  /** Admission-write sizing for the append sinks: one part file per
+    * `rowsPerFile` admitted rows, capped at the session's parallelism.
+    * A steady stream's small batches still land as ONE file per
+    * microbatch (file count ∝ batches, [[graft.store.TxStore
+    * .commitCompaction]] owns long-run hygiene), while a BURST batch
+    * fans its write across tasks instead of funnelling through one.
+    * `df` must be cached — the count that sizes the coalesce is also
+    * the materialization.
+    */
+  private def admissionPartitions(df: DataFrame, rowsPerFile: Int): Int = {
+    val n = df.count()
+    val cap = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    math.min(cap.toLong, math.max(1L, (n + rowsPerFile - 1) / rowsPerFile)).toInt
+  }
+
   /** Atomic persist of the maintained gram bloom (tmp + ATOMIC_MOVE,
     * the same torn-write discipline as the TxStore pointer).
     */
@@ -188,15 +209,29 @@ object Streaming {
     * (an over-full bloom only costs extra suspects; an under-full one
     * could admit a near-dup). A missing bloom (pre-gate table, deleted
     * file) is rebuilt from the corpus in one scan at sink start. The
-    * fixed 2^24-bit geometry holds ~1% FP to ~1.6M distinct grams;
-    * beyond that the FP rate — and with it the suspect tail — degrades
-    * gracefully while admissions stay exact.
+    * default 2^24-bit geometry holds ~1% FP to ~1.6M distinct grams;
+    * past that the saturation path below regenerates at a larger one.
     *
     * First batch initializes the table (self-dedup only). Within-batch
     * duplicate pairs keep the LOWEST id (deterministic canonical).
+    *
+    * SATURATION: the geometry is frozen per filter (bit positions
+    * depend on mBits), but not per SINK — after each batch's union, if
+    * the filter's estimated FP rate crosses [[CurationBloomMaxFp]], the
+    * bloom is REGENERATED at the smallest doubled geometry predicted to
+    * hold ~1% FP for the estimated gram count, rebuilt in one scan of
+    * corpus ∪ this batch's admissions (so the persisted filter is still
+    * a superset of the committed corpus's grams — the crash invariant —
+    * even though the table commit lands after the save). Admissions are
+    * unaffected by WHEN regen fires: the gate is pruning-only, so a
+    * saturated bloom only inflates the suspect tail that the exact
+    * confirm join then clears. `bloomBits` is the INITIAL geometry
+    * (default 2 MiB of words); tests drive saturation with a tiny one.
     */
   def curationSink(docs: DataFrame, root: String, tau: Double,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: String, bloomBits: Long = 1L << 24,
+      rowsPerFile: Int = 100000)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val shingleK = 3
     // the maintained bloom rides in the sink closure between batches;
     // loaded (or rebuilt from the corpus) lazily on the first batch so
@@ -224,7 +259,7 @@ object Streaming {
           mark("selfjoin")
           val bl = bloom.getOrElse {
             val f = loadGramBloom(curationBloomPath(root)).getOrElse {
-              val base = graft.ops.Bloom.empty()
+              val base = graft.ops.Bloom.empty(bloomBits)
               if (graft.store.TxStore.currentVersion(root).isEmpty) base
               else graft.ops.Bloom.union(base,
                 graft.store.TxStore.read(spark, root).select(
@@ -251,22 +286,44 @@ object Streaming {
                 (selfClean.join(dupIds, Seq("doc_id"), "left_anti"), cached)
               }
             }
-          // one part file per microbatch admission keeps the linked
-          // version tree's file count ∝ batches, not ∝ batches × tasks
-          val novelCached = novel.coalesce(1).cache()
+          // rows-per-file-bounded write: one part file per steady batch
+          // (file count ∝ batches, not ∝ batches × tasks), multiple
+          // tasks for a burst batch instead of a single-task funnel
+          val novelCached = novel.cache()
+          val nParts = admissionPartitions(novelCached, rowsPerFile)
           mark("cross")
           // bloom BEFORE table: the superset invariant must survive a
           // crash between the two writes (see Scaladoc)
-          val updated = graft.ops.Bloom.union(bl, novelCached.select(
-            explode(graft.ops.Dedup.shingles(col("text"), shingleK)).as("g")),
-            "g")
+          val novelGrams = novelCached.select(
+            explode(graft.ops.Dedup.shingles(col("text"), shingleK)).as("g"))
+          val updated = graft.ops.Bloom.union(bl, novelGrams, "g")
           mark("bloomunion")
-          saveGramBloom(curationBloomPath(root), updated)
-          bloom = Some(updated)
+          // saturation check: past the FP ceiling, regenerate at a
+          // doubled geometry sized for the estimated gram count — one
+          // corpus scan, as a maintenance step inside the batch. The
+          // rebuild unions corpus grams AND this batch's admissions, so
+          // the save below still precedes the table commit with the
+          // superset invariant intact.
+          val toSave =
+            if (updated.fpEstimate <= CurationBloomMaxFp) updated
+            else {
+              val m = graft.ops.Bloom.sizeFor(updated.estimatedKeys,
+                targetFp = 0.01, fromBits = updated.mBits, k = updated.k)
+              val corpusGrams =
+                if (graft.store.TxStore.currentVersion(root).isEmpty) novelGrams
+                else graft.store.TxStore.read(spark, root).select(
+                  explode(graft.ops.Dedup.shingles(col("text"), shingleK))
+                    .as("g")).union(novelGrams)
+              graft.ops.Bloom.union(
+                graft.ops.Bloom.empty(m, updated.k), corpusGrams, "g")
+            }
+          saveGramBloom(curationBloomPath(root), toSave)
+          bloom = Some(toSave)
           mark("bloomsave")
           // admissions are proven-novel doc_ids — the insert-only
           // contract commitBatchAppend needs for its O(batch) commit
-          graft.store.TxStore.commitBatchAppend(spark, root, novelCached, id)
+          graft.store.TxStore.commitBatchAppend(spark, root,
+            novelCached.coalesce(nParts), id)
           mark("commit")
           // the similarity joins cache their shingle frames for the
           // duration of the batch; an always-on sink must release
@@ -297,7 +354,8 @@ object Streaming {
     * a versioned, time-travelable clean corpus.
     */
   def decontaminationSink(docs: DataFrame, bench: DataFrame, root: String,
-      n: Int, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      n: Int, checkpoint: String, rowsPerFile: Int = 100000)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val benchGrams = graft.ops.Curation
       .wordGramPositions(bench, "doc_id", "text", n)
       .select(col("g")).distinct()
@@ -313,9 +371,12 @@ object Streaming {
             .join(broadcast(benchGrams), Seq("g"))
             .select(col("doc_id")).distinct()
           // admitted docs are new doc_ids by construction (the stream's
-          // id space), so the clean corpus grows by O(batch) appends
-          graft.store.TxStore.commitBatchAppend(batch.sparkSession, root,
-            b.join(flagged, Seq("doc_id"), "left_anti").coalesce(1), id)
+          // id space), so the clean corpus grows by O(batch) appends —
+          // rows-per-file-bounded so a burst batch writes in parallel
+          val clean = b.join(flagged, Seq("doc_id"), "left_anti").cache()
+          try graft.store.TxStore.commitBatchAppend(batch.sparkSession, root,
+            clean.coalesce(admissionPartitions(clean, rowsPerFile)), id)
+          finally clean.unpersist()
         }
         ()
       }

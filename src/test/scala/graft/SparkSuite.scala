@@ -31,9 +31,12 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSuite {
+  // SPARK_GRAFT_MASTER=local-cluster[2,8,3072] (+ SPARK_HOME) reruns
+  // targeted suites with tasks in separate executor JVMs — the
+  // cross-JVM gate for closures/agg buffers/broadcasts; default local[2]
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[2]")
+    val s = graft.SparkBoot.configure(
+        SparkSession.builder(), graft.SparkBoot.master("2"))
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -390,6 +390,64 @@ class StreamingRestartSpec extends SparkSuite {
       "post-restart probes must equal a one-shot build's")
   }
 
+  test("curation sink: crash between bloom save and table commit — over-full bloom, replay admits the uninterrupted set") {
+    // the Scaladoc's crash-ordering argument, proven: a writer that died
+    // AFTER saveGramBloom and BEFORE commitBatchAppend leaves a bloom
+    // that already contains the batch's grams while the table and the
+    // checkpoint know nothing. On restart the batch replays against that
+    // OVER-FULL bloom — every novel doc bloom-hits at fraction 1.0, so
+    // all of them go suspect — and the exact confirm join must clear
+    // them, making admissions equal an uninterrupted run's.
+    import org.apache.spark.sql.functions.{col, explode}
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("graft_rst_curgap") + "/t"
+    val ckpt = tmp("graft_rst_curgapck")
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b = "one two three four five six seven eight nine ten eleven twelve"
+    val c = "red orange yellow green blue indigo violet cyan magenta umber ochre teal"
+    val e = "north south east west up down left right forward backward inward outward"
+    val in = MemoryStream[(Long, String)]
+    val src = in.toDF().toDF("doc_id", "text")
+    def docs(): Set[Long] =
+      TxStore.read(spark, root).select("doc_id").as[Long].collect().toSet
+
+    var q = Streaming.curationSink(src, root, tau = 0.6, checkpoint = ckpt)
+    try { in.addData((1L, a), (2L, b)); q.processAllAvailable() }
+    finally q.stop()
+    assert(docs() == Set(1L, 2L))
+
+    // manufacture the exact crash state of a batch-1 attempt that died
+    // in the gap: its grams reach the persisted bloom, nothing else
+    val batch1 = Seq((5L, e), (6L, c), (7L, b + " tail"))
+    val blPath = Streaming.curationBloomPath(root)
+    val over = graft.ops.Bloom.union(
+      Streaming.loadGramBloom(blPath).get,
+      batch1.toDF("doc_id", "text").select(
+        explode(graft.ops.Dedup.shingles(col("text"), 3)).as("g")), "g")
+    Streaming.saveGramBloom(blPath, over)
+
+    q = Streaming.curationSink(src, root, tau = 0.6, checkpoint = ckpt)
+    try { in.addData(batch1: _*); q.processAllAvailable() }
+    finally q.stop()
+    // novel docs admitted despite 100% bloom-hit; near-dup of persisted
+    // doc 2 still rejected
+    assert(docs() == Set(1L, 2L, 5L, 6L))
+
+    // uninterrupted twin: same batches, no crash — identical admissions
+    val root2 = tmp("graft_rst_curgap2") + "/t"
+    val ckpt2 = tmp("graft_rst_curgap2ck")
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.curationSink(in2.toDF().toDF("doc_id", "text"),
+      root2, tau = 0.6, checkpoint = ckpt2)
+    try {
+      in2.addData((1L, a), (2L, b)); q2.processAllAvailable()
+      in2.addData(batch1: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(docs() == TxStore.read(spark, root2).select("doc_id")
+      .as[Long].collect().toSet,
+      "crash-gap admissions must equal the uninterrupted run's")
+  }
+
   test("decontamination sink: restart with forced replay never re-admits, never leaks, then keeps gating") {
     implicit val sqlCtx = spark.sqlContext
     val root = tmp("graft_rst_dec") + "/t"

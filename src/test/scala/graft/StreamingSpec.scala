@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.functions._
@@ -274,6 +276,89 @@ class StreamingSpec extends SparkSuite {
         .as[Long].collect().toSet == Set(1L, 2L, 4L))
     } finally q.stop()
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(blPath)))
+  }
+
+  test("curation gram bloom saturation: regenerated at doubled geometry, gate recovers, admissions exact") {
+    import graft.store.TxStore
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_cursat").resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cursatck").toString
+    // every doc is 12 words nothing else shares -> 10 distinct 3-shingles
+    def doc(i: Int): String = (0 until 12).map(w => s"w${i}x$w").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val src = in.toDF().toDF("doc_id", "text")
+    // deliberately tiny initial geometry: 1 Ki bits saturates at ~70 grams
+    val q = Streaming.curationSink(src, root, tau = 0.6, checkpoint = ckpt,
+      bloomBits = 1L << 10)
+    try {
+      // batch 1: 100 novel docs ≈ 1000 distinct grams — far past the
+      // 3% FP ceiling, so the batch must regenerate at a doubled geometry
+      in.addData((1 to 100).map(i => (i.toLong, doc(i))): _*)
+      q.processAllAvailable()
+      val bl = Streaming.loadGramBloom(Streaming.curationBloomPath(root)).get
+      assert(bl.mBits > (1L << 10), s"expected regenerated geometry, got mBits=${bl.mBits}")
+      assert(bl.fpEstimate < Streaming.CurationBloomMaxFp,
+        s"regen left fpEstimate=${bl.fpEstimate}")
+      // ALL novel docs were admitted (saturation never costs admissions)
+      assert(TxStore.read(spark, root).select("doc_id").as[Long].collect().toSet
+        == (1 to 100).map(_.toLong).toSet)
+      // superset invariant survived the regen: every corpus gram present
+      val corpusGramsDf = TxStore.read(spark, root)
+        .select(org.apache.spark.sql.functions.explode(
+          graft.ops.Dedup.shingles(col("text"), 3)).as("g"))
+      val grams = corpusGramsDf.as[String].collect()
+      assert(grams.nonEmpty && grams.forall(bl.mightContainString))
+      // the gate RECOVERS: the same corpus in the ORIGINAL 1 Ki-bit
+      // geometry (fill ≈ 0.99) flags a fresh doc as suspect on false
+      // positives alone; the regenerated filter does not
+      val saturated = graft.ops.Bloom.union(
+        graft.ops.Bloom.empty(1L << 10), corpusGramsDf, "g")
+      val fresh = Seq((999L, doc(999))).toDF("doc_id", "text")
+      def suspect(f: graft.ops.Bloom.Filter): Long = fresh.filter(
+        Streaming.curationSuspect(f, col("text"), 3, 0.6)).count()
+      assert(suspect(saturated) == 1L && suspect(bl) == 0L)
+      // admissions stay EXACT post-regen: a near-dup of a persisted doc
+      // is rejected, a novel doc admitted
+      in.addData((101L, doc(1) + " tail"), (102L, doc(200)))
+      q.processAllAvailable()
+      assert(TxStore.read(spark, root).select("doc_id").as[Long].collect().toSet
+        == ((1 to 100).map(_.toLong).toSet + 102L))
+    } finally q.stop()
+  }
+
+  test("curation burst batch: admission write fans out across tasks, steady batches stay one file") {
+    import graft.store.TxStore
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_curburst").resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_curburstck").toString
+    def doc(i: Int): String = (0 until 12).map(w => s"b${i}q$w").mkString(" ")
+    def versionFiles(v: Long): Int = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(TxStore.versionDir(root, v)))
+      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val in = MemoryStream[(Long, String)]
+    // rowsPerFile=20: the 50-doc burst must write >1 part file, the
+    // 2-doc steady batch exactly 1
+    val q = Streaming.curationSink(in.toDF().toDF("doc_id", "text"),
+      root, tau = 0.6, checkpoint = ckpt, rowsPerFile = 20)
+    try {
+      in.addData((1 to 50).map(i => (i.toLong, doc(i))): _*)
+      q.processAllAvailable()
+      assert(TxStore.read(spark, root).count() == 50L)
+      assert(versionFiles(TxStore.currentVersion(root).get) >= 2,
+        "burst admission must not funnel through one task")
+      in.addData((51L, doc(51)), (52L, doc(1) + " tail"))
+      q.processAllAvailable()
+      val v = TxStore.currentVersion(root).get
+      // the steady batch's NEW files = its version's files minus the
+      // carried base links; commitAppend links the base forward, so
+      // count the version's own part files via the delta
+      assert(TxStore.read(spark, root).count() == 51L)
+      assert(versionFiles(v) - versionFiles(v - 1) == 1,
+        "steady batch must stay one part file per microbatch")
+    } finally q.stop()
   }
 
   test("decontamination sink: contaminated docs never enter the corpus, clean ones always do") {
