@@ -38,14 +38,35 @@ object SparkBoot {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
 
+  /** This JVM's Scala binary version ("2.13"), shipped to the executor
+    * launch environment: Spark's launcher
+    * (`AbstractCommandBuilder.getScalaVersion`) probes
+    * `$SPARK_HOME/launcher/target/scala-*` build directories unless
+    * `SPARK_SCALA_VERSION` tells it outright, and the binary
+    * distribution at /opt/spark has no build directories — without the
+    * variable every executor launch dies with `IllegalStateException:
+    * Cannot find any build directories` and the app is removed after
+    * 10 failures. `spark.executorEnv.*` reaches the worker-side command
+    * builder via the application description's command environment, so
+    * the recipe needs NO undocumented shell state.
+    */
+  private val scalaBinaryVersion: String =
+    scala.util.Properties.versionNumberString.split('.').take(2).mkString(".")
+
   /** Apply `m` to the builder; a local-cluster master also ships this
-    * JVM's classpath and module options to the forked executors.
-    * `java.class.path` is trustworthy here because every entry point
-    * runs forked (`run / fork := true`, `Test / fork := true`).
+    * JVM's classpath, module options, and Scala version to the forked
+    * executors. `java.class.path` is trustworthy here because every
+    * entry point runs forked (`run / fork := true`, `Test / fork :=
+    * true`). Full recipe (clean shell):
+    * {{{
+    *   SPARK_HOME=/opt/spark SPARK_GRAFT_MASTER=local-cluster[2,8,3072] \
+    *     sbt "runMain graft.Verify /root/testdata/sf0.01 target/verify_out"
+    * }}}
     */
   def configure(b: SparkSession.Builder, m: String): SparkSession.Builder =
     if (!m.startsWith("local-cluster")) b.master(m)
     else b.master(m)
       .config("spark.executor.extraClassPath", sys.props("java.class.path"))
       .config("spark.executor.extraJavaOptions", jdk17AddOpens)
+      .config("spark.executorEnv.SPARK_SCALA_VERSION", scalaBinaryVersion)
 }

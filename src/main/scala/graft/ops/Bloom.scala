@@ -125,14 +125,32 @@ object Bloom {
   def predictedFp(mBits: Long, k: Int, n: Long): Double =
     math.pow(1.0 - math.exp(-k.toDouble * n / mBits), k)
 
+  /** Hard ceiling for REGENERATED geometries: 2^27 bits = 16 MiB of
+    * word table. 8× [[MaxBits]] gives a long-lived incrementally-grown
+    * filter real headroom (≈18M keys at 1% FP vs MaxBits' ≈2.3M), but
+    * stays a sane per-batch closure payload and bounds [[union]]'s
+    * driver collect to 2M longs. Past this, one filter is the wrong
+    * tool — shard by key range so each shard keeps a broadcastable
+    * table.
+    */
+  val RegenMaxBits: Long = 1L << 27
+
   /** Smallest power-of-two doubling of `fromBits` whose predicted FP
-    * for `n` keys is ≤ `targetFp` (capped at 2^30 bits = 128 MiB —
-    * past that a bit table stops being a broadcastable gate and the
-    * caller should shard it).
+    * for `n` keys is ≤ `targetFp`, capped at [[RegenMaxBits]] — past
+    * that a bit table stops being a broadcastable gate. Hitting the cap
+    * with the target still unmet logs a loud warning (the caller should
+    * shard the key space); the returned geometry is still the best
+    * available and stays CORRECT (a hotter bloom only admits more
+    * false-positive suspects to the exact join behind it).
     */
   def sizeFor(n: Long, targetFp: Double, fromBits: Long, k: Int = 5): Long = {
     var m = fromBits
-    while (m < (1L << 30) && predictedFp(m, k, n) > targetFp) m *= 2
+    while (m < RegenMaxBits && predictedFp(m, k, n) > targetFp) m *= 2
+    if (predictedFp(m, k, n) > targetFp)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"bloom regeneration capped at $RegenMaxBits bits but $n keys " +
+          f"predict FP ${predictedFp(m, k, n)}%.3f > target $targetFp%.3f; " +
+          "shard the key space across multiple filters")
     m
   }
 

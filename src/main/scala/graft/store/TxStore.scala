@@ -917,9 +917,7 @@ object TxStore {
     * are not, so [[commitBatchAppend]] stages one on every commit.)
     */
   def lastBatchId(root: String): Option[Long] = {
-    val f = Paths.get(root, "_last_batch")
-    val fenced =
-      if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+    val fenced = readFence(root)
     val staged = currentVersion(root).flatMap { v =>
       val m = Paths.get(versionDir(root, v), "_batch_id")
       if (Files.exists(m)) Some(Files.readString(m).trim.toLong) else None
@@ -945,7 +943,7 @@ object TxStore {
     else {
       if (currentVersion(root).isEmpty) init(batch, root)
       else commitUpsert(spark, root, batch, pk)
-      Files.writeString(Paths.get(root, "_last_batch"), batchId.toString)
+      writeFence(root, batchId)
       true
     }
   }
@@ -983,9 +981,15 @@ object TxStore {
     // drifted types would pass and write MIXED physical schemas into one
     // version dir, failing only at some later read with no pointer back
     // to the offending append — so types fail loudly here instead
-    val baseTypes = baseSchema.fields.map(f => f.name -> f.dataType).toMap
+    // nullability (top-level and nested: array containsNull, map
+    // valueContainsNull, struct field nullable) is NOT drift — parquet
+    // stores it per-file as definition levels, so a non-null batch
+    // appends safely into a nullable table; only a genuine type change
+    // can corrupt the mixed version dir
+    val baseTypes = baseSchema.fields
+      .map(f => f.name -> ignoreNullability(f.dataType)).toMap
     val drifted = rows.schema.fields.collect {
-      case f if baseTypes(f.name) != f.dataType =>
+      case f if baseTypes(f.name) != ignoreNullability(f.dataType) =>
         s"${f.name}: batch ${f.dataType.simpleString} != " +
           s"table ${baseTypes(f.name).simpleString}"
     }
@@ -1059,8 +1063,7 @@ object TxStore {
       // lost in the crash gap): repair `_last_batch` now so the fence
       // outlives later commits that replace the marker-bearing version
       // (belt to [[preserveFence]]'s braces — durable at first contact)
-      fence.foreach(id =>
-        Files.writeString(Paths.get(root, "_last_batch"), id.toString))
+      fence.foreach(id => writeFence(root, id))
       false
     } else {
       if (currentVersion(root).isEmpty) {
@@ -1077,7 +1080,7 @@ object TxStore {
       }
       else if (!batch.isEmpty)
         commitAppend(spark, root, batch, batchId = Some(batchId))
-      Files.writeString(Paths.get(root, "_last_batch"), batchId.toString)
+      writeFence(root, batchId)
       true
     }
   }
@@ -1227,6 +1230,23 @@ object TxStore {
     * mid-write failure only this writer's staging is removed, so a
     * retry of the same version can proceed.
     */
+  /** Recursively nulls out every nullability flag so [[commitAppend]]'s
+    * drift check compares TYPES only (Spark's own
+    * `DataType.equalsIgnoreNullability` is `private[sql]`).
+    */
+  private def ignoreNullability(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(e, _) => ArrayType(ignoreNullability(e), containsNull = true)
+      case MapType(k, v, _) =>
+        MapType(ignoreNullability(k), ignoreNullability(v), valueContainsNull = true)
+      case StructType(fields) => StructType(fields.map(f =>
+        f.copy(dataType = ignoreNullability(f.dataType), nullable = true)))
+      case other => other
+    }
+  }
+
   private def writeVersion(df: DataFrame, root: String, v: Long): Unit =
     claimVersion(root, v)(dir =>
       df.write.mode(SaveMode.ErrorIfExists).parquet(dir))
@@ -1243,15 +1263,36 @@ object TxStore {
     * and always under the caller's commit lock.
     */
   private def preserveFence(root: String): Unit = {
-    val f = Paths.get(root, "_last_batch")
-    val fenced =
-      if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+    val fenced = readFence(root)
     currentVersion(root)
       .map(v => Paths.get(versionDir(root, v), "_batch_id"))
       .filter(Files.exists(_))
       .map(m => Files.readString(m).trim.toLong)
       .filter(staged => fenced.forall(_ < staged))
-      .foreach(staged => Files.writeString(f, staged.toString))
+      .foreach(staged => writeFence(root, staged))
+  }
+
+  /** Fence file I/O. Writes go through tmp + ATOMIC_MOVE — preserveFence
+    * runs on EVERY commit, so a torn `_last_batch` would block every
+    * commit type (upsert, delete, compaction), not just appends; the
+    * pointer's torn-write discipline applies here for the same reason.
+    * Reads are TOLERANT: unparseable content (a truncated write from a
+    * pre-atomic version, manual damage) is treated as absent rather
+    * than thrown — the current version's staged `_batch_id` marker
+    * still fences replays ([[lastBatchId]] takes the max of both), and
+    * [[preserveFence]] re-materializes the file on the next commit.
+    */
+  private def readFence(root: String): Option[Long] = {
+    val f = Paths.get(root, "_last_batch")
+    if (!Files.exists(f)) None
+    else scala.util.Try(Files.readString(f).trim.toLong).toOption
+  }
+
+  private def writeFence(root: String, id: Long): Unit = {
+    val tmp = Paths.get(root, s"_last_batch.tmp.${java.util.UUID.randomUUID}")
+    Files.writeString(tmp, id.toString)
+    Files.move(tmp, Paths.get(root, "_last_batch"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Atomic pointer flip: write aside, ATOMIC_MOVE into place.

@@ -127,6 +127,23 @@ object Streaming {
     math.min(cap.toLong, math.max(1L, (n + rowsPerFile - 1) / rowsPerFile)).toInt
   }
 
+  /** Resizes an admission frame to exactly [[admissionPartitions]]'s
+    * target write tasks: coalesce when shrinking (no shuffle — the
+    * steady-stream path), a round-robin repartition when the frame
+    * arrived in FEWER partitions than the target — coalesce can only
+    * reduce, so a burst batch whose upstream plan happened to collapse
+    * into few partitions would otherwise funnel through them and defeat
+    * the rowsPerFile sizing. `df` must be cached (admissionPartitions'
+    * count is the materialization barrier), so getNumPartitions and the
+    * possible shuffle both read the materialized blocks, not the plan.
+    */
+  private def sizedForWrite(df: DataFrame, nParts: Int): DataFrame = {
+    val current = df.rdd.getNumPartitions
+    if (current > nParts) df.coalesce(nParts)
+    else if (current < nParts) df.repartition(nParts)
+    else df
+  }
+
   /** Atomic persist of the maintained gram bloom (tmp + ATOMIC_MOVE,
     * the same torn-write discipline as the TxStore pointer).
     */
@@ -307,13 +324,23 @@ object Streaming {
           val toSave =
             if (updated.fpEstimate <= CurationBloomMaxFp) updated
             else {
-              val m = graft.ops.Bloom.sizeFor(updated.estimatedKeys,
-                targetFp = 0.01, fromBits = updated.mBits, k = updated.k)
               val corpusGrams =
                 if (graft.store.TxStore.currentVersion(root).isEmpty) novelGrams
                 else graft.store.TxStore.read(spark, root).select(
                   explode(graft.ops.Dedup.shingles(col("text"), shingleK))
                     .as("g")).union(novelGrams)
+              // fill = 1.0 destroys the inverted-fill estimate
+              // (estimatedKeys saturates to Long.MaxValue, which would
+              // size straight to the regen cap regardless of the true
+              // count) — pay one exact distinct count of the rebuild
+              // input instead; the FP ceiling fires at fill ≈ 0.5, so
+              // this branch is only reachable from a degenerate
+              // persisted filter
+              val nKeys =
+                if (updated.fillFraction >= 1.0) corpusGrams.distinct().count()
+                else updated.estimatedKeys
+              val m = graft.ops.Bloom.sizeFor(nKeys,
+                targetFp = 0.01, fromBits = updated.mBits, k = updated.k)
               graft.ops.Bloom.union(
                 graft.ops.Bloom.empty(m, updated.k), corpusGrams, "g")
             }
@@ -323,7 +350,7 @@ object Streaming {
           // admissions are proven-novel doc_ids — the insert-only
           // contract commitBatchAppend needs for its O(batch) commit
           graft.store.TxStore.commitBatchAppend(spark, root,
-            novelCached.coalesce(nParts), id)
+            sizedForWrite(novelCached, nParts), id)
           mark("commit")
           // the similarity joins cache their shingle frames for the
           // duration of the batch; an always-on sink must release
@@ -375,7 +402,7 @@ object Streaming {
           // rows-per-file-bounded so a burst batch writes in parallel
           val clean = b.join(flagged, Seq("doc_id"), "left_anti").cache()
           try graft.store.TxStore.commitBatchAppend(batch.sparkSession, root,
-            clean.coalesce(admissionPartitions(clean, rowsPerFile)), id)
+            sizedForWrite(clean, admissionPartitions(clean, rowsPerFile)), id)
           finally clean.unpersist()
         }
         ()

@@ -51,4 +51,21 @@ class BloomFilterSpec extends SparkSuite {
     })
     assert(absentees.forall(grown.mightContainString))
   }
+
+  test("sizeFor doubles to the FP target and hard-caps at RegenMaxBits") {
+    // ordinary regen: doubled geometry meets the target
+    val m = Bloom.sizeFor(n = 1000000L, targetFp = 0.01, fromBits = 1L << 20)
+    assert(m > (1L << 20) && m <= Bloom.RegenMaxBits)
+    assert(Bloom.predictedFp(m, 5, 1000000L) <= 0.01)
+    // power-of-two discipline (bit positions depend on mBits)
+    assert(java.lang.Long.bitCount(m) == 1)
+    // a key count no single broadcastable filter can serve caps at
+    // RegenMaxBits (16 MiB) instead of growing into an unbroadcastable
+    // word table — correctness is unaffected (hotter bloom = more FP
+    // suspects into the exact join), the caller is told to shard
+    assert(Bloom.sizeFor(n = Long.MaxValue, targetFp = 0.01,
+      fromBits = 1L << 20) == Bloom.RegenMaxBits)
+    assert(Bloom.sizeFor(n = 1L << 40, targetFp = 0.01,
+      fromBits = Bloom.RegenMaxBits) == Bloom.RegenMaxBits)
+  }
 }

@@ -31,9 +31,12 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSuite {
-  // SPARK_GRAFT_MASTER=local-cluster[2,8,3072] (+ SPARK_HOME) reruns
-  // targeted suites with tasks in separate executor JVMs — the
-  // cross-JVM gate for closures/agg buffers/broadcasts; default local[2]
+  // Cross-JVM gate for closures/agg buffers/broadcasts — full recipe,
+  // clean shell (SparkBoot ships classpath, --add-opens, and
+  // SPARK_SCALA_VERSION to the forked executors; nothing else needed):
+  //   SPARK_HOME=/opt/spark SPARK_GRAFT_MASTER=local-cluster[2,8,3072] \
+  //     sbt "testOnly graft.TxStoreSpec graft.StreamingSpec ..."
+  // Default master is local[2].
   lazy val session: SparkSession = {
     val s = graft.SparkBoot.configure(
         SparkSession.builder(), graft.SparkBoot.master("2"))

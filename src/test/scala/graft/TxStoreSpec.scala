@@ -1075,4 +1075,46 @@ class TxStoreSpec extends SparkSuite {
       Seq((2L, "milho", 50.0)).toDF("k", "produto", "v"))
     assert(rows(root) == Set((1L, "soja", 100.0), (2L, "milho", 50.0)))
   }
+
+  test("append drift check ignores nested nullability, not just top-level") {
+    import org.apache.spark.sql.functions._
+    val root = freshRoot()
+    // table column: array<string> with containsNull = true
+    TxStore.init(Seq((1L, Seq(Option("a"), None))).toDF("k", "tags"), root)
+    // batch built via array(lit(...)): containsNull = false — the same
+    // TYPE; parquet stores nullability per file, so this appends safely
+    val batch = Seq(2L).toDF("k")
+      .withColumn("tags", array(lit("b"), lit("c")))
+    assert(batch.schema("tags").dataType !=
+      spark.read.parquet(TxStore.versionDir(root, 1L)).schema("tags").dataType)
+    TxStore.commitAppend(spark, root, batch)
+    assert(TxStore.read(spark, root).count() == 2L)
+    // a genuinely drifted nested type still fails loudly
+    val drifted = Seq(3L).toDF("k").withColumn("tags", array(lit(1), lit(2)))
+    val e = intercept[IllegalArgumentException] {
+      TxStore.commitAppend(spark, root, drifted)
+    }
+    assert(e.getMessage.contains("drifted"))
+  }
+
+  test("garbage fence file is tolerated as absent, not a commit-blocking crash") {
+    val root = freshRoot()
+    val b1 = Seq((1L, "soja", 100.0)).toDF("k", "produto", "v")
+    TxStore.commitBatchAppend(spark, root, b1, batchId = 0L)
+    val fence = java.nio.file.Paths.get(root, "_last_batch")
+    // a torn/garbage fence (pre-atomic writer crash, manual damage)
+    // must not turn every later commit into NumberFormatException —
+    // the version marker still fences, and the next commit repairs it
+    java.nio.file.Files.writeString(fence, "")
+    assert(TxStore.lastBatchId(root).contains(0L)) // marker carries the id
+    assert(!TxStore.commitBatchAppend(spark, root, b1, batchId = 0L))
+    assert(java.nio.file.Files.readString(fence).trim == "0") // repaired
+    java.nio.file.Files.writeString(fence, "not-a-number\n")
+    // maintenance commits (which run preserveFence) survive garbage too
+    TxStore.commitCompaction(spark, root, numFiles = 1)
+    assert(TxStore.lastBatchId(root).contains(0L))
+    assert(TxStore.commitBatchAppend(spark, root,
+      Seq((2L, "milho", 50.0)).toDF("k", "produto", "v"), batchId = 1L))
+    assert(rows(root) == Set((1L, "soja", 100.0), (2L, "milho", 50.0)))
+  }
 }
