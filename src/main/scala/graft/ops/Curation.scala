@@ -26,7 +26,9 @@ object Curation {
   /** (id, pos, g): 1-based positions of a document's word n-grams. */
   def wordGramPositions(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("_ws"))
+    // fanOut: tokenize + n-gram explode is the heavy per-row kernel and
+    // the documents scan arrives as one unsplittable task
+    fanOut(docs).select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("_ws"))
       .select(col(idCol), posexplode(gramArray("_ws", n)))
       .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("g"))
@@ -40,7 +42,7 @@ object Curation {
     * keys are the grouping keys, so no extra shuffle.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs
+    val base = fanOut(docs) // widen the unsplittable scan for the two gram explodes
       .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("_ws"))
     val bi = base.select(col(idCol), explode(gramArray("_ws", 2)).as("g"))
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
@@ -116,7 +118,7 @@ object Curation {
       textCol: String): DataFrame = {
     val spansByDoc = spans.groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
-    docs.join(spansByDoc, Seq(idCol), "left")
+    fanOut(docs).join(spansByDoc, Seq(idCol), "left")
       .withColumn("_ws", split(trim(col(textCol)), "\\s+"))
       .withColumn("_kept", when(col("_spans").isNull, col("_ws")).otherwise(
         expr("""filter(_ws, (t, i) ->

@@ -39,7 +39,9 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, numHashes: Int = 64): DataFrame =
-    df.select(idCol.as("doc_id"),
+    // fanOut: the signature kernel (shingle + numHashes permutations per
+    // doc) is the pipeline's dominant CPU and the input is one scan task
+    fanOut(df).select(idCol.as("doc_id"),
       G.minhashSig(textCol, shingleSize, numHashes).as("sig"))
 
   /** Write the signature table as parquet and read it back: signatures
@@ -115,7 +117,9 @@ object Dedup {
       df: DataFrame, idCol: Column, textCol: Column,
       bands: Int = 4, maxHamming: Int = 3): DataFrame =
     hammingPairsFromSketch(
-      df.select(idCol.as("doc_id"), G.simhash64(textCol).as("sim")),
+      // fanOut: simhash64 (token hash + 64 weighted bit sums per doc)
+      // on one scan task otherwise
+      fanOut(df).select(idCol.as("doc_id"), G.simhash64(textCol).as("sim")),
       col("doc_id"), col("sim"), bands, maxHamming)
 
   /** The banded hamming self-join over any precomputed 64-bit sketch
@@ -278,7 +282,9 @@ object Dedup {
   def containmentJoin(corpus: DataFrame, probes: DataFrame, idCol: Column,
       textCol: Column, k: Int = 3, tau: Double = 0.8,
       bloomGate: Boolean = false): DataFrame = {
-    val c = corpus.select(idCol.as("id_big"),
+    // corpus side fans out first: the shingle transform + explode is
+    // the heavy per-row kernel and the scan is one unsplittable task
+    val c = fanOut(corpus).select(idCol.as("id_big"),
         explode(transform(shingles(textCol, k), x => xxhash64(x))).as("h"))
     val pFlat = probes.select(idCol.as("id_small"),
         transform(shingles(textCol, k), x => xxhash64(x)).as("sh"))
@@ -329,7 +335,12 @@ object Dedup {
     // shingle strings (set cardinalities — and therefore Jaccard — are
     // unchanged barring a 64-bit collision, which the DuckDB oracle
     // comparison would surface, same stance as d01)
-    val docs = cacheOnce(tagged.select(col("doc_id"), col("side"),
+    // fanOut BEFORE the shingler: documents arrive as one unsplittable
+    // scan task, and shingling (normalize + split + k-window + hash per
+    // token) is the pipeline's dominant per-row CPU — serialized on one
+    // core without it. The cached frame inherits the parallel layout,
+    // so the prefix-index explode and both verify sides scale too.
+    val docs = cacheOnce(fanOut(tagged).select(col("doc_id"), col("side"),
         transform(makeShingles(col("text")), x => xxhash64(x)).as("sh"))
       .filter(size(col("sh")) > 0)
     ) // read by the prefix index and both verify-join sides

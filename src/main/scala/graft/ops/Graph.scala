@@ -31,9 +31,16 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   private def largeStar(e: DataFrame): DataFrame = {
+    // no leading distinct: the round's input is already a distinct
+    // DIRECTED edge set (the initial normalization or smallStar's
+    // trailing distinct), so e ∪ reverse(e) cannot repeat a pair except
+    // when the INITIAL input carried both orientations — and duplicates
+    // are harmless anyway (mins is a min-aggregate, and smallStar — the
+    // only consumer — dedups first thing). Dropping it removes one full
+    // edge-set exchange + aggregate per round (guide §2.4).
     val sym = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v"))
     // m(u) = min of the closed neighborhood of u
     val mins = sym.groupBy(col("u"))
       .agg(least(min(col("v")), first(col("u"))).as("m"))
@@ -106,8 +113,9 @@ object Graph {
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
     // converged edge set is large→small stars rooted at component minima:
     // every non-root points at its root; roots label themselves
+    // no distinct: the labeling agg is min-based, duplicate-insensitive
     val sym = e.union(e.select(col("v"), col("u")))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v"))
     sym.groupBy(col("u").as("id"))
       .agg(least(min(col("v")), first(col("u"))).as("component"))
   }

@@ -55,7 +55,11 @@ object Model {
     */
   def trainLogReg(df: DataFrame, vecCol: String, labelCol: Column,
       dims: Int, epochs: Int, lr: Double = 1.0): Seq[LogRegModel] = {
-    val base = df.select(col(vecCol).as("v"), labelCol.cast("double").as("y"))
+    // fanOut: each epoch's gradient pass (sigmoid fold + dim+1 rounded
+    // products per row) is CPU-heavy and the scan arrives as one task;
+    // the DECIMAL sums are order-exact, so parallelism cannot perturb
+    // the model
+    val base = fanOut(df.select(col(vecCol).as("v"), labelCol.cast("double").as("y")))
     var w: Seq[Double] = Seq.fill(dims)(0.0)
     var b: Double = 0.0
     val out = Seq.newBuilder[LogRegModel]
@@ -104,7 +108,9 @@ object Model {
     */
   def powerIterationPc1(df: DataFrame, vecCol: String, dims: Int,
       iters: Int): (Seq[Double], Seq[Seq[Double]]) = {
-    val base = df.select(col(vecCol).as("v"))
+    // fanOut: same stance as trainLogReg — per-pass gram products off a
+    // one-task scan otherwise; decimal sums keep iterates exact
+    val base = fanOut(df.select(col(vecCol).as("v")))
     val mRow = base
       .select((0 until dims).map(j =>
         sum(round(col("v")(j), 6).cast(dec6)).as(s"m$j")) :+

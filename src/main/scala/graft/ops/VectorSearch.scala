@@ -22,6 +22,10 @@ object VectorSearch {
   /** Exact top-k by cosine against a broadcast 1-row query. */
   def bruteForceTopK(vectors: DataFrame, query: DataFrame, vecCol: String,
       k: Int): DataFrame = {
+    // no fanOut here: `vectors` may be join-rooted (exactTop10From),
+    // whose size ESTIMATE is a product that varies with upstream file
+    // sizes — callers fan out their scan-rooted side instead, so the
+    // plan shape stays deterministic
     val q = query.select(col(vecCol).as("q_vec"))
     vectors.crossJoin(broadcast(q))
       .withColumn("sim", round(G.cosineSim(col(vecCol), col("q_vec")), 6))
@@ -219,9 +223,21 @@ object VectorSearch {
       // through a groupBy shuffle per Lloyd round), one plain-Java
       // dot-product loop per centroid visit (the fold form paid ~650ns
       // per visit in lambda + ArrayData unwrapping)
+      // mean over exact FIXED-POINT sums (x in units of 1e-12, summed as
+      // LONG): associative and codegen-native, so the value is
+      // independent of partition count/merge order — the training input
+      // may now arrive fanned out across tasks (a double sum would make
+      // the centroids, and every downstream ADC score, flap run-to-run
+      // with shuffle arrival order; same order-free stance as a09's dim
+      // stats, in the integer form the t17/q61 paths use). The 5e-13
+      // quantization sits ~5 decimal orders below float precision, so
+      // the .toFloat centroids are unchanged (hash-verified on all SFs);
+      // overflow headroom: |x|·1e12 ≤ ~1e15 per row, 2^63 ≈ 9.2e18.
       val means = withNearestCell(sample, "id", "v", cents)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(round(col("x") * 1e12).cast("long")) / lit(1e12)
+          / count(lit(1))).as("m"))
         .collect() // C × dim rows — driver-side by design
         .groupBy(_.getAs[Int]("cell"))
         .map { case (cell, rows) =>
@@ -302,7 +318,10 @@ object VectorSearch {
       minCos: Double, gridDims: Int = 2): DataFrame = {
     require(minCos > 0 && minCos < 1, "minCos must be in (0,1)")
     val r = math.sqrt(2.0 * (1.0 - minCos))
-    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // fanOut: both grid-join sides recompute this projection (see the
+    // no-cache note below) — normalization + grid hashing off a narrow
+    // scan would run single-task on each side
+    val base = fanOut(vectors.select(col(idCol).as("id"), col(vecCol).as("v")))
       .withColumn("nrm",
         sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
       .filter(col("nrm") > 0)
@@ -616,7 +635,11 @@ object VectorSearch {
             slice(col("v"), i * subLen + 1, subLen).as("sv"))): _*)).as("e"))
         .select(col("e.sub").as("sub"), col("e.cell").as("cell"),
           posexplode(col("e.sv")).as(Seq("pos", "x")))
-        .groupBy(col("sub"), col("cell"), col("pos")).agg(avg(col("x")).as("mu"))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        // exact fixed-point LONG mean — partition-order-free and
+        // codegen-native, see trainCentroids
+        .agg((sum(round(col("x") * 1e12).cast("long")) / lit(1e12)
+          / count(lit(1))).as("mu"))
         .collect() // m·c·subLen rows — driver-side by design
         .groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("cell")))
         .map { case ((s, cell), rows) =>
@@ -905,7 +928,8 @@ object VectorSearch {
       struct(lit(t).as("tbl"),
         G.hyperplaneLsh(col("v"), nbits, baseSeed + t).as("bucket"))
     }
-    val base = cacheOnce(vectors.select(col(idCol).as("id"), col(vecCol).as("v")))
+    val base = cacheOnce(fanOut(
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v"))))
     val b = base.select(col("id"), explode(array(tableCols: _*)).as("e"))
       .select(col("id"), col("e.tbl"), col("e.bucket"))
     // pair dedup on ids only; vectors rejoin after the distinct so the
@@ -1123,8 +1147,11 @@ object VectorSearch {
 
   def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
       cents: Array[Seq[Float]], tau: Double): DataFrame = {
+    // fanOut: the within-cell pair join inherits the PROBE side's
+    // partitioning when the build side broadcasts — off a narrow scan
+    // the Θ(cell²) cosine work would run on one or two tasks
     val assigned = withNearestCell(
-        vectors.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+        fanOut(vectors.select(col(idCol), col(vecCol))), idCol, vecCol, cents)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
     val dropped = assigned
       .select(col("cell"), col("id").as("id1"), col("v").as("v1"))

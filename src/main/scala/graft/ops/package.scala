@@ -17,4 +17,40 @@ package object ops {
     */
   private[graft] def cacheOnce(df: DataFrame): DataFrame =
     if (df.storageLevel != StorageLevel.NONE) df else df.cache()
+
+  /** Widen a NARROW input for a CPU-heavy per-row kernel (shingling,
+    * L2-normalization, quantizer encode): a small parquet table arrives
+    * as ONE task (single row group — unsplittable below the file level,
+    * and openCostInBytes folds small files into few splits), which
+    * serializes work that is embarrassingly parallel — the
+    * "one huge unsplittable file" input-skew case of the optimization
+    * guide (§2.5: repartition immediately after the read). Round-robins
+    * up to the session's default parallelism ONLY when the frame is
+    * narrower; at real scale the scan already carries at least that
+    * many partitions and this is the identity — no exchange is added,
+    * so the fix cannot pessimize the 100 TB plan. Deterministic:
+    * sortBeforeRepartition (on by default) pins the row→partition
+    * assignment, and every caller's output is insensitive to row order
+    * (counts/min/max aggs, total-ordered top-k, or exact DECIMAL sums).
+    *
+    * The narrow-input test is STATS-based (optimizedPlan.sizeInBytes
+    * against a FIXED 1 GiB bound), NOT `df.rdd.getNumPartitions`:
+    * converting to an RDD posts a query-execution event, and a caller's
+    * single-shot `Observation` listener (DataMetrics.observed) would
+    * consume that event's empty metrics instead of the real action's
+    * (CorpusPipelineSpec caught exactly this). Planning-only stats fire
+    * no listener. The bound is deliberately NOT derived from the
+    * session's core count: plan shape must be a function of the data
+    * alone, or PlanArtifactSpec sessions with different parallelism
+    * would disagree with the committed plan audit. Anything under 1 GiB
+    * is "narrow" on any sensible config (at most ~8 default-size
+    * splits) and costs nothing to round-robin; inputs past it get their
+    * parallelism from file splitting, so the exchange is skipped.
+    */
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes
+        < BigInt(1L << 30)) df.repartition(par)
+    else df
+  }
 }

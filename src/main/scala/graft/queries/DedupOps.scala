@@ -94,7 +94,9 @@ object DedupOps {
   val d04 = Q("d04_winnow_overlap",
     (s, dir) => {
       import graft.functions.{GraftFunctions => G}
-      val fpsAll = withNearDups(s, dir)
+      // fanOut: winnowing (normalize + rolling char-8-gram hash per doc)
+      // runs on the narrow union's couple of scan tasks otherwise
+      val fpsAll = graft.ops.fanOut(withNearDups(s, dir))
         .select(col("doc_id"),
           explode(G.winnowFingerprint(col("text"), k = 8, w = 4)).as("fp"))
       // skew guard: fingerprints shared by many documents are both
@@ -712,7 +714,9 @@ object DedupOps {
   val d20 = Q("d20_winnow_all_grams",
     (s, dir) => {
       import graft.functions.{GraftFunctions => G}
-      val fpsAll = withNearDups(s, dir)
+      // fanOut: winnowing (normalize + rolling char-8-gram hash per doc)
+      // runs on the narrow union's couple of scan tasks otherwise
+      val fpsAll = graft.ops.fanOut(withNearDups(s, dir))
         .select(col("doc_id"),
           explode(G.winnowFingerprint(col("text"), k = 8, w = 1)).as("fp"))
       val rare = fpsAll.groupBy(col("fp"))

@@ -159,7 +159,9 @@ object TextAnalysis2 {
     */
   val t25 = Q("t25_dsir_resample",
     (s, dir) => {
-      val toks = load(s, dir, "documents")
+      // fanOut: four passes (totals/pool/target/weights) each tokenize +
+      // md5-bucket every token, off one unsplittable scan task otherwise
+      val toks = graft.ops.fanOut(load(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
         .withColumn("bucket",
@@ -267,7 +269,9 @@ object TextAnalysis2 {
     */
   val t27 = Q("t27_bigram_surprisal",
     (s, dir) => {
-      val docs = load(s, dir, "documents")
+      // fanOut: vocab + three bigram passes tokenize per row off one
+      // unsplittable scan task otherwise
+      val docs = graft.ops.fanOut(load(s, dir, "documents"))
         .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
       val vocab = docs
         .select(explode(col("t")).as("token"))

@@ -20,7 +20,7 @@ object VectorSearch {
   val a01 = Q("a01_ann_bruteforce",
     (s, dir) => {
       val e = load(s, dir, "embeddings")
-      V.bruteForceTopK(e.filter(col("vec_id") =!= 0),
+      V.bruteForceTopK(graft.ops.fanOut(e.filter(col("vec_id") =!= 0)),
           e.filter(col("vec_id") === 0), "embedding", 20)
         .select(col("vec_id"), col("label"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
@@ -82,7 +82,7 @@ object VectorSearch {
   val a04 = Q("a04_ann_ivf",
     (s, dir) => {
       val e = load(s, dir, "embeddings")
-      val base = e.filter(col("vec_id") =!= 0)
+      val base = graft.ops.fanOut(e.filter(col("vec_id") =!= 0))
       val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 2)
       V.ivfCandidates(base, e.filter(col("vec_id") === 0), "embedding",
           cents, nprobe = 4, idCol = Some("vec_id"))
@@ -145,7 +145,7 @@ object VectorSearch {
     */
   private[graft] def a06Build(s: SparkSession, dir: String): (String, Array[Seq[Float]]) = {
     val e = load(s, dir, "embeddings")
-    val base = e.filter(col("vec_id") =!= 0)
+    val base = graft.ops.fanOut(e.filter(col("vec_id") =!= 0))
     val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 2)
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf")
       .resolve("index").toString
@@ -190,7 +190,7 @@ object VectorSearch {
       val e = load(s, dir, "embeddings")
       val queries = e.filter(pmod(col("vec_id"), lit(100)) === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
-      val scored = e.filter(pmod(col("vec_id"), lit(100)) =!= 0)
+      val scored = graft.ops.fanOut(e.filter(pmod(col("vec_id"), lit(100)) =!= 0))
         .crossJoin(broadcast(queries))
         .withColumn("sim", round(G.cosineSim(col("embedding"), col("q_vec")), 6))
         .select(col("query_id"), col("vec_id"), col("sim"))
@@ -221,7 +221,7 @@ object VectorSearch {
     */
   private[graft] def a08Build(s: SparkSession, dir: String): (String, Array[Seq[Float]]) = {
     val e = load(s, dir, "embeddings")
-    val base = e.filter(pmod(col("vec_id"), lit(100)) =!= 0)
+    val base = graft.ops.fanOut(e.filter(pmod(col("vec_id"), lit(100)) =!= 0))
     val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 2)
     val idx = java.nio.file.Files.createTempDirectory("graft_ivfb")
       .resolve("index").toString
@@ -307,7 +307,7 @@ object VectorSearch {
     */
   private[graft] def a10Build(s: SparkSession, dir: String): (String, Array[Array[Seq[Float]]]) = {
     val e = load(s, dir, "embeddings")
-    val base = a10Normalized(e.filter(col("vec_id") =!= 0))
+    val base = a10Normalized(graft.ops.fanOut(e.filter(col("vec_id") =!= 0)))
     // one Lloyd round: codebook QUALITY is irrelevant to the query's
     // semantics (ADC ordering is re-ranked exactly), and each extra
     // round is a fixed per-build cost
@@ -367,7 +367,7 @@ object VectorSearch {
     */
   private[graft] def a11Build(s: SparkSession, dir: String): (String, Array[Seq[Float]], Array[Array[Seq[Float]]]) = {
     val e = load(s, dir, "embeddings")
-    val base = e.filter(col("vec_id") =!= 0)
+    val base = graft.ops.fanOut(e.filter(col("vec_id") =!= 0))
     val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 1)
     val normBase = a10Normalized(base)
     val books = V.trainPqCodebooks(normBase, "vec_id", "nv", m = 8, c = 16, iters = 1)
@@ -409,9 +409,9 @@ object VectorSearch {
       val e = load(s, dir, "embeddings")
       val queries = e.filter(pmod(col("vec_id"), lit(100)) === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val base = e.filter(pmod(col("vec_id"), lit(100)) =!= 0)
+      val base = graft.ops.fanOut(e.filter(pmod(col("vec_id"), lit(100)) =!= 0))
       val truth = V.batchTopK(
-        base.crossJoin(broadcast(queries.select(col("query_id"),
+        graft.ops.fanOut(base).crossJoin(broadcast(queries.select(col("query_id"),
             col("embedding").as("q_vec"))))
           .withColumn("sim", round(G.cosineSim(col("embedding"), col("q_vec")), 6))
           .select(col("query_id"), col("vec_id"), col("sim")),
@@ -516,7 +516,12 @@ object VectorSearch {
       ORDER BY sim DESC, vec_id LIMIT 10""")
 
   private def exactTop10From(e: DataFrame, candidateIds: DataFrame): DataFrame =
-    V.bruteForceTopK(e.filter(col("vec_id") =!= 0).join(candidateIds, Seq("vec_id")),
+    // fanOut the SCAN side before the join (scan stats are stable; the
+    // joined frame's size estimate is not) — the exact re-rank then
+    // runs at full parallelism when the candidate set is corpus-sized
+    // (the probe_all twins)
+    V.bruteForceTopK(graft.ops.fanOut(e.filter(col("vec_id") =!= 0))
+        .join(candidateIds, Seq("vec_id")),
         e.filter(col("vec_id") === 0), "embedding", 10)
       .select(col("vec_id"), col("label"), col("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -543,7 +548,7 @@ object VectorSearch {
   val a15 = Q("a15_ivf_probe_all",
     (s, dir) => {
       val e = load(s, dir, "embeddings")
-      val base = e.filter(col("vec_id") =!= 0)
+      val base = graft.ops.fanOut(e.filter(col("vec_id") =!= 0))
       val cents = V.trainCentroids(base, "vec_id", "embedding", c = 8, iters = 1)
       V.ivfCandidates(base, e.filter(col("vec_id") === 0), "embedding",
           cents, nprobe = 8, idCol = Some("vec_id"))
@@ -603,7 +608,7 @@ object VectorSearch {
     */
   private[graft] def a18Build(s: SparkSession, dir: String): (String, Array[Array[Seq[Float]]]) = {
     val e = load(s, dir, "embeddings")
-    val base = a10Normalized(e.filter(col("vec_id") =!= 0))
+    val base = a10Normalized(graft.ops.fanOut(e.filter(col("vec_id") =!= 0)))
     val books = V.trainPqCodebooks(base, "vec_id", "nv", m = 4, c = 8, iters = 1)
     val out = java.nio.file.Files.createTempDirectory("graft_pq_d")
       .resolve("codes").toString
@@ -646,7 +651,7 @@ object VectorSearch {
     */
   private[graft] def a19Build(s: SparkSession, dir: String): (String, Array[Seq[Float]], Array[Array[Seq[Float]]]) = {
     val e = load(s, dir, "embeddings")
-    val base = e.filter(col("vec_id") =!= 0)
+    val base = graft.ops.fanOut(e.filter(col("vec_id") =!= 0))
     val cents = V.trainCentroids(base, "vec_id", "embedding", c = 8, iters = 1)
     val books = V.trainPqCodebooks(a10Normalized(base), "vec_id", "nv",
       m = 4, c = 8, iters = 1)
@@ -685,8 +690,8 @@ object VectorSearch {
       val e = load(s, dir, "embeddings")
       val queries = e.filter(pmod(col("vec_id"), lit(100)) === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val base = e.filter(pmod(col("vec_id"), lit(100)) =!= 0)
-      val scored = base.crossJoin(broadcast(queries.select(col("query_id"),
+      val base = graft.ops.fanOut(e.filter(pmod(col("vec_id"), lit(100)) =!= 0))
+      val scored = graft.ops.fanOut(base).crossJoin(broadcast(queries.select(col("query_id"),
           col("embedding").as("q_vec"))))
         .withColumn("sim", round(G.cosineSim(col("embedding"), col("q_vec")), 6))
         .select(col("query_id"), col("vec_id"), col("sim"))
@@ -739,7 +744,7 @@ object VectorSearch {
   val a21 = Q("a21_versioned_ivf_probe_all",
     (s, dir) => {
       val e = load(s, dir, "embeddings")
-      val base = e.filter(col("vec_id") =!= 0)
+      val base = graft.ops.fanOut(e.filter(col("vec_id") =!= 0))
       val cents = V.trainCentroids(base, "vec_id", "embedding", c = 8, iters = 1)
       val root = java.nio.file.Files.createTempDirectory("graft_vivf_q")
         .resolve("idx").toString
@@ -910,7 +915,7 @@ object VectorSearch {
         .select(col("doc_id"), col("bm25_rank"))
       // dense side: a01's brute-force cosine, top-50
       val e = load(s, dir, "embeddings")
-      val cosTop = V.bruteForceTopK(e.filter(col("vec_id") =!= 0),
+      val cosTop = V.bruteForceTopK(graft.ops.fanOut(e.filter(col("vec_id") =!= 0)),
           e.filter(col("vec_id") === 0), "embedding", n)
         .select(col("vec_id"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id")).limit(n)
@@ -1283,7 +1288,7 @@ object VectorSearch {
     */
   private[graft] def a31Build(s: SparkSession, dir: String): (String, (Array[Double], Array[Double])) = {
     val e = load(s, dir, "embeddings")
-    val base = a10Normalized(e.filter(col("vec_id") =!= 0))
+    val base = a10Normalized(graft.ops.fanOut(e.filter(col("vec_id") =!= 0)))
     val bounds = V.trainSqBounds(base, "nv")
     val out = java.nio.file.Files.createTempDirectory("graft_sq8")
       .resolve("codes").toString
@@ -1326,7 +1331,7 @@ object VectorSearch {
   private[graft] def a32Build(s: SparkSession, dir: String)
       : (String, Array[Seq[Float]], (Array[Double], Array[Double])) = {
     val e = load(s, dir, "embeddings")
-    val base = e.filter(col("vec_id") =!= 0)
+    val base = graft.ops.fanOut(e.filter(col("vec_id") =!= 0))
     val cents = V.trainCentroids(base, "vec_id", "embedding", c = 8, iters = 1)
     val bounds = V.trainSqBounds(a10Normalized(base), "nv")
     val idx = java.nio.file.Files.createTempDirectory("graft_ivfsq")
