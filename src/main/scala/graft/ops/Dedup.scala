@@ -39,9 +39,11 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, numHashes: Int = 64): DataFrame =
-    // fanOut: the signature kernel (shingle + numHashes permutations per
-    // doc) is the pipeline's dominant CPU and the input is one scan task
-    fanOut(df).select(idCol.as("doc_id"),
+    // no fanOut: the signature frame is cached/persisted by every caller,
+    // so the warm path pays only the exchange — measured a net loss
+    // (solo d02 0.59 -> 0.80 s with it; the cold kernel cost it would
+    // parallelize is amortized away by the cache)
+    df.select(idCol.as("doc_id"),
       G.minhashSig(textCol, shingleSize, numHashes).as("sig"))
 
   /** Write the signature table as parquet and read it back: signatures
@@ -104,10 +106,16 @@ object Dedup {
   def minhashLshPairs(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      minSim: Double = 0.5): DataFrame =
-    minhashLshPairsFromSigs(
-      cacheOnce(minhashSignatures(df, idCol, textCol, shingleSize, numHashes)),
-      numHashes, bands, minSim)
+      minSim: Double = 0.5): DataFrame = {
+    val sigs = cacheOnce(minhashSignatures(df, idCol, textCol, shingleSize, numHashes))
+    // materialization barrier: the first two consumers are the two sides
+    // of the band-bucket self-join, which AQE launches CONCURRENTLY —
+    // both race to compute the uncached partitions (duplicate work + the
+    // BlockManager "already exists" WARN). The count materializes the
+    // cache once; do not "optimize" it away.
+    sigs.count()
+    minhashLshPairsFromSigs(sigs, numHashes, bands, minSim)
+  }
 
   /** SimHash near-dup pairs: 64-bit sketch cut into `bands` chunks
     * (pigeonhole: hamming ≤ bands-1 ⇒ some chunk equal), bucket join on

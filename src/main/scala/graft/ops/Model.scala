@@ -55,11 +55,10 @@ object Model {
     */
   def trainLogReg(df: DataFrame, vecCol: String, labelCol: Column,
       dims: Int, epochs: Int, lr: Double = 1.0): Seq[LogRegModel] = {
-    // fanOut: each epoch's gradient pass (sigmoid fold + dim+1 rounded
-    // products per row) is CPU-heavy and the scan arrives as one task;
-    // the DECIMAL sums are order-exact, so parallelism cannot perturb
-    // the model
-    val base = fanOut(df.select(col(vecCol).as("v"), labelCol.cast("double").as("y")))
+    // no fanOut: measured a small net loss here (solo a28 1.81 -> 2.09 s)
+    // — the per-epoch gradient pass is too light at this dim count to
+    // amortize the exchange; the sums are order-exact either way
+    val base = df.select(col(vecCol).as("v"), labelCol.cast("double").as("y"))
     var w: Seq[Double] = Seq.fill(dims)(0.0)
     var b: Double = 0.0
     val out = Seq.newBuilder[LogRegModel]

@@ -223,8 +223,9 @@ object VectorSearch {
       // through a groupBy shuffle per Lloyd round), one plain-Java
       // dot-product loop per centroid visit (the fold form paid ~650ns
       // per visit in lambda + ArrayData unwrapping)
-      // mean over exact FIXED-POINT sums (x in units of 1e-12, summed as
-      // LONG): associative and codegen-native, so the value is
+      // mean over exact FIXED-POINT sums (x truncated to 1e-12 units via
+      // a long cast — NOT round(), whose double path allocates a
+      // BigDecimal per row): associative and codegen-native, so the value is
       // independent of partition count/merge order — the training input
       // may now arrive fanned out across tasks (a double sum would make
       // the centroids, and every downstream ADC score, flap run-to-run
@@ -236,7 +237,7 @@ object VectorSearch {
       val means = withNearestCell(sample, "id", "v", cents)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg((sum(round(col("x") * 1e12).cast("long")) / lit(1e12)
+        .agg((sum((col("x") * 1e12).cast("long")) / lit(1e12)
           / count(lit(1))).as("m"))
         .collect() // C × dim rows — driver-side by design
         .groupBy(_.getAs[Int]("cell"))
@@ -638,7 +639,7 @@ object VectorSearch {
         .groupBy(col("sub"), col("cell"), col("pos"))
         // exact fixed-point LONG mean — partition-order-free and
         // codegen-native, see trainCentroids
-        .agg((sum(round(col("x") * 1e12).cast("long")) / lit(1e12)
+        .agg((sum((col("x") * 1e12).cast("long")) / lit(1e12)
           / count(lit(1))).as("mu"))
         .collect() // m·c·subLen rows — driver-side by design
         .groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("cell")))
@@ -928,8 +929,12 @@ object VectorSearch {
       struct(lit(t).as("tbl"),
         G.hyperplaneLsh(col("v"), nbits, baseSeed + t).as("bucket"))
     }
-    val base = cacheOnce(fanOut(
-      vectors.select(col(idCol).as("id"), col(vecCol).as("v"))))
+    // no fanOut: the frame is cached and read by three light consumers —
+    // measured a net loss (solo a03 0.30 -> 0.48 s with it)
+    val base = cacheOnce(vectors.select(col(idCol).as("id"), col(vecCol).as("v")))
+    // materialization barrier (see minhashLshPairs): the bucket
+    // self-join's two sides race the uncached partitions otherwise
+    base.count()
     val b = base.select(col("id"), explode(array(tableCols: _*)).as("e"))
       .select(col("id"), col("e.tbl"), col("e.bucket"))
     // pair dedup on ids only; vectors rejoin after the distinct so the

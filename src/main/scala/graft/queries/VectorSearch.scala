@@ -82,7 +82,7 @@ object VectorSearch {
   val a04 = Q("a04_ann_ivf",
     (s, dir) => {
       val e = load(s, dir, "embeddings")
-      val base = graft.ops.fanOut(e.filter(col("vec_id") =!= 0))
+      val base = e.filter(col("vec_id") =!= 0)
       val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 2)
       V.ivfCandidates(base, e.filter(col("vec_id") === 0), "embedding",
           cents, nprobe = 4, idCol = Some("vec_id"))
@@ -145,7 +145,7 @@ object VectorSearch {
     */
   private[graft] def a06Build(s: SparkSession, dir: String): (String, Array[Seq[Float]]) = {
     val e = load(s, dir, "embeddings")
-    val base = graft.ops.fanOut(e.filter(col("vec_id") =!= 0))
+    val base = e.filter(col("vec_id") =!= 0)
     val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 2)
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf")
       .resolve("index").toString
@@ -221,7 +221,7 @@ object VectorSearch {
     */
   private[graft] def a08Build(s: SparkSession, dir: String): (String, Array[Seq[Float]]) = {
     val e = load(s, dir, "embeddings")
-    val base = graft.ops.fanOut(e.filter(pmod(col("vec_id"), lit(100)) =!= 0))
+    val base = e.filter(pmod(col("vec_id"), lit(100)) =!= 0)
     val cents = V.trainCentroids(base, "vec_id", "embedding", c = 16, iters = 2)
     val idx = java.nio.file.Files.createTempDirectory("graft_ivfb")
       .resolve("index").toString
@@ -409,7 +409,7 @@ object VectorSearch {
       val e = load(s, dir, "embeddings")
       val queries = e.filter(pmod(col("vec_id"), lit(100)) === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val base = graft.ops.fanOut(e.filter(pmod(col("vec_id"), lit(100)) =!= 0))
+      val base = e.filter(pmod(col("vec_id"), lit(100)) =!= 0)
       val truth = V.batchTopK(
         graft.ops.fanOut(base).crossJoin(broadcast(queries.select(col("query_id"),
             col("embedding").as("q_vec"))))
@@ -548,7 +548,7 @@ object VectorSearch {
   val a15 = Q("a15_ivf_probe_all",
     (s, dir) => {
       val e = load(s, dir, "embeddings")
-      val base = graft.ops.fanOut(e.filter(col("vec_id") =!= 0))
+      val base = e.filter(col("vec_id") =!= 0)
       val cents = V.trainCentroids(base, "vec_id", "embedding", c = 8, iters = 1)
       V.ivfCandidates(base, e.filter(col("vec_id") === 0), "embedding",
           cents, nprobe = 8, idCol = Some("vec_id"))
@@ -690,7 +690,7 @@ object VectorSearch {
       val e = load(s, dir, "embeddings")
       val queries = e.filter(pmod(col("vec_id"), lit(100)) === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val base = graft.ops.fanOut(e.filter(pmod(col("vec_id"), lit(100)) =!= 0))
+      val base = e.filter(pmod(col("vec_id"), lit(100)) =!= 0)
       val scored = graft.ops.fanOut(base).crossJoin(broadcast(queries.select(col("query_id"),
           col("embedding").as("q_vec"))))
         .withColumn("sim", round(G.cosineSim(col("embedding"), col("q_vec")), 6))
@@ -744,7 +744,7 @@ object VectorSearch {
   val a21 = Q("a21_versioned_ivf_probe_all",
     (s, dir) => {
       val e = load(s, dir, "embeddings")
-      val base = graft.ops.fanOut(e.filter(col("vec_id") =!= 0))
+      val base = e.filter(col("vec_id") =!= 0)
       val cents = V.trainCentroids(base, "vec_id", "embedding", c = 8, iters = 1)
       val root = java.nio.file.Files.createTempDirectory("graft_vivf_q")
         .resolve("idx").toString
