@@ -359,14 +359,19 @@ object Dedup {
     // prefixes the LEAST shared tokens, minimizing bucket fan-out.
     val tokenDf = toks.groupBy(col("s")).agg(count(lit(1)).as("tdf"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("tdf"), col("s"))
-    val prefix = toks.join(tokenDf, Seq("s"))
+    val prefix = cacheOnce(toks.join(tokenDf, Seq("s"))
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <= col("n") - ceilTau(col("n")) + 1)
-      .select(col("s"), col("doc_id"), col("side"), col("n"), col("pos"))
-    // NOT cached: measured 2.3x slower when materialized — the cache
-    // boundary blocks cross-stage optimization and forces the full
-    // prefix table through storage, while recomputing the two join
-    // sides pipelines them in parallel off the cached docs
+      .select(col("s"), col("doc_id"), col("side"), col("n"), col("pos")))
+    // CACHED as of round 13: the pre-fanOut measurement ("2.3x slower
+    // when materialized") flipped once the docs cache went 32-way —
+    // recomputing both self-join sides now redoes the tokenDf join and
+    // the per-doc rarity window TWICE, while the cache pays one
+    // materialization (interleaved solo: d06 1.95->0.98, d08 2.97->1.94,
+    // d10 2.81->0.82 s). Storage is bounded: prefixes are the pruned
+    // ~(1-tau) fraction of the shingle inventory, MEMORY_AND_DISK
+    // evicts under pressure, and the frame rides the tracked-release
+    // list below so the streaming caller frees it per batch.
 
     // positional filter (PPJoin, Xiao et al. WWW'08): a meeting at
     // prefix positions (i, j) bounds the pair's overlap by
@@ -399,6 +404,6 @@ object Dedup {
       .select(col("id1"), col("id2"),
         (col("c") / (size(col("sh1")) + size(col("sh2")) - col("c"))).as("jacc"))
       .filter(col("jacc") >= tau)
-    (out, Seq(docs))
+    (out, Seq(docs, prefix))
   }
 }
