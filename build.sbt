@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through RAW instead of routing it
+// through sbt's logger: the logger prefixes every line with "[info] ",
+// and the driver's bench parser has extracted NOTHING from the bench
+// stdout in any round to date (PERF_r*.json: prev/now_bench_ok false,
+// parsed null, with a well-formed JSON line sitting right there behind
+// the prefix). A measurement-REPORTING fix, not a timing change — see
+// OPTIMIZATION_r14.md "Bench contract".
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
