@@ -104,6 +104,11 @@ object GraftFunctions {
     c(PqEncodeCodes(e(v), books))
   def hyperplaneLsh(col: Column, nbits: Int = 16, seed: Long = 42L): Column =
     c(HyperplaneLsh(e(col), nbits, seed))
+  def l2Normalize(v: Column): Column = c(L2Normalize(e(v)))
+  def l2NormalizeF(v: Column): Column = c(L2NormalizeF(e(v)))
+  def subLit(v: Column, m: Seq[Double]): Column = c(SubtractLit(e(v), m))
+  def dotLit(v: Column, w: Seq[Double], seed: Double = 0.0): Column =
+    c(DotProductLit(e(v), w, seed))
   def hammingDist64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
   def gzipRatio(col: Column): Column = c(GzipRatio(e(col)))
   def mediaDims(col: Column): Column = c(MediaDims(e(col)))

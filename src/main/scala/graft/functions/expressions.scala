@@ -480,6 +480,144 @@ case class PqEncodeCodes(child: Expression, books: Seq[Seq[Seq[Float]]])
   override def prettyName: String = "pq_encode"
 }
 
+/** L2 normalization of an `array<double>` vector as ONE codegen'd call
+  * ([[VecOps.l2normalize]]) — replaces the `sqrt(aggregate(...))` +
+  * `filter(nrm > 0)` + `transform(x => x / nrm)` chain on the ANN hot
+  * paths. Higher-order Catalyst expressions (ArrayAggregate /
+  * ArrayTransform) evaluate their lambda bodies interpreted, outside
+  * whole-stage codegen; this kernel is a plain-Java loop inside the
+  * span. NULL marks the rows the old chain's filter dropped (zero/NaN
+  * norm), so callers filter `isNotNull` — arithmetic is bit-identical
+  * (index-ordered double accumulation, one division per element).
+  */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.GraftTypes.AbstractDataType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VecOps.l2normalize(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VecOps.l2normalize($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(c: Expression): L2Normalize =
+    copy(child = c)
+  override def prettyName: String = "l2_normalize"
+}
+
+/** [[L2Normalize]] over an `array<float>` input whose reference chain
+  * squared in FLOAT (Catalyst types `x * x` over float elements as a
+  * float multiply before the double accumulate) — see
+  * [[VecOps.l2normalizeF]]. Kept as a separate expression so each
+  * call site states which accumulation it is bit-preserving.
+  */
+case class L2NormalizeF(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.GraftTypes.AbstractDataType] =
+    Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VecOps.l2normalizeF(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VecOps.l2normalizeF($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(c: Expression): L2NormalizeF =
+    copy(child = c)
+  override def prettyName: String = "l2_normalize_f"
+}
+
+/** Elementwise subtraction of a LITERAL vector from an `array<double>`
+  * column — the codegen'd form of
+  *   zip_with(v, typedlit(m), (x, mj) => x - mj)
+  * (mean-centering on the PCA/training paths). Same per-element double
+  * subtract; NULL on length mismatch, where zip_with's null padding
+  * would poison the downstream fold.
+  */
+case class SubtractLit(child: Expression, lits: Seq[Double])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.GraftTypes.AbstractDataType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  @transient private lazy val m: Array[Double] = lits.toArray
+
+  def sub(v: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (v.numElements() != m.length) return null
+    val out = new Array[Double](m.length)
+    var i = 0
+    while (i < m.length) { out(i) = v.getDouble(i) - m(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    sub(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("subLit", this, classOf[SubtractLit].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.sub($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  }
+  override protected def withNewChildInternal(c: Expression): SubtractLit =
+    copy(child = c)
+  override def prettyName: String = "subtract_lit"
+}
+
+/** Seeded dot product of an `array<double>` vector against a LITERAL
+  * weight vector — the codegen'd form of
+  *   aggregate(zip_with(v, typedlit(w), (a, b) => a * b), lit(seed),
+  *             (acc, p) => acc + p)
+  * with the identical IEEE sequence: acc starts at `seed` and adds
+  * v(i)·w(i) in index order. `zip_with` over unequal lengths pads with
+  * NULL and the fold collapses to NULL — mirrored by returning NULL on
+  * a length mismatch. Weights ride as ONE plan-reference object
+  * (prepared once per executor, like [[CellAssign]]'s centroids), not a
+  * per-row literal array walk, and the whole product stays inside the
+  * whole-stage-codegen span where the HOF pair was a CodegenFallback
+  * island.
+  */
+case class DotProductLit(child: Expression, weights: Seq[Double], seed: Double)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.GraftTypes.AbstractDataType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val w: Array[Double] = weights.toArray
+
+  def lengthOk(v: org.apache.spark.sql.catalyst.util.ArrayData): Boolean =
+    v.numElements() == w.length
+
+  def dot(v: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    var acc = seed
+    var i = 0
+    while (i < w.length) { acc = acc + v.getDouble(i) * w(i); i += 1 }
+    acc
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (lengthOk(a)) dot(a) else null
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotLit", this, classOf[DotProductLit].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($ref.lengthOk($c)) { ${ev.value} = $ref.dot($c); }
+      else { ${ev.isNull} = true; }""")
+  }
+  override protected def withNewChildInternal(c: Expression): DotProductLit =
+    copy(child = c)
+  override def prettyName: String = "dot_product_lit"
+}
+
 /** Random-hyperplane LSH bucket (nbits sign bits) for cosine ANN. */
 case class HyperplaneLsh(child: Expression, nbits: Int, seed: Long)
     extends UnaryExpression with ImplicitCastInputTypes {

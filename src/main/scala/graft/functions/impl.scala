@@ -371,6 +371,62 @@ object VecOps {
 
   def norm(a: ArrayData): Double = math.sqrt(dot(a, a))
 
+  /** L2-normalize a DOUBLE vector — the fused, codegen-callable form of
+    * the three-step Catalyst chain
+    *   nrm = sqrt(aggregate(v, 0.0d, (a, x) => a + x * x))
+    *   filter(nrm > 0)
+    *   transform(v, x => x / nrm)
+    * with bit-identical arithmetic: the squared sum accumulates in index
+    * order exactly like the fold (acc + x*x per step), and each output
+    * element is the same single division x / nrm. Returns NULL exactly
+    * where the chain's filter dropped the row — a zero vector (nrm == 0)
+    * or any NaN element (nrm == NaN, and !(NaN > 0)) — so
+    * `isNotNull` on the result IS the old filter.
+    */
+  def l2normalize(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var ssq = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); out(i) = x; ssq += x * x; i += 1 }
+    val nrm = math.sqrt(ssq)
+    if (!(nrm > 0)) null
+    else {
+      var j = 0
+      while (j < n) { out(j) = out(j) / nrm; j += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** [[l2normalize]] for a FLOAT vector whose fold squared in FLOAT —
+    * Catalyst types `x * x` over float elements as a float multiply and
+    * only widens for the double accumulate, so
+    * `aggregate(v, 0.0d, (a, x) => a + x * x)` over `array<float>` adds
+    * FLOAT-rounded squares. This variant reproduces that exactly
+    * (float multiply, then widen); output elements are
+    * `x.toDouble / nrm`, matching `element_at(v, i) / nrm` (float
+    * widened by the divide's coercion). NULL where `nrm > 0` fails.
+    */
+  def l2normalizeF(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var ssq = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i)
+      out(i) = x.toDouble
+      ssq += (x * x).toDouble
+      i += 1
+    }
+    val nrm = math.sqrt(ssq)
+    if (!(nrm > 0)) null
+    else {
+      var j = 0
+      while (j < n) { out(j) = out(j) / nrm; j += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Deterministic hyperplane components for (seed, nbits, dim), cached
     * per JVM so the per-row cost is a pure dot product — the derivation
     * (splitmix64 -> uniform ~[-1,1)) runs once per executor, not per row.

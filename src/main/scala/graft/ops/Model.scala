@@ -63,9 +63,11 @@ object Model {
     var b: Double = 0.0
     val out = Seq.newBuilder[LogRegModel]
     for (_ <- 1 to epochs) {
-      val z = round(aggregate(
-        zip_with(col("v"), typedlit(w), (x, wi) => x * wi),
-        lit(b), (acc, p) => acc + p), 6)
+      // codegen'd bias-seeded dot ([[graft.functions.DotProductLit]]):
+      // identical IEEE fold order to the zip_with/aggregate pair (the
+      // float elements were widened per product there, by the cast here)
+      val z = round(graft.functions.GraftFunctions.dotLit(
+        col("v").cast("array<double>"), w, b), 6)
       val err = round(lit(1.0) / (lit(1.0) + exp(-z)), 6) - col("y")
       val sums = base
         .select((0 until dims).map(j =>
@@ -89,9 +91,8 @@ object Model {
     * returned model is a pure zero-shuffle projection (a22's plan).
     */
   def predict(vec: Column, m: LogRegModel): Column =
-    round(lit(1.0) / (lit(1.0) + exp(-round(aggregate(
-      zip_with(vec, typedlit(m.weights), (x, wi) => x * wi),
-      lit(m.bias), (acc, p) => acc + p), 6))), 6)
+    round(lit(1.0) / (lit(1.0) + exp(-round(graft.functions.GraftFunctions
+      .dotLit(vec.cast("array<double>"), m.weights, m.bias), 6))), 6)
 
   /** Mean-centered top principal component by distributed power
     * iteration (the O(dim) PCA that actually runs at 100 TB — no
@@ -123,10 +124,12 @@ object Model {
     var v: Seq[Double] = 1.0 +: Seq.fill(dims - 1)(0.0)
     val iterates = Seq.newBuilder[Seq[Double]]
     for (_ <- 1 to iters) {
-      val centered = zip_with(col("v"), typedlit(mean), (x, mj) => x - mj)
-      val dot = aggregate(
-        zip_with(centered, typedlit(v), (c, vj) => c * vj),
-        lit(0.0), (acc, p) => acc + p)
+      // codegen'd mean-centering + dot kernels (SubtractLit /
+      // DotProductLit): per-element double subtract and index-ordered
+      // fold, bit-identical to the zip_with/aggregate pair they replace
+      val centered = graft.functions.GraftFunctions.subLit(
+        col("v").cast("array<double>"), mean)
+      val dot = graft.functions.GraftFunctions.dotLit(centered, v)
       val uRow = base
         .select(centered.as("c"), dot.as("d"))
         .select((0 until dims).map(j =>

@@ -322,13 +322,16 @@ object VectorSearch {
     // fanOut: both grid-join sides recompute this projection (see the
     // no-cache note below) — normalization + grid hashing off a narrow
     // scan would run single-task on each side
+    // codegen'd float-exact normalize kernel (L2NormalizeF: the fold
+    // over array<float> squared in FLOAT — preserved bit-for-bit) in
+    // place of the interpreted fold + per-axis divide; the grid cell is
+    // floor((x/nrm)/r) either way, same association order
     val base = fanOut(vectors.select(col(idCol).as("id"), col(vecCol).as("v")))
-      .withColumn("nrm",
-        sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
-      .filter(col("nrm") > 0)
+      .withColumn("_nv", G.l2NormalizeF(col("v")))
+      .filter(col("_nv").isNotNull)
       .withColumn("cells", array((0 until gridDims).map(i =>
-        floor(element_at(col("v"), i + 1) / col("nrm") / lit(r)).cast("int")): _*))
-      .drop("nrm")
+        floor(element_at(col("_nv"), i + 1) / lit(r)).cast("int")): _*))
+      .drop("_nv")
     // both grid-join sides re-scan `base` rather than cache it: an
     // operator that pins the WHOLE corpus in executor storage is
     // anti-scale at 100 TB (and a returned-lazy cache can never be
@@ -788,8 +791,9 @@ object VectorSearch {
     val const = query.indices.map(i => query(i) * mins(i)).sum
     val w = query.indices.map(i =>
       query(i) * math.max(maxs(i) - mins(i), 0.0) / 255.0)
-    aggregate(zip_with(codes, typedlit(w), (c, ww) => c * ww),
-      lit(0.0d), (a, x) => a + x) + lit(const)
+    // codegen'd seeded dot over the (int->double cast) codes — the
+    // zip_with/aggregate pair evaluated interpreted per row
+    G.dotLit(codes.cast("array<double>"), w) + lit(const)
   }
 
   /** Decode back to the approximate vector (spec tooling: the
@@ -815,11 +819,11 @@ object VectorSearch {
   def buildIvfPqIndex(vectors: DataFrame, idCol: String, vecCol: String,
       cents: Array[Seq[Float]], books: Array[Array[Seq[Float]]],
       path: String): Unit = {
+    // codegen'd normalize kernel (see a10Normalized) — one call per row
+    // in place of the interpreted fold/filter/transform chain
     val normed = vectors
-      .withColumn("_v", col(vecCol).cast("array<double>"))
-      .withColumn("_nrm", sqrt(aggregate(col("_v"), lit(0.0d), (a, x) => a + x * x)))
-      .filter(col("_nrm") > 0)
-      .withColumn("_nv", transform(col("_v"), x => x / col("_nrm")))
+      .withColumn("_nv", G.l2Normalize(col(vecCol).cast("array<double>")))
+      .filter(col("_nv").isNotNull)
     val assigned = withNearestCell(
       normed.select(col(idCol), col(vecCol), col("_nv")), idCol, vecCol, cents)
     withPqCodes(assigned, idCol, "_nv", books)
@@ -861,9 +865,7 @@ object VectorSearch {
       .select(col(idCol))
     spark.read.parquet(s"$path/vectors")
       .join(shortIds, Seq(idCol))
-      .withColumn("sim", round(aggregate(
-        zip_with(col("nv"), typedlit(queryVec), (a, b) => a * b),
-        lit(0.0d), (acc, x) => acc + x), 6))
+      .withColumn("sim", round(G.dotLit(col("nv"), queryVec), 6))
       .select(col(idCol), col("sim"))
   }
 
@@ -880,10 +882,8 @@ object VectorSearch {
       cents: Array[Seq[Float]], mins: Array[Double], maxs: Array[Double],
       path: String): Unit = {
     val normed = vectors
-      .withColumn("_v", col(vecCol).cast("array<double>"))
-      .withColumn("_nrm", sqrt(aggregate(col("_v"), lit(0.0d), (a, x) => a + x * x)))
-      .filter(col("_nrm") > 0)
-      .withColumn("_nv", transform(col("_v"), x => x / col("_nrm")))
+      .withColumn("_nv", G.l2Normalize(col(vecCol).cast("array<double>")))
+      .filter(col("_nv").isNotNull)
     withNearestCell(normed.select(col(idCol), col(vecCol), col("_nv")),
         idCol, vecCol, cents)
       .select(col(idCol), col("cell"), sqEncode(col("_nv"), mins, maxs).as("codes"))
@@ -914,9 +914,7 @@ object VectorSearch {
       .select(col(idCol))
     spark.read.parquet(s"$path/vectors")
       .join(shortIds, Seq(idCol))
-      .withColumn("sim", round(aggregate(
-        zip_with(col("nv"), typedlit(queryVec), (a, b) => a * b),
-        lit(0.0d), (acc, x) => acc + x), 6))
+      .withColumn("sim", round(G.dotLit(col("nv"), queryVec), 6))
       .select(col(idCol), col("sim"))
   }
 
@@ -933,7 +931,10 @@ object VectorSearch {
     // measured a net loss (solo a03 0.30 -> 0.48 s with it)
     val base = cacheOnce(vectors.select(col(idCol).as("id"), col(vecCol).as("v")))
     // materialization barrier (see minhashLshPairs): the bucket
-    // self-join's two sides race the uncached partitions otherwise
+    // self-join's two sides race the uncached partitions otherwise.
+    // Settled by interleaved solo A/B (r14): barrier 0.41-0.46 s vs no
+    // barrier 0.39-0.48 s (a03) — free when warm; fanOut-before-cache
+    // lost (0.62-0.68 s). Keep.
     base.count()
     val b = base.select(col("id"), explode(array(tableCols: _*)).as("e"))
       .select(col("id"), col("e.tbl"), col("e.bucket"))

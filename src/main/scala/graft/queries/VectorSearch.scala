@@ -294,10 +294,14 @@ object VectorSearch {
     * and the candidates==all degeneracy are asserted in BatchAnnSpec.
     */
   private[graft] def a10Normalized(df: org.apache.spark.sql.DataFrame) = df
-    .withColumn("v", col("embedding").cast("array<double>"))
-    .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
-    .filter(col("nrm") > 0)
-    .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+    // one codegen'd kernel call ([[graft.functions.L2Normalize]]) in
+    // place of the fold + filter + transform chain — the higher-order
+    // expressions evaluated their lambdas interpreted on every row of
+    // every build pass (guide: eliminate non-codegen expressions on hot
+    // paths). NULL marks exactly the rows the old `nrm > 0` filter
+    // dropped; arithmetic is bit-identical (hash-gated, r14).
+    .withColumn("nv", G.l2Normalize(col("embedding").cast("array<double>")))
+    .filter(col("nv").isNotNull)
 
   /** a10's one-time phase: train the codebooks and persist the encoded
     * corpus (codes + normalized vectors) — the PQ "index". Persisting
@@ -343,9 +347,9 @@ object VectorSearch {
         col("vec_id"), col("adc")), "qid", "vec_id", "adc", k = 50)
       .select(col("vec_id"))
     scored.join(cand, Seq("vec_id"))
-      .withColumn("sim", round(aggregate(
-        zip_with(col("nv"), typedlit(qv), (a, b) => a * b),
-        lit(0.0d), (acc, x) => acc + x), 6))
+      // codegen'd seeded dot ([[graft.functions.DotProductLit]]) — same
+      // IEEE sequence as the zip_with/aggregate pair it replaces
+      .withColumn("sim", round(G.dotLit(col("nv"), qv), 6))
       .select(col("vec_id"), col("label"), col("adc"), col("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
@@ -774,9 +778,10 @@ object VectorSearch {
       val w: Seq[Double] = (0 until 64).map(i => ((i * 37) % 19 - 9) / 10.0)
       val bias = 0.1
       load(s, dir, "embeddings")
-        .withColumn("z", round(aggregate(
-          zip_with(col("embedding"), typedlit(w), (x, wi) => x * wi),
-          lit(bias), (acc, p) => acc + p), 6))
+        // codegen'd seeded dot (bias-seeded left fold, identical IEEE
+        // order — the oracle's list_reduce mirror is unchanged)
+        .withColumn("z", round(
+          G.dotLit(col("embedding").cast("array<double>"), w, bias), 6))
         .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
         .select(col("vec_id"), col("z"), col("score"),
           when(col("score") >= 0.5, lit("keep")).otherwise(lit("drop"))
@@ -994,9 +999,8 @@ object VectorSearch {
       import org.apache.spark.sql.expressions.Window
       val w: Seq[Double] = (0 until 64).map(i => ((i * 37) % 19 - 9) / 10.0)
       val scored = load(s, dir, "embeddings")
-        .withColumn("z", round(aggregate(
-          zip_with(col("embedding"), typedlit(w), (x, wi) => x * wi),
-          lit(0.1), (acc, p) => acc + p), 6))
+        .withColumn("z", round(
+          G.dotLit(col("embedding").cast("array<double>"), w, 0.1), 6))
         .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
         .withColumn("pos", (col("label") % 2 === 1).cast("long"))
       val buckets = scored.groupBy(col("score"))
@@ -1062,9 +1066,8 @@ object VectorSearch {
     (s, dir) => {
       val w: Seq[Double] = (0 until 64).map(i => ((i * 37) % 19 - 9) / 10.0)
       load(s, dir, "embeddings")
-        .withColumn("z", round(aggregate(
-          zip_with(col("embedding"), typedlit(w), (x, wi) => x * wi),
-          lit(0.1), (acc, p) => acc + p), 6))
+        .withColumn("z", round(
+          G.dotLit(col("embedding").cast("array<double>"), w, 0.1), 6))
         .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
         .withColumn("pos", (col("label") % 2 === 1).cast("long"))
         .groupBy(least(floor(col("score") * 10), lit(9L)).cast("long").as("bin"))
