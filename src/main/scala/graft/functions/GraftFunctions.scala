@@ -109,6 +109,7 @@ object GraftFunctions {
   def subLit(v: Column, m: Seq[Double]): Column = c(SubtractLit(e(v), m))
   def dotLit(v: Column, w: Seq[Double], seed: Double = 0.0): Column =
     c(DotProductLit(e(v), w, seed))
+  def round6Long(v: Column): Column = c(Round6ScaledLong(e(v)))
   def hammingDist64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
   def gzipRatio(col: Column): Column = c(GzipRatio(e(col)))
   def mediaDims(col: Column): Column = c(MediaDims(e(col)))

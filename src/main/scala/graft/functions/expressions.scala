@@ -618,6 +618,33 @@ case class DotProductLit(child: Expression, weights: Seq[Double], seed: Double)
   override def prettyName: String = "dot_product_lit"
 }
 
+/** `round(x, 6).cast(DECIMAL(28,6))` as its exact UNSCALED LONG
+  * (10^6·round(x, 6)) — see [[VecOps.round6ScaledLong]] for the
+  * bit-faithfulness argument. Lets the repo's exact-decimal trainer
+  * aggregations (`sum` of 6-dp-rounded terms) run as primitive long
+  * sums; pair with `try_sum` so overflow surfaces as NULL instead of
+  * wrapping. NULL on NaN/±Inf, exactly where the decimal cast nulled.
+  */
+case class Round6ScaledLong(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.GraftTypes.AbstractDataType] =
+    Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[Double]
+    if (x.isNaN || x.isInfinite) null else VecOps.round6ScaledLong(x)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if (Double.isNaN($c) || Double.isInfinite($c)) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft.functions.VecOps.round6ScaledLong($c); }""")
+  override protected def withNewChildInternal(c: Expression): Round6ScaledLong =
+    copy(child = c)
+  override def prettyName: String = "round6_scaled_long"
+}
+
 /** Random-hyperplane LSH bucket (nbits sign bits) for cosine ANN. */
 case class HyperplaneLsh(child: Expression, nbits: Int, seed: Long)
     extends UnaryExpression with ImplicitCastInputTypes {

@@ -427,6 +427,35 @@ object VecOps {
     }
   }
 
+  /** The repo's exact-6-dp aggregation term as an UNSCALED LONG:
+    * the bit-faithful fusion of `round(x, 6).cast(DecimalType(28, 6))`
+    * into the integer 10^6·round(x, 6), so the surrounding `sum(...)`
+    * runs on primitive longs instead of Decimal (the Decimal add +
+    * unsafe-row decimal writes dominated the trainer passes — a28/a29
+    * spent ~9 s CPU per 64-column pass on them at sf0.1).
+    *
+    * Mirrors the two-step chain EXACTLY, intermediate double included:
+    *   r = BigDecimal.valueOf(x).setScale(6, HALF_UP).doubleValue()
+    *       — Spark's Round(x, 6) on a finite double
+    *   u = BigDecimal.valueOf(r).setScale(6, HALF_UP) ·10^6
+    *       — Spark's Cast(r as DECIMAL(p, 6)): valueOf is the shortest
+    *         decimal repr, setScale the cast's HALF_UP re-round (a no-op
+    *         until |r| has >~16 significant digits, where the two-step
+    *         chain's re-round is exactly what this reproduces)
+    * Callers map NaN/Inf to NULL themselves (the cast's behavior; Round
+    * passes them through). Diverges from the cast only in overflow
+    * style: past the long range (|x| ≥ ~9.2e12) this THROWS
+    * (longValueExact) where the cast nulls at 1e22 — losing a gradient
+    * term silently corrupts a trained model, so loud is correct.
+    */
+  def round6ScaledLong(x: Double): Long = {
+    val r = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    java.math.BigDecimal.valueOf(r)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+  }
+
   /** Deterministic hyperplane components for (seed, nbits, dim), cached
     * per JVM so the per-row cost is a pure dot product — the derivation
     * (splitmix64 -> uniform ~[-1,1)) runs once per executor, not per row.

@@ -24,7 +24,33 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Model {
 
-  private val dec6 = DecimalType(28, 6)
+  /** Exact 6-dp sum term as an unscaled long
+    * ([[graft.functions.Round6ScaledLong]] — bit-faithful to
+    * `round(x,6).cast(DECIMAL(28,6))` including the intermediate
+    * double), wrapped in `try_sum` so a sum past the long range
+    * surfaces as NULL instead of wrapping silently. The long path cut
+    * the trainer passes' per-row cost ~2-3x vs Decimal aggregation
+    * (the arithmetic and every result bit are unchanged; see
+    * Round6SumSpec for the equivalence pin and the overflow pin).
+    */
+  private def sum6(x: Column): Column =
+    try_sum(graft.functions.GraftFunctions.round6Long(x))
+
+  /** Driver-side decode of a [[sum6]] field: NULL past `require` means
+    * the exact sum overflowed ~9.2e12 (2^63/10^6) — at that magnitude a
+    * silently wrapped gradient would corrupt the model deterministically
+    * (hash checks can't catch it), so fail loudly with the fix spelled
+    * out. `BigDecimal.valueOf(u, 6).doubleValue` is the same double the
+    * old DECIMAL(28,6) sum's `.doubleValue` produced.
+    */
+  private def dec6Field(row: org.apache.spark.sql.Row, name: String,
+      who: String): Double = {
+    val i = row.fieldIndex(name)
+    require(!row.isNullAt(i),
+      s"$who: exact 6-dp sum '$name' exceeded the long range (~9.2e12); " +
+        "train on a bounded sample (sampleMod) or shrink the batch")
+    java.math.BigDecimal.valueOf(row.getLong(i), 6).doubleValue
+  }
 
   /** HALF_UP 6-dp round — the driver-side twin of Spark/DuckDB
     * `round(x, 6)` (both round half away from zero for doubles).
@@ -71,16 +97,16 @@ object Model {
       val err = round(lit(1.0) / (lit(1.0) + exp(-z)), 6) - col("y")
       val sums = base
         .select((0 until dims).map(j =>
-          sum(round(err * col("v")(j), 6).cast(dec6)).as(s"g$j")) :+
-          sum(round(err, 6).cast(dec6)).as("gb") :+
+          sum6(err * col("v")(j)).as(s"g$j")) :+
+          sum6(err).as("gb") :+
           count(lit(1)).as("n"): _*)
         .head()
       require(sums.getAs[Long]("n") > 0L,
         "trainLogReg: empty training set (zero rows after projection)")
       val n = sums.getAs[Long]("n").toDouble
       w = (0 until dims).map(j =>
-        r6(w(j) - lr * sums.getAs[java.math.BigDecimal](s"g$j").doubleValue / n))
-      b = r6(b - lr * sums.getAs[java.math.BigDecimal]("gb").doubleValue / n)
+        r6(w(j) - lr * dec6Field(sums, s"g$j", "trainLogReg") / n))
+      b = r6(b - lr * dec6Field(sums, "gb", "trainLogReg") / n)
       out += LogRegModel(w, b)
     }
     out.result()
@@ -113,14 +139,14 @@ object Model {
     val base = fanOut(df.select(col(vecCol).as("v")))
     val mRow = base
       .select((0 until dims).map(j =>
-        sum(round(col("v")(j), 6).cast(dec6)).as(s"m$j")) :+
+        sum6(col("v")(j)).as(s"m$j")) :+
         count(lit(1)).as("n"): _*)
       .head()
     require(mRow.getAs[Long]("n") > 0L,
       "powerIterationPc1: empty input (zero vectors)")
     val n = mRow.getAs[Long]("n").toDouble
     val mean = (0 until dims).map(j =>
-      r6(mRow.getAs[java.math.BigDecimal](s"m$j").doubleValue / n))
+      r6(dec6Field(mRow, s"m$j", "powerIterationPc1") / n))
     var v: Seq[Double] = 1.0 +: Seq.fill(dims - 1)(0.0)
     val iterates = Seq.newBuilder[Seq[Double]]
     for (_ <- 1 to iters) {
@@ -133,10 +159,10 @@ object Model {
       val uRow = base
         .select(centered.as("c"), dot.as("d"))
         .select((0 until dims).map(j =>
-          sum(round(col("c")(j) * col("d"), 6).cast(dec6)).as(s"u$j")): _*)
+          sum6(col("c")(j) * col("d")).as(s"u$j")): _*)
         .head()
       val u = (0 until dims).map(j =>
-        r6(uRow.getAs[java.math.BigDecimal](s"u$j").doubleValue / n))
+        r6(dec6Field(uRow, s"u$j", "powerIterationPc1") / n))
       val norm = math.sqrt(u.foldLeft(0.0)((acc, x) => acc + x * x))
       require(norm > 0.0, "powerIterationPc1: zero-variance input " +
         "(all vectors equal after centering) has no principal direction")
