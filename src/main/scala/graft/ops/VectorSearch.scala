@@ -203,6 +203,22 @@ object VectorSearch {
     * corpus, which is what makes training viable at 100 TB. Collected
     * state is C × dim doubles — bounded and tiny by construction.
     */
+  /** Decode one fixed-point Lloyd mean row (`s` = try_sum of 1e-12
+    * units, `n` = count): NULL `s` means the exact long sum wrapped —
+    * refuse loudly (a silently wrapped mean corrupts the trained
+    * centroids deterministically, so no downstream hash check could
+    * catch it). The division replicates the old in-plan
+    * `sum/1e12/count` IEEE sequence exactly.
+    */
+  private def fpMean(r: org.apache.spark.sql.Row, who: String): Double = {
+    val si = r.fieldIndex("s")
+    require(!r.isNullAt(si),
+      s"$who: fixed-point sum overflowed the long range in one " +
+        "(cell,pos) group — train on a bounded sample (sampleMod) " +
+        "to keep per-group row counts under ~9.2e18/(maxAbs*1e12)")
+    r.getLong(si).toDouble / 1e12 / r.getAs[Long]("n").toDouble
+  }
+
   def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
       c: Int, iters: Int = 3, sampleMod: Int = 1): Array[Seq[Float]] = {
     val spark = vectors.sparkSession
@@ -232,17 +248,25 @@ object VectorSearch {
       // with shuffle arrival order; same order-free stance as a09's dim
       // stats, in the integer form the t17/q61 paths use). The 5e-13
       // quantization sits ~5 decimal orders below float precision, so
-      // the .toFloat centroids are unchanged (hash-verified on all SFs);
-      // overflow headroom: |x|·1e12 ≤ ~1e15 per row, 2^63 ≈ 9.2e18.
+      // the .toFloat centroids are unchanged (hash-verified on all SFs).
+      // Overflow is CHECKED, not assumed away: per-row |x|·1e12 can reach
+      // ~1e15, so a single (cell,pos) group wraps past 2^63 ≈ 9.2e18 at
+      // ~10^4-10^7 rows — reachable when callers train on the full corpus
+      // (sampleMod=1). try_sum surfaces the wrap as NULL and fpMean
+      // refuses it loudly; a wrapped mean would corrupt every centroid
+      // (and every downstream ADC score) deterministically, invisible to
+      // hash checks. The division moves driver-side with the identical
+      // IEEE sequence (long→double, /1e12, /count).
       val means = withNearestCell(sample, "id", "v", cents)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg((sum((col("x") * 1e12).cast("long")) / lit(1e12)
-          / count(lit(1))).as("m"))
+        .agg(try_sum((col("x") * 1e12).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect() // C × dim rows — driver-side by design
         .groupBy(_.getAs[Int]("cell"))
         .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m").toFloat).toSeq
+          cell -> rows.sortBy(_.getAs[Int]("pos"))
+            .map(fpMean(_, "trainCentroids").toFloat).toSeq
         }
       cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
     }
@@ -640,15 +664,15 @@ object VectorSearch {
         .select(col("e.sub").as("sub"), col("e.cell").as("cell"),
           posexplode(col("e.sv")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("cell"), col("pos"))
-        // exact fixed-point LONG mean — partition-order-free and
-        // codegen-native, see trainCentroids
-        .agg((sum((col("x") * 1e12).cast("long")) / lit(1e12)
-          / count(lit(1))).as("mu"))
+        // exact fixed-point LONG mean — partition-order-free,
+        // codegen-native, and overflow-CHECKED: see trainCentroids
+        .agg(try_sum((col("x") * 1e12).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect() // m·c·subLen rows — driver-side by design
         .groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("cell")))
         .map { case ((s, cell), rows) =>
           (s, cell) -> rows.sortBy(_.getAs[Int]("pos"))
-            .map(_.getAs[Double]("mu").toFloat).toSeq
+            .map(fpMean(_, "trainPqCodebooks").toFloat).toSeq
         }
       books = Array.tabulate(m)(s =>
         books(s).zipWithIndex.map { case (old, i) => means.getOrElse((s, i), old) })

@@ -70,6 +70,26 @@ class Round6SumSpec extends SparkSuite {
       .compareTo(s.getAs[java.math.BigDecimal]("ref")) == 0)
   }
 
+  test("trainCentroids refuses a wrapped fixed-point group instead of " +
+      "silently corrupting the centroids") {
+    // One cell, 10k rows of |x| = 1000: per-row units 1e15, group sum
+    // 1e19 > 2^63 ≈ 9.2e18 — past the wrap point the old sum(long)
+    // returned a plausible-looking negative total and the trained
+    // centroid was deterministically wrong; now try_sum nulls and the
+    // mean decode must throw.
+    val rows = (0 until 10000).map(i => (i.toLong, Seq(1000.0f, 1000.0f)))
+    val df = rows.toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.VectorSearch.trainCentroids(df, "id", "v", c = 1, iters = 1)
+    }
+    assert(e.getMessage.contains("overflowed"))
+    // and comfortably inside the range the same shape still trains
+    val ok = (0 until 1000).map(i => (i.toLong, Seq(i / 1000.0f, 1.0f)))
+    val cents = graft.ops.VectorSearch.trainCentroids(
+      ok.toDF("id", "v"), "id", "v", c = 1, iters = 1)
+    assert(cents.length == 1 && cents.head.forall(f => !f.isNaN))
+  }
+
   test("a sum past the long range is NULL (loud), never a wrapped value") {
     // 4 terms of ~4.6e12 each: pairwise sums fit, the total exceeds
     // 2^63/1e6 ≈ 9.22e12 — the silent-wrap scenario the old Decimal
