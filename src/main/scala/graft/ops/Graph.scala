@@ -159,7 +159,19 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // node count rides along as a column (single-row cross join stays a
-    // broadcast); no driver-side count action
+    // broadcast); no driver-side count action.
+    // DELIBERATELY a bare localCheckpoint even though it freezes the
+    // AQE-coalesced 1-4 partition layout for every iteration (r14
+    // measured the iteration stages at 2-4 tasks on 32 cores):
+    // re-widening the checkpoints to the session parallelism
+    // (repartition + re-checkpoint, keyed or round-robin) LOST a
+    // consistent ~15% in interleaved solo A/B — q61 2.48/2.66/2.51 s
+    // narrow vs 2.88/2.90/3.16 s widened — because at sf0.1 the
+    // kernels' serial CPU chunks are ≤0.25 s while 32-way scheduling
+    // overhead plus the extra materialization cost more. At real edge
+    // counts the builder shuffles are byte-large, AQE stops coalescing
+    // them, and the frozen layout is wide on its own — the starvation
+    // is a small-data artifact, not a scale risk. Don't re-try blind.
     val n = nodes.crossJoin(nodes.agg(count(lit(1)).as("n")))
       .localCheckpoint(true)
     val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
@@ -267,6 +279,9 @@ object Graph {
     * SQL oracle agree with the degree-ordered distributed plan.
     */
   def triangleCount(edges: DataFrame): DataFrame = {
+    // bare localCheckpoint on purpose — the re-widened variant lost
+    // the interleaved A/B at sf0.1 (see pageRank's note; q62
+    // 2.17/1.99/2.07 s narrow vs 2.73/3.13/2.66 s widened)
     val e0 = edges.toDF("x", "y")
       .select(least(col("x"), col("y")).cast("long").as("a"),
         greatest(col("x"), col("y")).cast("long").as("b"))
@@ -292,6 +307,9 @@ object Graph {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .repartition(col("u"))
       .localCheckpoint(true)
+      // (the wedge join below runs as ONE task at sf0.1 — its whole
+      // serial CPU is ~0.24 s, and the keyed re-widening of this
+      // checkpoint lost the interleaved A/B; see pageRank's note)
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.u") === col("y.u") && col("x.v") < col("y.v"))
       .select(col("x.v").as("p"), col("y.v").as("q")) // p < q by id

@@ -53,4 +53,17 @@ package object ops {
         < BigInt(1L << 30)) df.repartition(par)
     else df
   }
+
+  // NOTE (r14): a "wideCheckpoint" sibling — localCheckpoint that
+  // re-widens an AQE-coalesced 1-4 partition layout to the session
+  // parallelism before freezing it (materialized partition count read
+  // off the LogicalRDD, since join-lineage stats defeat the 1 GiB
+  // guard above) — was built for the iterative graph kernels and
+  // REVERTED on measurement: interleaved solo A/B at sf0.1 read q61
+  // 2.48-2.66 s narrow vs 2.88-3.16 s widened and q62 1.99-2.17 s vs
+  // 2.66-3.13 s. The kernels' serial chunks are ≤0.25 s at this SF,
+  // so 32-way scheduling overhead plus the extra materialization
+  // outweigh the parallelism; at real edge counts the builder
+  // shuffles are byte-large and never coalesce narrow in the first
+  // place. See Graph.pageRank/triangleCount for the in-place notes.
 }
