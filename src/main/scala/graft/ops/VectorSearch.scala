@@ -1176,17 +1176,48 @@ object VectorSearch {
   }
 
   def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
-      cents: Array[Seq[Float]], tau: Double): DataFrame = {
+      cents: Array[Seq[Float]], tau: Double,
+      pairBudget: Long = 16L << 20): DataFrame = {
     // fanOut: the within-cell pair join inherits the PROBE side's
     // partitioning when the build side broadcasts — off a narrow scan
     // the Θ(cell²) cosine work would run on one or two tasks
-    val assigned = withNearestCell(
+    // cacheOnce + barrier (the nearDupPairs pattern): four consumers now
+    // read the assignment — the per-cell count, both pair-join sides and
+    // the survivor anti-join — and without the cache each would re-run
+    // the CellAssign kernel over the corpus (measured: blocked-without-
+    // cache lost ~0.4 s solo on d15; cached it is a wash vs the uncached
+    // two-consumer original).
+    val assigned = cacheOnce(withNearestCell(
         fanOut(vectors.select(col(idCol), col(vecCol))), idCol, vecCol, cents)
-      .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
-    val dropped = assigned
-      .select(col("cell"), col("id").as("id1"), col("v").as("v1"))
-      .join(assigned.select(col("cell"), col("id").as("id2"), col("v").as("v2")),
-        Seq("cell"))
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell")))
+    assigned.count()
+    // Fragment-replicate blocking for the within-cell self-join: a join
+    // keyed on `cell` alone puts a hot cell's Θ(cell²) cosine work under
+    // ONE join key, which AQE's skew handling cannot split (it splits
+    // partitions, never a single key — guide §2, one-hot-key skew). Each
+    // row gets a hashed bucket in [0, B) and the pair space becomes B²
+    // independent keys (cell, bi, bj): the left side replicates across
+    // all bj, the right across all bi, so every within-cell pair meets
+    // under exactly one composite key and the hot cell's worst task
+    // holds ≤ (cnt/B)² ≤ pairBudget pairs instead of cnt². B is derived
+    // per cell from the DATA (its row count vs the pair budget), not
+    // from the session's core count: B = 1 — identical pair volume, no
+    // replication — until a cell is genuinely hot, so small corpora pay
+    // only the ≤C-row count aggregate and its broadcast.
+    val bOf = greatest(lit(1L),
+      ceil(count(lit(1)) / lit(math.sqrt(pairBudget.toDouble))))
+    val cellB = broadcast(assigned.groupBy("cell")
+      .agg(bOf.cast("int").as("_B")))
+    val withB = assigned.join(cellB, Seq("cell"))
+    val bkt = pmod(xxhash64(col("id")), col("_B").cast("long")).cast("int")
+    val left = withB.select(col("cell"), col("id").as("id1"),
+      col("v").as("v1"), bkt.as("_bi"),
+      explode(sequence(lit(0), col("_B") - 1)).as("_bj"))
+    val right = withB.select(col("cell"), col("id").as("id2"),
+      col("v").as("v2"),
+      explode(sequence(lit(0), col("_B") - 1)).as("_bi"), bkt.as("_bj"))
+    val dropped = left
+      .join(right, Seq("cell", "_bi", "_bj"))
       .filter(col("id1") < col("id2"))
       .filter(round(G.cosineSim(col("v1"), col("v2")), 6) >= tau)
       .select(col("id2").as("id"))

@@ -107,6 +107,34 @@ class BloomSemDedupSpec extends SparkSuite {
     assert(s1.subsetOf(s8), "C=8 dropped a pair C=1 did not — impossible")
   }
 
+  test("semDedup blocking: a forced-hot cell splits into B² bucket keys, results identical") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val planted = e.filter(pmod($"vec_id", lit(13)) === 0)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
+    val all = e.unionByName(planted)
+    // C=1 puts the whole corpus in one cell — the exact one-hot-key
+    // shape AQE cannot split. A tiny pair budget forces B > 1 so the
+    // fragment-replicate path actually engages on this fixture.
+    val c1 = V.trainCentroids(all, "vec_id", "embedding", c = 1, iters = 1)
+    val blocked = V.semDedup(all, "vec_id", "embedding", c1, tau = 0.999,
+      pairBudget = 64L) // sqrt = 8 → B = ceil(n/8) ≫ 1 at n ≈ 540
+    val whole = V.semDedup(all, "vec_id", "embedding", c1, tau = 0.999)
+    val sB = blocked.select($"id").as[Long].collect().sorted.toSeq
+    val sW = whole.select($"id").as[Long].collect().sorted.toSeq
+    assert(sB === sW, "blocked self-join changed the survivor set")
+    // mechanism: the blocked plan joins on the bucket keys, the default
+    // (B=1 at this size) plan must NOT pay the replication columns' cost
+    // differently — both still join on cell plus buckets, but only the
+    // forced plan can have >1 bucket per side. Assert the composite key
+    // is in the plan and that the planted copies still always die.
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(plan.contains("_bi") && plan.contains("_bj"),
+      "bucket keys missing from the blocked join plan")
+    val plantedIds = planted.select($"vec_id").as[Long].collect().toSet
+    assert(plantedIds.intersect(sB.toSet).isEmpty, "planted copy survived")
+  }
+
   test("matryoshka rerank: planted neighbor recovered through a 16-dim coarse stage") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val query = e.filter($"vec_id" === 0)
