@@ -91,8 +91,15 @@ object Curation {
     */
   def decontaminateBloom(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    val benchGrams = wordGramPositions(bench, idCol, textCol, n)
-      .groupBy(col("g")).agg(min(col(idCol)).as("bench_doc"))
+    // cacheOnce: THREE consumers read the bench gram table — the
+    // sizing count below, the bloom bit aggregation, and the exact
+    // join's broadcast build — and each would otherwise re-run the
+    // full tokenize + n-gram explode + groupBy over the bench docs
+    // (JobProfile r14: three identical 32-task gram stages per run).
+    // The count() that sizes the bloom doubles as the materialization
+    // barrier. Bounded frame: distinct bench grams only.
+    val benchGrams = cacheOnce(wordGramPositions(bench, idCol, textCol, n)
+      .groupBy(col("g")).agg(min(col(idCol)).as("bench_doc")))
     val f = Bloom.build(benchGrams, "g", nRows = benchGrams.count())
     wordGramPositions(corpus, idCol, textCol, n)
       .filter(f.mightContain(col("g")))

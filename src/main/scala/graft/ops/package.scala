@@ -33,8 +33,8 @@ package object ops {
     * assignment, and every caller's output is insensitive to row order
     * (counts/min/max aggs, total-ordered top-k, or exact DECIMAL sums).
     *
-    * The narrow-input test is STATS-based (optimizedPlan.sizeInBytes
-    * against a FIXED 1 GiB bound), NOT `df.rdd.getNumPartitions`:
+    * The narrow-input test is STATS-based (the SUM OF LEAF-relation
+    * sizes against a FIXED 1 GiB bound), NOT `df.rdd.getNumPartitions`:
     * converting to an RDD posts a query-execution event, and a caller's
     * single-shot `Observation` listener (DataMetrics.observed) would
     * consume that event's empty metrics instead of the real action's
@@ -42,15 +42,29 @@ package object ops {
     * no listener. The bound is deliberately NOT derived from the
     * session's core count: plan shape must be a function of the data
     * alone, or PlanArtifactSpec sessions with different parallelism
-    * would disagree with the committed plan audit. Anything under 1 GiB
-    * is "narrow" on any sensible config (at most ~8 default-size
-    * splits) and costs nothing to round-robin; inputs past it get their
-    * parallelism from file splitting, so the exchange is skipped.
+    * would disagree with the committed plan audit. Anything whose base
+    * inputs total under 1 GiB is "narrow" on any sensible config (at
+    * most ~8 default-size splits) and costs nothing to round-robin;
+    * inputs past it get their parallelism from file splitting, so the
+    * exchange is skipped.
+    *
+    * Leaf sizes, not the frame's own estimate: every call site wraps a
+    * pre-kernel ROW frame (scans, filters, 1:1 unions/joins of base
+    * tables — never an exploded or pair frame), so the true frame size
+    * is bounded by its base inputs, which leaf stats report exactly
+    * (file bytes). The frame's own `stats.sizeInBytes`, by contrast,
+    * MULTIPLIES through join lineage: d11/d16's corpus (a 1:1
+    * planted-contamination join) was estimated at 39.7 GB against
+    * 1.8 MB of actual leaf bytes, silently turning fanOut into the
+    * identity — the round-14 ExecDebug dump showed d16's whole
+    * gram-explode + bloom-probe kernel (860 ms pipeline) running on the
+    * 2 tasks of the raw union instead of 32.
     */
   private[graft] def fanOut(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes
-        < BigInt(1L << 30)) df.repartition(par)
+    val leafBytes = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    if (leafBytes < BigInt(1L << 30)) df.repartition(par)
     else df
   }
 
